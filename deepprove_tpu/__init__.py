@@ -1,0 +1,23 @@
+"""deepprove_tpu — a TPU-native zkML proving framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+Lagrange-Labs/deep-prove: prove quantized neural-network inference in zero
+knowledge with sumcheck / logup-GKR / Basefold over the Goldilocks field,
+with the bulk field arithmetic running on TPU.
+
+Layer map (mirrors the reference's crate layering, SURVEY.md §1):
+  fields/      Goldilocks + ext2 limb kernels          (ref: ff_ext)
+  hash/        Poseidon2 permutation + digests         (ref: poseidon)
+  transcript/  Fiat-Shamir duplex challenger           (ref: transcript)
+  poly/        multilinear extensions, virtual polys   (ref: multilinear_extensions)
+  sumcheck/    sumcheck prover/verifier                (ref: sumcheck)
+  lookup/      logup-GKR lookup arguments              (ref: zkml/src/lookup)
+  pcs/         Basefold polynomial commitment          (ref: mpcs)
+  models/      tensors, quantization, model DAG, layers(ref: zkml)
+  iop/         prover / verifier orchestration         (ref: zkml/src/iop)
+  parallel/    multi-chip sharded sumcheck / mesh      (ref: devirgo sumcheck)
+  parser/      ONNX / GGUF loaders                     (ref: zkml/src/parser)
+  service/     worker / job intake                     (ref: deep-prove crate)
+"""
+
+__version__ = "0.1.0"

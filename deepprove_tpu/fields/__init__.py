@@ -1,0 +1,4 @@
+from . import gf, host
+from .gf import GF, GF2, P, EXT_W
+
+__all__ = ["gf", "host", "GF", "GF2", "P", "EXT_W"]

@@ -1,0 +1,552 @@
+"""Goldilocks field arithmetic as JAX uint32-limb kernels (TPU-native).
+
+The reference (deep-prove) does all proving arithmetic over the Goldilocks
+prime field p = 2^64 - 2^32 + 1 and its degree-2 binomial extension
+(reference: ff_ext/src/lib.rs:13 `GoldilocksExt2`, :86 `SmallField`).
+
+TPUs have no native 64-bit integer multiplier, so a field element is carried
+as two uint32 limbs (lo, hi) in struct-of-arrays layout: a `GF` holds two
+equal-shaped uint32 arrays. Multiplication decomposes each operand into four
+16-bit digits, forms the 16 exact 32-bit partial products on the VPU, carry-
+propagates into a 128-bit digit vector, and reduces with the Goldilocks
+identity 2^64 = 2^32 - 1 (mod p) / 2^96 = -1 (mod p) (the classic
+"reduce128" used by all fast Goldilocks implementations).
+
+Elements are kept **canonical** (< p) at every op boundary; this costs one
+conditional subtract per op and buys composability (equality = limb equality,
+hashing needs no normalization pass).
+
+All functions are shape-polymorphic, jit-friendly (static control flow only)
+and differentiable-free integer code; they run on TPU, CPU and inside Pallas
+kernels unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Goldilocks prime and friends (python ints; never traced).
+P = (1 << 64) - (1 << 32) + 1
+EPSILON = (1 << 32) - 1  # 2^64 mod p
+P_LO = P & 0xFFFFFFFF  # 0x00000001
+P_HI = P >> 32  # 0xFFFFFFFF
+# Degree-2 binomial extension x^2 = W (matches plonky3's
+# BinomiallyExtendable<2> for Goldilocks, used by the reference's
+# GoldilocksExt2 at ff_ext/src/lib.rs:13).
+EXT_W = 7
+# Multiplicative group generator and 2-adicity (plonky3 p3-goldilocks).
+MULTIPLICATIVE_GENERATOR = 7
+TWO_ADICITY = 32
+# generator of the 2^32 subgroup (plonky3 / plonky2 POWER_OF_TWO_GENERATOR)
+TWO_ADIC_GENERATOR = 1753635133440165772
+
+_u32 = jnp.uint32
+_MASK16 = np.uint32(0xFFFF)
+
+
+def _as_u32(x) -> jax.Array:
+    return jnp.asarray(x, dtype=_u32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GF:
+    """Array of Goldilocks elements; two uint32 limb planes (lo, hi)."""
+
+    lo: jax.Array
+    hi: jax.Array
+
+    # ---- array-protocol sugar -------------------------------------------
+    @property
+    def shape(self):
+        return self.lo.shape
+
+    @property
+    def ndim(self):
+        return self.lo.ndim
+
+    @property
+    def size(self):
+        return self.lo.size
+
+    def __len__(self):
+        return self.lo.shape[0]
+
+    def __getitem__(self, idx):
+        return GF(self.lo[idx], self.hi[idx])
+
+    def reshape(self, *shape):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        return GF(self.lo.reshape(shape), self.hi.reshape(shape))
+
+    def astuple(self):
+        return (self.lo, self.hi)
+
+    # ---- operators -------------------------------------------------------
+    def __add__(self, other):
+        return add(self, other)
+
+    def __sub__(self, other):
+        return sub(self, other)
+
+    def __mul__(self, other):
+        return mul(self, other)
+
+    def __neg__(self):
+        return neg(self)
+
+
+# ---------------------------------------------------------------------------
+# u64-as-two-u32 primitive helpers
+# ---------------------------------------------------------------------------
+
+
+def _add64(alo, ahi, blo, bhi):
+    """(a + b) mod 2^64 plus carry-out bit (uint32)."""
+    lo = alo + blo
+    c0 = (lo < alo).astype(_u32)
+    hi0 = ahi + bhi
+    c1 = (hi0 < ahi).astype(_u32)
+    hi = hi0 + c0
+    c2 = (hi < hi0).astype(_u32)
+    return lo, hi, c1 | c2
+
+
+def _sub64(alo, ahi, blo, bhi):
+    """(a - b) mod 2^64 plus borrow-out bit (uint32)."""
+    lo = alo - blo
+    b0 = (alo < blo).astype(_u32)
+    hi0 = ahi - bhi
+    b1 = (ahi < bhi).astype(_u32)
+    hi = hi0 - b0
+    b2 = (hi0 < b0).astype(_u32)
+    return lo, hi, b1 | b2
+
+
+def _geq64(alo, ahi, blo, bhi):
+    return (ahi > bhi) | ((ahi == bhi) & (alo >= blo))
+
+
+def _geq_p(lo, hi):
+    # x >= p  <=>  hi == 0xffffffff and lo >= 1   (since p = (2^32-1)<<32 | 1)
+    return (hi == np.uint32(P_HI)) & (lo >= np.uint32(P_LO))
+
+
+def _reduce_once(lo, hi, ge):
+    """Conditionally subtract p where `ge` (bool) holds. Input < 2p."""
+    slo, shi, _ = _sub64(lo, hi, np.uint32(P_LO), np.uint32(P_HI))
+    return jnp.where(ge, slo, lo), jnp.where(ge, shi, hi)
+
+
+# ---------------------------------------------------------------------------
+# Field ops
+# ---------------------------------------------------------------------------
+
+
+def add(a: GF, b: GF) -> GF:
+    lo, hi, c = _add64(a.lo, a.hi, b.lo, b.hi)
+    # a, b canonical => sum < 2p; reduce if carried past 2^64 or >= p.
+    ge = (c != 0) | _geq_p(lo, hi)
+    lo, hi = _reduce_once(lo, hi, ge)
+    return GF(lo, hi)
+
+
+def sub(a: GF, b: GF) -> GF:
+    lo, hi, brw = _sub64(a.lo, a.hi, b.lo, b.hi)
+    alo, ahi, _ = _add64(lo, hi, np.uint32(P_LO), np.uint32(P_HI))
+    neg_ = brw != 0
+    return GF(jnp.where(neg_, alo, lo), jnp.where(neg_, ahi, hi))
+
+
+def neg(a: GF) -> GF:
+    zlo, zhi, _ = _sub64(np.uint32(P_LO), np.uint32(P_HI), a.lo, a.hi)
+    is_zero = (a.lo == 0) & (a.hi == 0)
+    return GF(jnp.where(is_zero, a.lo, zlo), jnp.where(is_zero, a.hi, zhi))
+
+
+def _digits16(lo, hi):
+    """Split a u64 (two u32 limbs) into four 16-bit digits (in u32 lanes)."""
+    return (lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16)
+
+
+def _mul_wide_digits(ad, bd):
+    """Schoolbook 4x4 16-bit digit multiply -> eight 16-bit digits (128-bit).
+
+    Every partial product a_i*b_j of 16-bit digits is exact in uint32; each
+    column accumulates at most 8 sixteen-bit addends plus a small carry, far
+    below 2^32, so no intermediate overflow is possible.
+    """
+    # cols[k] accumulates contributions to digit k.
+    cols = [None] * 9
+    for i in range(4):
+        for j in range(4):
+            p = ad[i] * bd[j]
+            plo = p & _MASK16
+            phi = p >> 16
+            k = i + j
+            cols[k] = plo if cols[k] is None else cols[k] + plo
+            kk = k + 1
+            cols[kk] = phi if cols[kk] is None else cols[kk] + phi
+    # carry propagate into clean 16-bit digits
+    out = []
+    carry = None
+    for k in range(8):
+        acc = cols[k]
+        if carry is not None:
+            acc = acc + carry
+        out.append(acc & _MASK16)
+        carry = acc >> 16
+    return out  # digits 0..7, each < 2^16 in u32 lanes
+
+
+def _reduce128(d):
+    """Reduce a 128-bit value given as eight 16-bit digits, mod p.
+
+    n = n0 + n1_lo*2^64 + n1_hi*2^96
+      = n0 + n1_lo*(2^32 - 1) - n1_hi              (mod p)
+    Follows the branch-free shape of the classic u64 reduce128.
+    """
+    n0_lo = d[0] | (d[1] << 16)
+    n0_hi = d[2] | (d[3] << 16)
+    n1_lo = d[4] | (d[5] << 16)
+    n1_hi = d[6] | (d[7] << 16)
+
+    # t0 = n0 - n1_hi (wrapping); on borrow subtract EPSILON (== add p mod 2^64)
+    t0_lo, t0_hi, brw = _sub64(n0_lo, n0_hi, n1_hi, jnp.zeros_like(n1_hi))
+    e_lo = jnp.where(brw != 0, np.uint32(EPSILON), np.uint32(0))
+    t0_lo2, t0_hi2, _ = _sub64(t0_lo, t0_hi, e_lo, jnp.zeros_like(e_lo))
+
+    # t1 = n1_lo * EPSILON = (n1_lo << 32) - n1_lo
+    nz = (n1_lo != 0).astype(_u32)
+    t1_lo = jnp.zeros_like(n1_lo) - n1_lo  # wrapping 0 - x
+    t1_hi = n1_lo - nz
+
+    # t2 = t0 + t1; on carry add EPSILON (cannot carry again)
+    t2_lo, t2_hi, c = _add64(t0_lo2, t0_hi2, t1_lo, t1_hi)
+    e2 = jnp.where(c != 0, np.uint32(EPSILON), np.uint32(0))
+    t2_lo2, t2_hi2, c2 = _add64(t2_lo, t2_hi, e2, jnp.zeros_like(e2))
+    t2_hi2 = t2_hi2 + c2 * np.uint32(0)  # c2 is provably 0; keep shape
+
+    # canonicalize
+    ge = _geq_p(t2_lo2, t2_hi2)
+    lo, hi = _reduce_once(t2_lo2, t2_hi2, ge)
+    return GF(lo, hi)
+
+
+def mul(a: GF, b: GF) -> GF:
+    ad = _digits16(a.lo, a.hi)
+    bd = _digits16(b.lo, b.hi)
+    return _reduce128(_mul_wide_digits(ad, bd))
+
+
+def mul_small(a: GF, c: int) -> GF:
+    """Multiply by a small (< 2^32) python-int constant; cheaper digit count."""
+    assert 0 <= c < (1 << 32)
+    if c == 0:
+        return zeros(a.shape)
+    if c == 1:
+        return a
+    ad = _digits16(a.lo, a.hi)
+    c_lo = np.uint32(c & 0xFFFF)
+    c_hi = np.uint32(c >> 16)
+    cols = [None] * 9
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(4):
+        p = ad[i] * c_lo
+        acc(i, p & _MASK16)
+        acc(i + 1, p >> 16)
+        if c >> 16:
+            q = ad[i] * c_hi
+            acc(i + 1, q & _MASK16)
+            acc(i + 2, q >> 16)
+    out = []
+    carry = None
+    for k in range(8):
+        v = cols[k]
+        if v is None:
+            v = jnp.zeros_like(a.lo)
+        if carry is not None:
+            v = v + carry
+        out.append(v & _MASK16)
+        carry = v >> 16
+    return _reduce128(out)
+
+
+def square(a: GF) -> GF:
+    return mul(a, a)
+
+
+def pow_const(a: GF, e: int) -> GF:
+    """a ** e for a python-int exponent (static square-and-multiply chain)."""
+    assert e >= 0
+    if e == 0:
+        return ones(a.shape)
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = square(base)
+    return result
+
+
+def inv(a: GF) -> GF:
+    """Field inverse by Fermat; inv(0) = 0 (same convention as p3)."""
+    return pow_const(a, P - 2)
+
+
+def zeros(shape=()) -> GF:
+    z = jnp.zeros(shape, dtype=_u32)
+    return GF(z, z)
+
+
+def ones(shape=()) -> GF:
+    return GF(jnp.ones(shape, dtype=_u32), jnp.zeros(shape, dtype=_u32))
+
+
+def full(shape, value: int) -> GF:
+    value %= P
+    return GF(
+        jnp.full(shape, value & 0xFFFFFFFF, dtype=_u32),
+        jnp.full(shape, value >> 32, dtype=_u32),
+    )
+
+
+def from_u64(arr) -> GF:
+    """numpy uint64 (or python-int list) -> GF, reduced to canonical form."""
+    a = np.asarray(arr, dtype=np.uint64)
+    a = np.where(a >= np.uint64(P), a - np.uint64(P), a)  # input < 2^64 < 2p
+    return GF(
+        jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
+    )
+
+
+def to_u64(a: GF) -> np.ndarray:
+    lo = np.asarray(jax.device_get(a.lo), dtype=np.uint64)
+    hi = np.asarray(jax.device_get(a.hi), dtype=np.uint64)
+    return lo | (hi << np.uint64(32))
+
+
+def where(cond, a: GF, b: GF) -> GF:
+    return GF(jnp.where(cond, a.lo, b.lo), jnp.where(cond, a.hi, b.hi))
+
+
+def equal(a: GF, b: GF):
+    return (a.lo == b.lo) & (a.hi == b.hi)
+
+
+def is_zero(a: GF):
+    return (a.lo == 0) & (a.hi == 0)
+
+
+def concatenate(parts, axis=0) -> GF:
+    return GF(
+        jnp.concatenate([p.lo for p in parts], axis=axis),
+        jnp.concatenate([p.hi for p in parts], axis=axis),
+    )
+
+
+def stack(parts, axis=0) -> GF:
+    return GF(
+        jnp.stack([p.lo for p in parts], axis=axis),
+        jnp.stack([p.hi for p in parts], axis=axis),
+    )
+
+
+def broadcast_to(a: GF, shape) -> GF:
+    return GF(jnp.broadcast_to(a.lo, shape), jnp.broadcast_to(a.hi, shape))
+
+
+def sum_axis(a: GF, axis: int = -1) -> GF:
+    """Modular sum along one axis via log-depth pairwise folding.
+
+    The axis length need not be a power of two; odd tails are carried.
+    Log-depth keeps every partial sum canonical (no 128-bit accumulators
+    needed) and maps to pure VPU adds.
+    """
+    axis = axis % a.ndim
+    cur = a
+    while cur.shape[axis] > 1:
+        n = cur.shape[axis]
+        half = n // 2
+
+        def slc(start, stop):
+            idx = [slice(None)] * cur.ndim
+            idx[axis] = slice(start, stop)
+            return tuple(idx)
+
+        left = cur[slc(0, half)]
+        right = cur[slc(half, 2 * half)]
+        folded = add(left, right)
+        if n % 2:
+            folded = concatenate([folded, cur[slc(n - 1, n)]], axis=axis)
+        cur = folded
+    # squeeze the reduced axis
+    idx = [slice(None)] * cur.ndim
+    idx[axis] = 0
+    return cur[tuple(idx)]
+
+
+def sum_all(a: GF) -> GF:
+    return sum_axis(a.reshape(-1), 0)
+
+
+# ---------------------------------------------------------------------------
+# Extension field GF(p^2) = F_p[X]/(X^2 - 7)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GF2:
+    """Array of GoldilocksExt2 elements: a0 + a1*X with X^2 = 7."""
+
+    a0: GF
+    a1: GF
+
+    @property
+    def shape(self):
+        return self.a0.shape
+
+    @property
+    def ndim(self):
+        return self.a0.ndim
+
+    @property
+    def size(self):
+        return self.a0.size
+
+    def __len__(self):
+        return self.a0.shape[0]
+
+    def __getitem__(self, idx):
+        return GF2(self.a0[idx], self.a1[idx])
+
+    def reshape(self, *shape):
+        return GF2(self.a0.reshape(*shape), self.a1.reshape(*shape))
+
+    def __add__(self, other):
+        return ext_add(self, other)
+
+    def __sub__(self, other):
+        return ext_sub(self, other)
+
+    def __mul__(self, other):
+        return ext_mul(self, other)
+
+    def __neg__(self):
+        return GF2(neg(self.a0), neg(self.a1))
+
+
+def ext_add(a: GF2, b: GF2) -> GF2:
+    return GF2(add(a.a0, b.a0), add(a.a1, b.a1))
+
+
+def ext_sub(a: GF2, b: GF2) -> GF2:
+    return GF2(sub(a.a0, b.a0), sub(a.a1, b.a1))
+
+
+def ext_mul(a: GF2, b: GF2) -> GF2:
+    """Karatsuba: 3 base muls + the binomial fold by W=7."""
+    t0 = mul(a.a0, b.a0)
+    t1 = mul(a.a1, b.a1)
+    t2 = mul(add(a.a0, a.a1), add(b.a0, b.a1))
+    c0 = add(t0, mul_small(t1, EXT_W))
+    c1 = sub(t2, add(t0, t1))
+    return GF2(c0, c1)
+
+
+def ext_mul_base(a: GF2, b: GF) -> GF2:
+    return GF2(mul(a.a0, b), mul(a.a1, b))
+
+
+def ext_from_base(a: GF) -> GF2:
+    return GF2(a, zeros(a.shape))
+
+
+def ext_zeros(shape=()) -> GF2:
+    return GF2(zeros(shape), zeros(shape))
+
+
+def ext_ones(shape=()) -> GF2:
+    return GF2(ones(shape), zeros(shape))
+
+
+def ext_from_u64(a0, a1) -> GF2:
+    return GF2(from_u64(a0), from_u64(a1))
+
+
+def ext_to_u64(a: GF2):
+    return to_u64(a.a0), to_u64(a.a1)
+
+
+def ext_square(a: GF2) -> GF2:
+    return ext_mul(a, a)
+
+
+def ext_pow_const(a: GF2, e: int) -> GF2:
+    assert e >= 0
+    if e == 0:
+        return ext_ones(a.shape)
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else ext_mul(result, base)
+        e >>= 1
+        if e:
+            base = ext_square(base)
+    return result
+
+
+def ext_inv(a: GF2) -> GF2:
+    """(a0 + a1 X)^-1 = (a0 - a1 X) / (a0^2 - 7 a1^2)."""
+    norm = sub(square(a.a0), mul_small(square(a.a1), EXT_W))
+    ninv = inv(norm)
+    return GF2(mul(a.a0, ninv), mul(neg(a.a1), ninv))
+
+
+def ext_where(cond, a: GF2, b: GF2) -> GF2:
+    return GF2(where(cond, a.a0, b.a0), where(cond, a.a1, b.a1))
+
+
+def ext_equal(a: GF2, b: GF2):
+    return equal(a.a0, b.a0) & equal(a.a1, b.a1)
+
+
+def ext_concatenate(parts, axis=0) -> GF2:
+    return GF2(
+        concatenate([p.a0 for p in parts], axis=axis),
+        concatenate([p.a1 for p in parts], axis=axis),
+    )
+
+
+def ext_stack(parts, axis=0) -> GF2:
+    return GF2(
+        stack([p.a0 for p in parts], axis=axis),
+        stack([p.a1 for p in parts], axis=axis),
+    )
+
+
+def ext_broadcast_to(a: GF2, shape) -> GF2:
+    return GF2(broadcast_to(a.a0, shape), broadcast_to(a.a1, shape))
+
+
+def ext_sum_axis(a: GF2, axis: int = -1) -> GF2:
+    return GF2(sum_axis(a.a0, axis), sum_axis(a.a1, axis))
+
+
+def ext_sum_all(a: GF2) -> GF2:
+    return GF2(sum_all(a.a0), sum_all(a.a1))

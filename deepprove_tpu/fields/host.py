@@ -1,0 +1,221 @@
+"""Host-side (numpy) Goldilocks arithmetic — verifier / transcript / tests.
+
+The prover's bulk field math lives on-device (fields/gf.py); the host needs a
+small, fast mirror for the sequential Fiat-Shamir transcript, for the
+verifier, and as an independent ground truth in tests. numpy uint64 gives us
+native 64-bit limbs, so multiplication splits 32/32 and applies the same
+reduce128 as the device kernel.
+
+This module deliberately has NO jax dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P = (1 << 64) - (1 << 32) + 1
+EPSILON = (1 << 32) - 1
+EXT_W = 7
+MULTIPLICATIVE_GENERATOR = 7
+TWO_ADICITY = 32
+TWO_ADIC_GENERATOR = 1753635133440165772
+
+_U64 = np.uint64
+_U32MASK = _U64(0xFFFFFFFF)
+_P = _U64(P)
+_EPS = _U64(EPSILON)
+
+# numpy emits warnings on u64 overflow in some paths; all wrapping here is
+# intentional.
+def _err():
+    return np.errstate(over="ignore")
+
+
+def arr(x) -> np.ndarray:
+    """Coerce to canonical uint64 Goldilocks array."""
+    a = np.asarray(x)
+    if a.dtype == np.uint64:
+        return a
+    # python ints / signed ints: reduce mod p (handles negatives)
+    flat = np.asarray([int(v) % P for v in np.ravel(a)], dtype=np.uint64)
+    return flat.reshape(a.shape)
+
+
+def add(a, b):
+    with _err():
+        s = a + b  # wraps mod 2^64
+        carry = s < a
+        # if carried, real sum = s + 2^64 ≡ s + EPSILON (mod p)
+        s = np.where(carry, s + _EPS, s)
+        # may still be >= p (only when no carry, or post-fold)
+        ge = s >= _P
+        s = np.where(ge, s - _P, s)
+    return s
+
+
+def sub(a, b):
+    with _err():
+        d = a - b
+        borrow = a < b
+        d = np.where(borrow, d + _P, d)
+    return d
+
+
+def neg(a):
+    with _err():
+        return np.where(a == 0, a, _P - a)
+
+
+def _mul_wide(a, b):
+    """Exact 64x64 -> 128 via 32-bit halves. Returns (lo64, hi64)."""
+    with _err():
+        a_lo = a & _U32MASK
+        a_hi = a >> _U64(32)
+        b_lo = b & _U32MASK
+        b_hi = b >> _U64(32)
+        ll = a_lo * b_lo
+        lh = a_lo * b_hi
+        hl = a_hi * b_lo
+        hh = a_hi * b_hi
+        mid = lh + hl
+        mid_carry = (mid < lh).astype(_U64)  # overflow of lh+hl
+        t = ll + ((mid & _U32MASK) << _U64(32))
+        c1 = (t < ll).astype(_U64)
+        lo = t
+        hi = hh + (mid >> _U64(32)) + (mid_carry << _U64(32)) + c1
+    return lo, hi
+
+
+def _reduce128(lo, hi):
+    with _err():
+        hi_hi = hi >> _U64(32)
+        hi_lo = hi & _U32MASK
+        t0 = lo - hi_hi
+        borrow = lo < hi_hi
+        t0 = np.where(borrow, t0 - _EPS, t0)
+        t1 = hi_lo * _EPS  # < 2^64, exact in u64
+        t2 = t0 + t1
+        carry = t2 < t1
+        t2 = np.where(carry, t2 + _EPS, t2)
+        ge = t2 >= _P
+        t2 = np.where(ge, t2 - _P, t2)
+    return t2
+
+
+def mul(a, b):
+    lo, hi = _mul_wide(np.asarray(a, _U64), np.asarray(b, _U64))
+    return _reduce128(lo, hi)
+
+
+def pow_const(a, e: int):
+    result = None
+    base = np.asarray(a, _U64)
+    e = int(e)
+    if e == 0:
+        return np.ones_like(base)
+    while e:
+        if e & 1:
+            result = base.copy() if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = mul(base, base)
+    return result
+
+
+def inv(a):
+    return pow_const(a, P - 2)
+
+
+def batch_inv(a):
+    """Montgomery batch inversion over the last axis flattening; inv(0)=0."""
+    flat = np.ravel(np.asarray(a, _U64)).copy()
+    nz = flat != 0
+    vals = flat[nz]
+    n = vals.size
+    if n == 0:
+        return np.zeros_like(flat).reshape(np.shape(a))
+    prefix = np.empty(n, dtype=_U64)
+    acc = _U64(1)
+    for i in range(n):
+        prefix[i] = acc
+        acc = mul(acc, vals[i])
+    acc_inv = inv(acc)
+    out = np.empty(n, dtype=_U64)
+    for i in range(n - 1, -1, -1):
+        out[i] = mul(acc_inv, prefix[i])
+        acc_inv = mul(acc_inv, vals[i])
+    res = np.zeros_like(flat)
+    res[nz] = out
+    return res.reshape(np.shape(a))
+
+
+# ---------------------------------------------------------------------------
+# scalar ext-field helpers (python ints) — handy for transcript & verifier
+# ---------------------------------------------------------------------------
+
+
+def ext_add(a, b):
+    return ((a[0] + b[0]) % P, (a[1] + b[1]) % P)
+
+
+def ext_sub(a, b):
+    return ((a[0] - b[0]) % P, (a[1] - b[1]) % P)
+
+
+def ext_mul(a, b):
+    a0, a1 = a
+    b0, b1 = b
+    return ((a0 * b0 + EXT_W * a1 * b1) % P, (a0 * b1 + a1 * b0) % P)
+
+
+def ext_neg(a):
+    return ((-a[0]) % P, (-a[1]) % P)
+
+
+def ext_pow(a, e: int):
+    result = (1, 0)
+    base = a
+    while e:
+        if e & 1:
+            result = ext_mul(result, base)
+        e >>= 1
+        base = ext_mul(base, base)
+    return result
+
+
+def ext_inv(a):
+    a0, a1 = a
+    norm = (a0 * a0 - EXT_W * a1 * a1) % P
+    ninv = pow(norm, P - 2, P)
+    return ((a0 * ninv) % P, ((-a1) * ninv) % P)
+
+
+def ext_from_base(x: int):
+    return (x % P, 0)
+
+
+# vectorized ext ops over (..., 2)-last-axis uint64 arrays
+def ext_arr(a0, a1=None):
+    if a1 is None:
+        a0 = np.asarray(a0, _U64)
+        return np.stack([a0, np.zeros_like(a0)], axis=-1)
+    return np.stack([np.asarray(a0, _U64), np.asarray(a1, _U64)], axis=-1)
+
+
+def ext_add_v(a, b):
+    return np.stack([add(a[..., 0], b[..., 0]), add(a[..., 1], b[..., 1])], axis=-1)
+
+
+def ext_sub_v(a, b):
+    return np.stack([sub(a[..., 0], b[..., 0]), sub(a[..., 1], b[..., 1])], axis=-1)
+
+
+def ext_mul_v(a, b):
+    a0, a1 = a[..., 0], a[..., 1]
+    b0, b1 = b[..., 0], b[..., 1]
+    t0 = mul(a0, b0)
+    t1 = mul(a1, b1)
+    t2 = mul(add(a0, a1), add(b0, b1))
+    c0 = add(t0, mul(t1, np.full_like(t1, EXT_W)))
+    c1 = sub(t2, add(t0, t1))
+    return np.stack([c0, c1], axis=-1)

@@ -1,0 +1,26 @@
+"""Test config: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on XLA's host-platform virtual devices (same partitioner, same
+collectives). Must set flags BEFORE jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    # Reference tests draw a fresh seed per CI run (RNG_SEED env,
+    # zkml/src/lib.rs:337) — tests must pass for any seed.
+    seed = int(os.environ.get("RNG_SEED", np.random.SeedSequence().entropy % (2**32)))
+    return np.random.default_rng(seed)

@@ -1,0 +1,149 @@
+"""Field arithmetic: device (JAX limb) kernels vs python-int ground truth.
+
+Mirrors the reference's property-test style for ff_ext (random operands,
+algebraic identities) — reference: ff_ext/src/lib.rs.
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.fields.gf import P, EXT_W
+
+N = 4096
+
+
+def rand_u64(rng, n=N):
+    return rng.integers(0, P, size=n, dtype=np.uint64)
+
+
+def test_add_sub_neg(rng):
+    a_np, b_np = rand_u64(rng), rand_u64(rng)
+    a, b = gf.from_u64(a_np), gf.from_u64(b_np)
+    want_add = (a_np.astype(object) + b_np.astype(object)) % P
+    want_sub = (a_np.astype(object) - b_np.astype(object)) % P
+    np.testing.assert_array_equal(gf.to_u64(a + b).astype(object), want_add)
+    np.testing.assert_array_equal(gf.to_u64(a - b).astype(object), want_sub)
+    np.testing.assert_array_equal(
+        gf.to_u64(-a).astype(object), (-a_np.astype(object)) % P
+    )
+
+
+def test_mul(rng):
+    a_np, b_np = rand_u64(rng), rand_u64(rng)
+    a, b = gf.from_u64(a_np), gf.from_u64(b_np)
+    want = (a_np.astype(object) * b_np.astype(object)) % P
+    np.testing.assert_array_equal(gf.to_u64(a * b).astype(object), want)
+
+
+def test_mul_edge_cases():
+    edge = np.array(
+        [0, 1, 2, P - 1, P - 2, (1 << 32) - 1, 1 << 32, (1 << 32) + 1, P >> 1],
+        dtype=np.uint64,
+    )
+    aa, bb = np.meshgrid(edge, edge)
+    a, b = gf.from_u64(aa.ravel()), gf.from_u64(bb.ravel())
+    want = (aa.ravel().astype(object) * bb.ravel().astype(object)) % P
+    np.testing.assert_array_equal(gf.to_u64(a * b).astype(object), want)
+    # add edge cases too
+    want_add = (aa.ravel().astype(object) + bb.ravel().astype(object)) % P
+    np.testing.assert_array_equal(gf.to_u64(a + b).astype(object), want_add)
+
+
+def test_mul_small(rng):
+    a_np = rand_u64(rng)
+    a = gf.from_u64(a_np)
+    for c in [0, 1, 2, 7, 0xFFFF, 0x10000, 0xFFFFFFFF]:
+        want = (a_np.astype(object) * c) % P
+        np.testing.assert_array_equal(gf.to_u64(gf.mul_small(a, c)).astype(object), want)
+
+
+def test_inv(rng):
+    import jax
+
+    a_np = rand_u64(rng, 64)
+    a_np[0] = 1
+    a = gf.from_u64(a_np)
+    prod = gf.to_u64(jax.jit(lambda x: gf.mul(x, gf.inv(x)))(a)).astype(object)
+    want = np.where(a_np == 0, 0, 1).astype(object)
+    np.testing.assert_array_equal(prod, want)
+
+
+def test_two_adic_generator():
+    import jax
+
+    g = gf.from_u64(np.array([gf.TWO_ADIC_GENERATOR], dtype=np.uint64))
+    # order exactly 2^32: g^(2^31) = -1
+    h = jax.jit(lambda x: gf.pow_const(x, 1 << 31))(g)
+    assert gf.to_u64(h)[0] == P - 1
+    assert gf.to_u64(gf.square(h))[0] == 1
+
+
+def test_ext_mul_matches_host(rng):
+    a0, a1, b0, b1 = (rand_u64(rng, 512) for _ in range(4))
+    a = gf.ext_from_u64(a0, a1)
+    b = gf.ext_from_u64(b0, b1)
+    got0, got1 = gf.ext_to_u64(gf.ext_mul(a, b))
+    for i in range(16):
+        want = host.ext_mul((int(a0[i]), int(a1[i])), (int(b0[i]), int(b1[i])))
+        assert (int(got0[i]), int(got1[i])) == want
+
+
+def test_ext_inv(rng):
+    import jax
+
+    a0, a1 = rand_u64(rng, 32), rand_u64(rng, 32)
+    a = gf.ext_from_u64(a0, a1)
+    prod = jax.jit(lambda x: gf.ext_mul(x, gf.ext_inv(x)))(a)
+    p0, p1 = gf.ext_to_u64(prod)
+    np.testing.assert_array_equal(p0, np.ones_like(p0))
+    np.testing.assert_array_equal(p1, np.zeros_like(p1))
+
+
+def test_sum_axis(rng):
+    import jax
+
+    for n in [3, 256]:
+        a_np = rand_u64(rng, n)
+        want = int(np.sum(a_np.astype(object))) % P
+        got = int(gf.to_u64(jax.jit(gf.sum_all)(gf.from_u64(a_np))))
+        assert got == want, n
+
+
+def test_host_field_matches_python(rng):
+    a_np, b_np = rand_u64(rng, 1024), rand_u64(rng, 1024)
+    np.testing.assert_array_equal(
+        host.mul(a_np, b_np).astype(object),
+        (a_np.astype(object) * b_np.astype(object)) % P,
+    )
+    np.testing.assert_array_equal(
+        host.add(a_np, b_np).astype(object),
+        (a_np.astype(object) + b_np.astype(object)) % P,
+    )
+    np.testing.assert_array_equal(
+        host.sub(a_np, b_np).astype(object),
+        (a_np.astype(object) - b_np.astype(object)) % P,
+    )
+
+
+def test_host_batch_inv(rng):
+    a_np = rand_u64(rng, 64)
+    a_np[5] = 0
+    out = host.batch_inv(a_np)
+    for x, y in zip(a_np, out):
+        if x == 0:
+            assert y == 0
+        else:
+            assert (int(x) * int(y)) % P == 1
+
+
+def test_jit_compatible(rng):
+    import jax
+
+    a = gf.from_u64(rand_u64(rng, 256))
+    b = gf.from_u64(rand_u64(rng, 256))
+    f = jax.jit(lambda x, y: gf.mul(gf.add(x, y), gf.sub(x, y)))
+    got = gf.to_u64(f(a, b)).astype(object)
+    a_o, b_o = gf.to_u64(a).astype(object), gf.to_u64(b).astype(object)
+    want = ((a_o + b_o) % P * ((a_o - b_o) % P)) % P
+    np.testing.assert_array_equal(got, want)
