@@ -1,0 +1,3 @@
+from . import constants, poseidon2
+
+__all__ = ["constants", "poseidon2"]

@@ -1,0 +1,200 @@
+"""Poseidon2 permutation over Goldilocks, width 8 (host + device).
+
+Mirrors the exact permutation the reference builds from plonky3 pieces
+(reference: ff_ext/src/lib.rs:167-244 `NoAllocPoseidon`): external linear
+layer = block-M4 "MDS-light" (M4 = circ(2,3,1,1)), S-box x^7,
+4 initial + 4 terminal external rounds, 22 internal rounds with the
+J + diag(d) internal matrix (d = MATRIX_DIAG_8, stored as diag-minus-one
+multipliers applied as state[i]*d[i] + sum(state)).
+
+Two implementations with identical semantics:
+  * host: numpy uint64 — sequential transcript / Merkle on small inputs.
+    State shape (..., 8); vectorized over leading axes.
+  * device: JAX GF limb planes — batched Merkle levels / on-device duplex.
+    State = GF with trailing axis 8.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gf, host
+from . import constants as C
+
+WIDTH = C.WIDTH
+RATE = C.RATE
+DIGEST_WIDTH = C.DIGEST_WIDTH
+
+# ---------------------------------------------------------------------------
+# host (numpy uint64) path
+# ---------------------------------------------------------------------------
+
+_INIT_RC = np.array(C.INITIAL_EXTERNAL_CONSTANTS, dtype=np.uint64)  # (4, 8)
+_TERM_RC = np.array(C.TERMINAL_EXTERNAL_CONSTANTS, dtype=np.uint64)  # (4, 8)
+_INT_RC = np.array(C.INTERNAL_CONSTANTS, dtype=np.uint64)  # (22,)
+_DIAG = np.array(C.MATRIX_DIAG_8, dtype=np.uint64)  # (8,)
+
+
+def _sbox_h(x):
+    x2 = host.mul(x, x)
+    x4 = host.mul(x2, x2)
+    x6 = host.mul(x4, x2)
+    return host.mul(x6, x)
+
+
+def _m4_h(s):
+    """Apply M4 = circ(2,3,1,1) to the four length-(...)-arrays in `s`."""
+    s0, s1, s2, s3 = s
+    t01 = host.add(s0, s1)
+    t23 = host.add(s2, s3)
+    t0123 = host.add(t01, t23)
+    t01123 = host.add(t0123, s1)
+    t01233 = host.add(t0123, s3)
+    n3 = host.add(t01233, host.add(s0, s0))
+    n1 = host.add(t01123, host.add(s2, s2))
+    n0 = host.add(t01123, t01)
+    n2 = host.add(t01233, t23)
+    return [n0, n1, n2, n3]
+
+
+def _external_linear_h(st):
+    """MDS-light over width 8: per-chunk M4 then cross-chunk column sums."""
+    a = _m4_h([st[..., i] for i in range(4)])
+    b = _m4_h([st[..., 4 + i] for i in range(4)])
+    out = np.empty_like(st)
+    for k in range(4):
+        s = host.add(a[k], b[k])
+        out[..., k] = host.add(a[k], s)
+        out[..., 4 + k] = host.add(b[k], s)
+    return out
+
+
+def permute_host(state: np.ndarray) -> np.ndarray:
+    """Poseidon2 permutation; state shape (..., 8) uint64 canonical."""
+    st = np.asarray(state, dtype=np.uint64).copy()
+    st = _external_linear_h(st)
+    for r in range(4):
+        st = host.add(st, _INIT_RC[r])
+        st = _sbox_h(st)
+        st = _external_linear_h(st)
+    for r in range(22):
+        st[..., 0] = host.add(st[..., 0], _INT_RC[r])
+        st[..., 0] = _sbox_h(st[..., 0])
+        total = st[..., 0]
+        for i in range(1, 8):
+            total = host.add(total, st[..., i])
+        st = host.add(host.mul(st, _DIAG), total[..., None])
+    for r in range(4):
+        st = host.add(st, _TERM_RC[r])
+        st = _sbox_h(st)
+        st = _external_linear_h(st)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# device (JAX GF) path
+# ---------------------------------------------------------------------------
+
+
+def _sbox_d(x: gf.GF) -> gf.GF:
+    x2 = gf.square(x)
+    x4 = gf.square(x2)
+    return gf.mul(gf.mul(x4, x2), x)
+
+
+def _external_linear_d(st: gf.GF) -> gf.GF:
+    """MDS-light over trailing axis 8: per-4-chunk M4, then column sums."""
+    s = [st[..., i] for i in range(8)]
+
+    def m4(s0, s1, s2, s3):
+        t01 = gf.add(s0, s1)
+        t23 = gf.add(s2, s3)
+        t0123 = gf.add(t01, t23)
+        t01123 = gf.add(t0123, s1)
+        t01233 = gf.add(t0123, s3)
+        n3 = gf.add(t01233, gf.add(s0, s0))
+        n1 = gf.add(t01123, gf.add(s2, s2))
+        n0 = gf.add(t01123, t01)
+        n2 = gf.add(t01233, t23)
+        return [n0, n1, n2, n3]
+
+    a = m4(*s[:4])
+    b = m4(*s[4:])
+    out = [None] * 8
+    for k in range(4):
+        tot = gf.add(a[k], b[k])
+        out[k] = gf.add(a[k], tot)
+        out[4 + k] = gf.add(b[k], tot)
+    return gf.stack(out, axis=-1)
+
+
+def _rc_gf(arr: np.ndarray) -> gf.GF:
+    return gf.GF(
+        jnp.asarray((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((arr >> np.uint64(32)).astype(np.uint32)),
+    )
+
+
+def permute_device(state: gf.GF) -> gf.GF:
+    """Poseidon2 permutation; `state` is a GF with trailing axis of size 8.
+
+    Batched over leading axes — one call hashes a whole Merkle level.
+    Rounds run under lax.scan so the compiled graph stays one-round-sized.
+    """
+    import jax
+
+    def ext_round(st, rc):  # rc: GF (8,)
+        st = gf.add(st, gf.broadcast_to(rc, st.shape))
+        st = _sbox_d(st)
+        return _external_linear_d(st), None
+
+    def int_round(st, rc):  # rc: GF ()
+        l0 = _sbox_d(gf.add(st[..., 0], gf.broadcast_to(rc, st.shape[:-1])))
+        st = gf.concatenate(
+            [l0.reshape(st.shape[:-1] + (1,)), st[..., 1:]], axis=-1
+        )
+        total = gf.sum_axis(st, axis=-1)
+        diag = gf.broadcast_to(_rc_gf(_DIAG), st.shape)
+        return gf.add(gf.mul(st, diag), gf.broadcast_to(total.reshape(total.shape + (1,)), st.shape)), None
+
+    st = _external_linear_d(state)
+    st, _ = jax.lax.scan(ext_round, st, _rc_gf(_INIT_RC))
+    st, _ = jax.lax.scan(int_round, st, _rc_gf(_INT_RC))
+    st, _ = jax.lax.scan(ext_round, st, _rc_gf(_TERM_RC))
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Sponge hashing helpers (host) — mirror poseidon/src/poseidon_hash.rs
+# ---------------------------------------------------------------------------
+
+
+def hash_n_to_m_no_pad_host(inputs: np.ndarray, num_outputs: int) -> np.ndarray:
+    """Fresh duplex challenger: observe all inputs, sample m outputs.
+
+    Reference: poseidon/src/poseidon_hash.rs:40 `hash_n_to_m_no_pad`.
+    """
+    from ..transcript.challenger import DuplexChallenger
+
+    ch = DuplexChallenger()
+    ch.observe_slice(np.asarray(inputs, dtype=np.uint64))
+    return np.array([ch.sample() for _ in range(num_outputs)], dtype=np.uint64)
+
+
+def hash_or_noop_host(inputs: np.ndarray) -> np.ndarray:
+    """Digest = inputs zero-padded if <= DIGEST_WIDTH, else sponge hash.
+
+    Reference: poseidon/src/poseidon_hash.rs:23 `hash_or_noop`.
+    """
+    inputs = np.asarray(inputs, dtype=np.uint64)
+    if inputs.size <= DIGEST_WIDTH:
+        out = np.zeros(DIGEST_WIDTH, dtype=np.uint64)
+        out[: inputs.size] = inputs
+        return out
+    return hash_n_to_m_no_pad_host(inputs, DIGEST_WIDTH)
+
+
+def compress_host(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Two-to-one Merkle compression (poseidon/src/poseidon_hash.rs:67)."""
+    return hash_n_to_m_no_pad_host(np.concatenate([left, right]), DIGEST_WIDTH)

@@ -1,0 +1,110 @@
+"""Poseidon2 permutation + duplex challenger tests.
+
+Host (numpy) and device (JAX limb) permutations must agree exactly; the
+challenger must follow p3 DuplexChallenger semantics (rate 4, pop-from-end
+sampling) — reference: poseidon/src/challenger.rs, poseidon_hash.rs.
+"""
+
+import numpy as np
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.hashing import poseidon2
+from deepprove_tpu.transcript import BasicTranscript, DuplexChallenger
+from deepprove_tpu.transcript.challenger import RATE
+
+
+def rand_state(rng, batch=()):
+    return rng.integers(0, host.P, size=batch + (8,), dtype=np.uint64)
+
+
+def test_host_device_permutation_agree(rng):
+    import jax
+
+    st = rand_state(rng, (64,))
+    want = poseidon2.permute_host(st)
+    got = gf.to_u64(jax.jit(poseidon2.permute_device)(gf.from_u64(st)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_permutation_changes_and_is_deterministic(rng):
+    st = rand_state(rng)
+    a = poseidon2.permute_host(st)
+    b = poseidon2.permute_host(st)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, st)
+    # outputs stay canonical
+    assert (a < np.uint64(host.P)).all()
+
+
+def test_zero_state_known_nonzero():
+    out = poseidon2.permute_host(np.zeros(8, dtype=np.uint64))
+    assert (out != 0).any()
+
+
+def test_duplex_challenger_rate_semantics():
+    # observing RATE elements triggers exactly one permutation; sampling
+    # pops from the END of the output buffer (p3 Vec::pop).
+    ch = DuplexChallenger()
+    ch.observe_slice(np.arange(RATE, dtype=np.uint64))
+    st = np.zeros(8, dtype=np.uint64)
+    st[:RATE] = np.arange(RATE, dtype=np.uint64)
+    want = poseidon2.permute_host(st)
+    assert ch.sample() == int(want[RATE - 1])
+    assert ch.sample() == int(want[RATE - 2])
+
+
+def test_observe_clears_output_buffer():
+    ch1 = DuplexChallenger()
+    ch1.observe_slice(np.arange(4, dtype=np.uint64))
+    _ = ch1.sample()
+    ch1.observe(7)
+    s1 = ch1.sample()
+
+    ch2 = DuplexChallenger()
+    ch2.observe_slice(np.arange(4, dtype=np.uint64))
+    ch2.observe(7)  # no sample in between — same state evolution
+    s2 = ch2.sample()
+    assert s1 == s2
+
+
+def test_compress_host_roundtrip(rng):
+    l = rng.integers(0, host.P, size=4, dtype=np.uint64)
+    r = rng.integers(0, host.P, size=4, dtype=np.uint64)
+    d1 = poseidon2.compress_host(l, r)
+    d2 = poseidon2.compress_host(l, r)
+    np.testing.assert_array_equal(d1, d2)
+    assert not np.array_equal(d1, poseidon2.compress_host(r, l))
+    assert d1.shape == (4,)
+
+
+def test_hash_or_noop():
+    small = np.array([5, 6], dtype=np.uint64)
+    out = poseidon2.hash_or_noop_host(small)
+    np.testing.assert_array_equal(out, np.array([5, 6, 0, 0], dtype=np.uint64))
+    big = np.arange(9, dtype=np.uint64)
+    out2 = poseidon2.hash_or_noop_host(big)
+    assert out2.shape == (4,)
+    assert not np.array_equal(out2[:2], big[:2])
+
+
+def test_transcript_determinism_and_sensitivity():
+    t1 = BasicTranscript(b"m2vec")
+    t1.append_field_elements([1, 2, 3])
+    c1 = t1.get_and_append_challenge(b"round")
+
+    t2 = BasicTranscript(b"m2vec")
+    t2.append_field_elements([1, 2, 3])
+    c2 = t2.get_and_append_challenge(b"round")
+    assert c1 == c2
+
+    t3 = BasicTranscript(b"m2vec")
+    t3.append_field_elements([1, 2, 4])
+    assert t3.get_and_append_challenge(b"round") != c1
+
+
+def test_transcript_fork():
+    t = BasicTranscript(b"m2vec")
+    t.append_field_elements([9])
+    forks = t.fork(3)
+    cs = [f.read_challenge() for f in forks]
+    assert len({c for c in cs}) == 3
