@@ -1,0 +1,3 @@
+from . import mle
+
+__all__ = ["mle"]

@@ -1,0 +1,131 @@
+"""Dense multilinear extensions over the boolean hypercube (device ops).
+
+Mirrors the reference's `DenseMultilinearExtension` semantics
+(multilinear_extensions/src/mle.rs): evaluations are stored in
+**little-endian** index order (variable 0 = lowest index bit), and
+`fix_variables` binds the LOW variables first via the fold
+    buf[i] = buf[2i] + r · (buf[2i+1] − buf[2i])
+(mle.rs:454-481); `fix_high_variables` (mle.rs:18) binds from the top.
+
+An MLE here is just a flat GF (base field) or GF2 (extension) array of
+length 2^n — the functions below are shape-polymorphic jit-friendly JAX
+ops; sharding a big MLE across chips = sharding this flat axis.
+
+Field-type promotion follows the reference's `FieldType::{Base,Ext}`:
+fixing a base-field MLE with an extension challenge yields an Ext MLE.
+"""
+
+from __future__ import annotations
+
+from ..fields import gf
+
+Scalar = gf.GF2  # extension-field scalar (shape ()) — challenges live here
+
+
+def num_vars(values) -> int:
+    n = values.shape[-1] if values.ndim else values.size
+    assert n & (n - 1) == 0, f"MLE length {n} not a power of two"
+    return n.bit_length() - 1
+
+
+def _is_ext(values) -> bool:
+    return isinstance(values, gf.GF2)
+
+
+def fix_variable(values, r: Scalar):
+    """Bind the lowest variable to r. GF|GF2 of len 2^n → GF2 of len 2^(n-1)."""
+    if _is_ext(values):
+        pairs = values.reshape(-1, 2)
+        lo, hi = pairs[:, 0], pairs[:, 1]
+        return gf.ext_add(lo, gf.ext_mul(r_bcast(r, lo.shape), gf.ext_sub(hi, lo)))
+    pairs = values.reshape(-1, 2)
+    lo, hi = pairs[:, 0], pairs[:, 1]
+    diff = gf.sub(hi, lo)  # base-field diff
+    return gf.ext_add(
+        gf.ext_from_base(lo), ext_mul_by_base(r_bcast(r, lo.shape), diff)
+    )
+
+
+def fix_high_variable(values, r: Scalar):
+    """Bind the HIGHEST variable to r (mle.rs fix_high_variables step)."""
+    if _is_ext(values):
+        half = values.shape[0] // 2
+        lo, hi = values[:half], values[half:]
+        return gf.ext_add(lo, gf.ext_mul(r_bcast(r, lo.shape), gf.ext_sub(hi, lo)))
+    half = values.shape[0] // 2
+    lo, hi = values[:half], values[half:]
+    diff = gf.sub(hi, lo)
+    return gf.ext_add(
+        gf.ext_from_base(lo), ext_mul_by_base(r_bcast(r, lo.shape), diff)
+    )
+
+
+def fix_variables(values, rs):
+    """Bind the lowest len(rs) variables, rs[0] first (mle.rs:454)."""
+    for r in rs:
+        values = fix_variable(values, r)
+    return values
+
+
+def fix_high_variables(values, rs):
+    """Bind the highest len(rs) variables; rs[-1] binds the very top bit.
+
+    Matches mle.rs fix_high_variables: the point is consumed in reverse so
+    that the remaining poly is f(·, rs[0], …, rs[-1]) on the low vars.
+    """
+    for r in reversed(rs):
+        values = fix_high_variable(values, r)
+    return values
+
+
+def evaluate(values, point) -> Scalar:
+    """Evaluate the MLE at an extension point (list of GF2 scalars)."""
+    out = fix_variables(values, point)
+    if _is_ext(out):
+        return out.reshape(())[...]
+    return gf.ext_from_base(out.reshape(())[...])
+
+
+def eq_table(point, scale: Scalar | None = None):
+    """Build the eq(x, r) table over {0,1}^n, little-endian (virtual_poly.rs
+    `build_eq_x_r_vec`): eq[b] = Π_i (b_i·r_i + (1−b_i)(1−r_i)), optionally
+    pre-scaled by `scale`.
+    """
+    t = gf.ext_ones((1,)) if scale is None else scale.reshape((1,))
+    for r in point:
+        rb = r_bcast(r, t.shape)
+        hi = gf.ext_mul(t, rb)
+        lo = gf.ext_sub(t, hi)  # t·(1−r) = t − t·r
+        t = gf.ext_concatenate([lo, hi])
+    return t
+
+
+def eq_eval(x, y) -> Scalar:
+    """eq(x, y) = Π_i (x_i y_i + (1−x_i)(1−y_i)) for two ext points."""
+    acc = None
+    one = gf.ext_ones(())
+    for xi, yi in zip(x, y, strict=True):
+        xy = gf.ext_mul(xi, yi)
+        term = gf.ext_add(
+            gf.ext_add(xy, xy), gf.ext_sub(one, gf.ext_add(xi, yi))
+        )  # 2xy + 1 − x − y
+        acc = term if acc is None else gf.ext_mul(acc, term)
+    return acc if acc is not None else one
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def r_bcast(r: Scalar, shape) -> gf.GF2:
+    return gf.ext_broadcast_to(r.reshape((1,) * len(shape)) if r.ndim == 0 else r, shape)
+
+
+def ext_mul_by_base(a: gf.GF2, b: gf.GF) -> gf.GF2:
+    """(a0 + a1 X) · b for base-field b — 2 base muls instead of 3."""
+    return gf.GF2(gf.mul(a.a0, b), gf.mul(a.a1, b))
+
+
+def to_ext(values) -> gf.GF2:
+    return values if _is_ext(values) else gf.ext_from_base(values)

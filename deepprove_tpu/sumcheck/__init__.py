@@ -1,0 +1,4 @@
+from .prover import VirtualPolynomial, SumcheckProof, prove
+from .verifier import verify, interpolate_uni_poly
+
+__all__ = ["VirtualPolynomial", "SumcheckProof", "prove", "verify", "interpolate_uni_poly"]

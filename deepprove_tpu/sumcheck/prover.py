@@ -1,0 +1,197 @@
+"""Sumcheck prover — the hot loop of the whole framework.
+
+Proves Σ_{b∈{0,1}^n} Σ_i c_i·Π_j f_{ij}(b) with one univariate message per
+round, mirroring the reference's `IOPProverState::prove_parallel`
+(sumcheck/src/prover.rs:351-471) and its transcript discipline:
+
+  absorb n, absorb max_degree, then per round
+  absorb message evals (ext) → squeeze b"Internal round" challenge.
+
+TPU mapping (SURVEY.md §7): each round is ONE jitted device kernel that
+(a) folds the previous challenge into every MLE (`fix_variable`) and
+(b) computes the (max_degree+1)-point round message by evaluating each
+product factor at t = 0..d incrementally (f_t = f_{t-1} + Δ, so integer
+points cost adds, not muls — this replaces the reference's
+`sumcheck_code_gen!` proc-macro specializations, which exist only because
+Rust lacks this fusion; XLA fuses it for free). The only host↔device
+traffic is the (d+1)-element message out and the 1-element challenge in,
+per round — the fundamental cadence of a TPU sumcheck.
+
+Multi-chip: the hypercube's leading variables become the device axis;
+round messages are `psum`ed — see parallel/ (devirgo analogue,
+sumcheck/src/prover.rs:31-321, arXiv:2210.00264).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..fields import gf
+from ..poly import mle as mle_mod
+from ..transcript import BasicTranscript
+
+ExtPair = tuple[int, int]  # host-side extension element (a0, a1)
+
+
+@dataclasses.dataclass
+class VirtualPolynomial:
+    """Σ_i coeff_i · Π_j mles[idx_{ij}] over {0,1}^num_vars.
+
+    Mirrors multilinear_extensions/src/virtual_poly.rs:50 — MLEs are
+    deduplicated by index so a shared factor is folded once per round.
+    """
+
+    num_vars: int
+    mles: list  # GF | GF2 flat arrays of length 2^num_vars
+    products: list[tuple[ExtPair, list[int]]]
+
+    @property
+    def max_degree(self) -> int:
+        return max(len(idx) for _, idx in self.products)
+
+    def add_product(self, coeff: ExtPair | int, factors: list[int]):
+        if isinstance(coeff, int):
+            coeff = (coeff, 0)
+        self.products.append((coeff, factors))
+
+    @staticmethod
+    def new(num_vars: int) -> "VirtualPolynomial":
+        return VirtualPolynomial(num_vars=num_vars, mles=[], products=[])
+
+    def add_mle(self, values) -> int:
+        self.mles.append(values)
+        return len(self.mles) - 1
+
+
+@dataclasses.dataclass
+class SumcheckProof:
+    """IOPProof (sumcheck/src/structs.rs:15): challenge point + messages."""
+
+    point: list[ExtPair]
+    round_messages: list[list[ExtPair]]  # per round: evals at t=0..max_degree
+
+
+@dataclasses.dataclass
+class ProverOutput:
+    proof: SumcheckProof
+    final_evals: list[ExtPair]  # each MLE fully folded (get_mle_final_evaluations)
+
+
+def _fmul(a, b):
+    """Field multiply with Base/Ext promotion (op_mle! dispatch analogue)."""
+    a_ext = isinstance(a, gf.GF2)
+    b_ext = isinstance(b, gf.GF2)
+    if a_ext and b_ext:
+        return gf.ext_mul(a, b)
+    if a_ext:
+        return mle_mod.ext_mul_by_base(a, b)
+    if b_ext:
+        return mle_mod.ext_mul_by_base(b, a)
+    return gf.mul(a, b)
+
+
+def _fadd(a, b):
+    if isinstance(a, gf.GF2) or isinstance(b, gf.GF2):
+        return gf.ext_add(mle_mod.to_ext(a), mle_mod.to_ext(b))
+    return gf.add(a, b)
+
+
+def _split_lo_hi(values):
+    pairs = values.reshape(-1, 2)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _sub(a, b):
+    return gf.ext_sub(a, b) if isinstance(a, gf.GF2) else gf.sub(a, b)
+
+
+def _round_message(mles, products_struct, coeffs, max_degree):
+    """Evals of the round polynomial at t = 0..max_degree (GF2 (d+1,))."""
+    totals = [None] * (max_degree + 1)
+    for (pi, idxs) in products_struct:
+        coeff = coeffs[pi]
+        los, his, diffs = [], [], []
+        for k in idxs:
+            lo, hi = _split_lo_hi(mles[k])
+            los.append(lo)
+            his.append(hi)
+            diffs.append(_sub(hi, lo))
+        cur = los
+        for t in range(max_degree + 1):
+            if t == 1:
+                cur = his
+            elif t >= 2:
+                cur = [_fadd(c, d) for c, d in zip(cur, diffs)]
+            prod = cur[0]
+            for f in cur[1:]:
+                prod = _fmul(prod, f)
+            s = gf.ext_sum_all(prod) if isinstance(prod, gf.GF2) else gf.ext_from_base(gf.sum_all(prod))
+            term = gf.ext_mul(coeff, s)
+            totals[t] = term if totals[t] is None else gf.ext_add(totals[t], term)
+    return gf.ext_stack(totals)
+
+
+@partial(jax.jit, static_argnames=("products_struct", "max_degree", "fold"))
+def _round_kernel(mles, coeffs, r_prev, products_struct, max_degree, fold):
+    """One sumcheck round: optionally fold previous challenge, then message."""
+    if fold:
+        mles = [mle_mod.fix_variable(m, r_prev) for m in mles]
+    msg = _round_message(mles, products_struct, coeffs, max_degree)
+    return mles, msg
+
+
+@jax.jit
+def _final_fold(mles, r):
+    return [mle_mod.fix_variable(m, r) for m in mles]
+
+
+def _ext_scalar(pair: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(
+        np.asarray(pair[0], dtype=np.uint64), np.asarray(pair[1], dtype=np.uint64)
+    )
+
+
+def _msg_to_host(msg: gf.GF2) -> list[ExtPair]:
+    a0, a1 = gf.ext_to_u64(msg)
+    return [(int(x), int(y)) for x, y in zip(np.atleast_1d(a0), np.atleast_1d(a1))]
+
+
+def prove(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOutput:
+    """prove_parallel (sumcheck/src/prover.rs:203): n rounds, ext challenges."""
+    n = vp.num_vars
+    max_degree = vp.max_degree
+    transcript.append_message(int(n).to_bytes(8, "little"))
+    transcript.append_message(int(max_degree).to_bytes(8, "little"))
+
+    coeffs = gf.ext_stack([_ext_scalar(c) for c, _ in vp.products])
+    products_struct = tuple((i, tuple(idxs)) for i, (_, idxs) in enumerate(vp.products))
+
+    mles = list(vp.mles)
+    point: list[ExtPair] = []
+    msgs: list[list[ExtPair]] = []
+    r = None
+    for rnd in range(n):
+        r_arg = _ext_scalar((0, 0)) if r is None else _ext_scalar(r)
+        mles, msg = _round_kernel(
+            mles, coeffs, r_arg, products_struct, max_degree, fold=rnd > 0
+        )
+        evals = _msg_to_host(msg)
+        msgs.append(evals)
+        transcript.append_field_element_exts(evals)
+        r = transcript.get_and_append_challenge(b"Internal round")
+        point.append(r)
+
+    mles = _final_fold(mles, _ext_scalar(r))
+    final_evals = []
+    for m in mles:
+        e = mle_mod.to_ext(m).reshape(())
+        a0, a1 = gf.ext_to_u64(e)
+        final_evals.append((int(a0), int(a1)))
+    return ProverOutput(
+        proof=SumcheckProof(point=point, round_messages=msgs),
+        final_evals=final_evals,
+    )

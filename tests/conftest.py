@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# Persistent compile cache: sumcheck/logup/basefold round kernels are one
+# jit per (shape, structure); caching them across runs keeps the suite fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/deepprove_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,132 @@
+"""MLE fold/evaluate/eq-table vs python-int ground truth.
+
+Mirrors multilinear_extensions tests: little-endian variable order,
+fix_variables (low-first) and fix_high_variables semantics.
+"""
+
+import numpy as np
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.poly import mle
+
+P = host.P
+
+
+def ext_scalar(rng):
+    return gf.ext_from_u64(
+        np.uint64(rng.integers(0, P, dtype=np.uint64)),
+        np.uint64(rng.integers(0, P, dtype=np.uint64)),
+    )
+
+
+def ext_to_pair(e):
+    a0, a1 = gf.ext_to_u64(e)
+    return (int(a0), int(a1))
+
+
+def mle_eval_naive(values, point):
+    """Ground truth: Σ_b f[b]·eq(b, point) with python ints."""
+    acc = (0, 0)
+    n = len(point)
+    for b, v in enumerate(values):
+        term = (int(v) % P, 0) if not isinstance(v, tuple) else v
+        for i in range(n):
+            bit = (b >> i) & 1
+            r = point[i]
+            f = r if bit else host.ext_sub((1, 0), r)
+            term = host.ext_mul(term, f)
+        acc = host.ext_add(acc, term)
+    return acc
+
+
+def test_fix_variable_low(rng):
+    vals = rng.integers(0, P, size=8, dtype=np.uint64)
+    r = ext_scalar(rng)
+    rp = ext_to_pair(r)
+    out = mle.fix_variable(gf.from_u64(vals), r)
+    # expected: out[b] = v[2b] + r (v[2b+1] - v[2b])
+    for b in range(4):
+        lo, hi = int(vals[2 * b]), int(vals[2 * b + 1])
+        want = host.ext_add((lo, 0), host.ext_mul(rp, ((hi - lo) % P, 0)))
+        a0, a1 = gf.ext_to_u64(out[b])
+        assert (int(a0), int(a1)) == want
+
+
+def test_fix_high_variable(rng):
+    vals = rng.integers(0, P, size=8, dtype=np.uint64)
+    r = ext_scalar(rng)
+    rp = ext_to_pair(r)
+    out = mle.fix_high_variable(gf.from_u64(vals), r)
+    for b in range(4):
+        lo, hi = int(vals[b]), int(vals[4 + b])
+        want = host.ext_add((lo, 0), host.ext_mul(rp, ((hi - lo) % P, 0)))
+        a0, a1 = gf.ext_to_u64(out[b])
+        assert (int(a0), int(a1)) == want
+
+
+def test_evaluate_matches_naive(rng):
+    n = 4
+    vals = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    point = [ext_scalar(rng) for _ in range(n)]
+    got = ext_to_pair(mle.evaluate(gf.from_u64(vals), point))
+    want = mle_eval_naive(vals, [ext_to_pair(p) for p in point])
+    assert got == want
+
+
+def test_fix_low_then_high_commute(rng):
+    n = 5
+    vals = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    point = [ext_scalar(rng) for _ in range(n)]
+    lo_first = mle.fix_high_variables(
+        mle.fix_variables(gf.from_u64(vals), point[:2]), point[2:]
+    )
+    hi_first = mle.fix_variables(
+        mle.fix_high_variables(gf.from_u64(vals), point[2:]), point[:2]
+    )
+    a = ext_to_pair(lo_first.reshape(()))
+    b = ext_to_pair(hi_first.reshape(()))
+    assert a == b
+
+
+def test_eq_table(rng):
+    n = 4
+    point = [ext_scalar(rng) for _ in range(n)]
+    pts = [ext_to_pair(p) for p in point]
+    table = mle.eq_table(point)
+    assert table.shape == (1 << n,)
+    for b in range(1 << n):
+        want = (1, 0)
+        for i in range(n):
+            bit = (b >> i) & 1
+            want = host.ext_mul(want, pts[i] if bit else host.ext_sub((1, 0), pts[i]))
+        assert ext_to_pair(table[b]) == want
+
+
+def test_eq_table_evaluate_consistency(rng):
+    # Σ_b eq(b, r) f(b) == f~(r)
+    n = 4
+    vals = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    point = [ext_scalar(rng) for _ in range(n)]
+    table = mle.eq_table(point)
+    prod = gf.GF2(
+        gf.mul(table.a0, gf.from_u64(vals)), gf.mul(table.a1, gf.from_u64(vals))
+    )
+    got = ext_to_pair(gf.ext_sum_all(prod))
+    want = ext_to_pair(mle.evaluate(gf.from_u64(vals), point))
+    assert got == want
+
+
+def test_eq_eval(rng):
+    n = 3
+    x = [ext_scalar(rng) for _ in range(n)]
+    y = [ext_scalar(rng) for _ in range(n)]
+    got = ext_to_pair(mle.eq_eval(x, y))
+    want = (1, 0)
+    for xi, yi in zip(x, y):
+        xp, yp = ext_to_pair(xi), ext_to_pair(yi)
+        t = host.ext_add(
+            host.ext_mul(xp, yp),
+            host.ext_mul(host.ext_sub((1, 0), xp), host.ext_sub((1, 0), yp)),
+        )
+        want = host.ext_mul(want, t)
+    assert got == want

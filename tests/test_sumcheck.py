@@ -1,0 +1,129 @@
+"""Sumcheck prover/verifier roundtrips (mirrors sumcheck/src/test.rs).
+
+Random virtual polynomials (degree 1-3 products, base and ext MLEs),
+real transcript both sides, final-evaluation check against the folded
+MLEs — the canonical seeded-random roundtrip pattern (SURVEY.md §4).
+"""
+
+import numpy as np
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.poly import mle
+from deepprove_tpu.sumcheck import VirtualPolynomial, prove, verify
+from deepprove_tpu.sumcheck.verifier import interpolate_uni_poly
+from deepprove_tpu.transcript import BasicTranscript
+
+P = host.P
+
+
+def naive_sum(vp_mles_u64, products):
+    """Ground-truth hypercube sum with python ints. mles: list of int lists."""
+    total = (0, 0)
+    size = len(vp_mles_u64[0])
+    for coeff, idxs in products:
+        for b in range(size):
+            term = coeff
+            for k in idxs:
+                v = vp_mles_u64[k][b]
+                v = v if isinstance(v, tuple) else (int(v) % P, 0)
+                term = host.ext_mul(term, v)
+            total = host.ext_add(total, term)
+    return total
+
+
+def test_sumcheck_degree2_base(rng):
+    n = 5
+    a = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    b = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    vp = VirtualPolynomial.new(n)
+    ia = vp.add_mle(gf.from_u64(a))
+    ib = vp.add_mle(gf.from_u64(b))
+    vp.add_product((1, 0), [ia, ib])
+
+    claimed = naive_sum([a, b], [((1, 0), [ia, ib])])
+
+    out = prove(vp, BasicTranscript(b"test"))
+    sub = verify(claimed, out.proof.round_messages, n, 2, BasicTranscript(b"test"))
+    assert sub.point == out.proof.point
+
+    # final check: expected == coeff * Π final_evals
+    got = host.ext_mul(out.final_evals[ia], out.final_evals[ib])
+    assert got == sub.expected_evaluation
+
+    # final evals equal independent MLE evaluations at the point
+    pt = [gf.ext_from_u64(np.uint64(p[0]), np.uint64(p[1])) for p in sub.point]
+    ea = mle.evaluate(gf.from_u64(a), pt)
+    a0, a1 = gf.ext_to_u64(ea)
+    assert (int(a0), int(a1)) == out.final_evals[ia]
+
+
+def test_sumcheck_degree3_mixed(rng):
+    n = 4
+    a = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    b = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    e0 = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    e1 = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    coeff = (int(rng.integers(0, P, dtype=np.uint64)), int(rng.integers(0, P, dtype=np.uint64)))
+    coeff2 = (int(rng.integers(0, P, dtype=np.uint64)), int(rng.integers(0, P, dtype=np.uint64)))
+
+    vp = VirtualPolynomial.new(n)
+    ia = vp.add_mle(gf.from_u64(a))
+    ib = vp.add_mle(gf.from_u64(b))
+    ie = vp.add_mle(gf.ext_from_u64(e0, e1))
+    vp.add_product(coeff, [ie, ia, ib])  # degree 3, ext·base·base
+    vp.add_product(coeff2, [ia])  # degree 1 product needs extrapolated evals
+
+    ext_vals = [(int(x), int(y)) for x, y in zip(e0, e1)]
+    claimed = naive_sum(
+        [a, b, ext_vals], [(coeff, [ie, ia, ib]), (coeff2, [ia])]
+    )
+
+    out = prove(vp, BasicTranscript(b"t3"))
+    sub = verify(claimed, out.proof.round_messages, n, 3, BasicTranscript(b"t3"))
+
+    want = host.ext_add(
+        host.ext_mul(
+            coeff,
+            host.ext_mul(
+                out.final_evals[ie],
+                host.ext_mul(out.final_evals[ia], out.final_evals[ib]),
+            ),
+        ),
+        host.ext_mul(coeff2, out.final_evals[ia]),
+    )
+    assert want == sub.expected_evaluation
+
+
+def test_sumcheck_rejects_tampered_message(rng):
+    n = 3
+    a = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    vp = VirtualPolynomial.new(n)
+    ia = vp.add_mle(gf.from_u64(a))
+    vp.add_product((1, 0), [ia, ia])
+    claimed = naive_sum([a], [((1, 0), [ia, ia])])
+    out = prove(vp, BasicTranscript(b"x"))
+    msgs = [list(m) for m in out.proof.round_messages]
+    msgs[1][0] = host.ext_add(msgs[1][0], (1, 0))
+    try:
+        verify(claimed, msgs, n, 2, BasicTranscript(b"x"))
+        assert False, "tampered proof accepted"
+    except AssertionError as e:
+        assert "sumcheck round check failed" in str(e) or "accepted" not in str(e)
+
+
+def test_interpolate_uni_poly():
+    # p(x) = 3x^2 + 2x + 5 over the ext field, values at 0,1,2
+    def p(x):
+        return ((3 * x * x + 2 * x + 5) % P, 0)
+
+    evals = [p(0), p(1), p(2)]
+    at = (123456789, 987654321)
+    # Horner with ext arithmetic
+    want = host.ext_add(
+        host.ext_mul(
+            host.ext_add(host.ext_mul((3, 0), at), (2, 0)), at
+        ),
+        (5, 0),
+    )
+    got = interpolate_uni_poly(evals, at)
+    assert got == want
