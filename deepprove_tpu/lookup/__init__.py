@@ -1,0 +1,3 @@
+from . import logup
+
+__all__ = ["logup"]

@@ -1,0 +1,522 @@
+"""logup-GKR: fractional-sumcheck lookup argument (zkml's specialized GKR).
+
+Mirrors zkml/src/lookup/logup_gkr/{circuit,prover,verifier}.rs exactly:
+
+  * circuit = fraction tree Σ ±1/(α_const + Σ_k χ^k·col_k); each level
+    halves by summing fractions of the low/high halves (top variable),
+    n' = n_lo·d_hi + n_hi·d_lo, d' = d_lo·d_hi (circuit.rs:49-117).
+  * batched prover: per GKR level one degree-3 sumcheck of
+    eq·(n_lo·d_hi + n_hi·d_lo + λ·d_lo·d_hi) α-batched over instances;
+    the level's point grows by a per-level batching challenge
+    (prover.rs:24-198). Lookup-initial levels use numerator ≡ −1.
+  * transcript labels: initial_batching/alpha/lambda then
+    logup_batching/alpha/lambda per level (bit-compatible ordering).
+
+TPU mapping: level construction is a log-depth pairwise fraction
+reduction (pure VPU elementwise over GF2 limb planes); every level's
+layers are built in ONE jitted kernel; the per-level sumchecks reuse the
+device round kernels from sumcheck/prover.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..fields import gf, host
+from ..poly import mle as mle_mod
+from ..sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
+from ..transcript import BasicTranscript
+
+ExtPair = tuple[int, int]
+
+
+@dataclasses.dataclass
+class Claim:
+    """zkml/src/lib.rs:45 `Claim{point, eval}` (host-side ext pairs)."""
+
+    point: list[ExtPair]
+    eval: ExtPair
+
+
+@dataclasses.dataclass
+class LogUpInput:
+    """LogUpInput::{Lookup, Table} (logup_gkr/structs.rs:136-150).
+
+    column_evals: list of GF arrays (base field), all length 2^n.
+    For tables, multiplicities is a GF array of the same length and the
+    proof carries a claim on it (index 0) ahead of the column claims.
+    """
+
+    column_evals: list
+    constant_challenge: ExtPair
+    column_separation_challenge: ExtPair
+    columns_per_instance: int = 1
+    multiplicities = None
+    is_table: bool = False
+
+    @staticmethod
+    def new_lookup(columns, constant_challenge, column_separation_challenge, columns_per_instance):
+        assert len(columns) % columns_per_instance == 0
+        return LogUpInput(
+            column_evals=list(columns),
+            constant_challenge=constant_challenge,
+            column_separation_challenge=column_separation_challenge,
+            columns_per_instance=columns_per_instance,
+        )
+
+    @staticmethod
+    def new_table(columns, multiplicities, constant_challenge, column_separation_challenge):
+        inp = LogUpInput(
+            column_evals=list(columns),
+            constant_challenge=constant_challenge,
+            column_separation_challenge=column_separation_challenge,
+            columns_per_instance=len(columns),
+            is_table=True,
+        )
+        inp.multiplicities = multiplicities
+        return inp
+
+    @property
+    def num_instances(self) -> int:
+        if self.is_table:
+            return 1
+        return len(self.column_evals) // self.columns_per_instance
+
+    def base_mles(self):
+        """Column MLEs whose claims the proof outputs (structs.rs:282)."""
+        if self.is_table:
+            return [self.multiplicities] + list(self.column_evals)
+        return list(self.column_evals)
+
+
+@dataclasses.dataclass
+class LogUpProof:
+    sumcheck_proofs: list  # per level: SumcheckProof
+    round_evaluations: list[list[ExtPair]]
+    output_claims: list[Claim]
+    circuit_outputs: list[list[ExtPair]]  # per instance: [n0, n1, d0, d1]
+    is_table: bool
+
+
+@dataclasses.dataclass
+class VerifierClaim:
+    claims: list[Claim]
+    numerators: list[ExtPair]
+    denominators: list[ExtPair]
+
+
+def _ext_scalar(pair: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(pair[0] % host.P), np.uint64(pair[1] % host.P))
+
+
+def _pairs(e: gf.GF2) -> list[ExtPair]:
+    a0, a1 = gf.ext_to_u64(e)
+    return [(int(x), int(y)) for x, y in zip(np.atleast_1d(a0), np.atleast_1d(a1))]
+
+
+# ---------------------------------------------------------------------------
+# circuit construction (device)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_cols",))
+def merge_columns(columns, const_chal: gf.GF2, sep_chal: gf.GF2, num_cols: int) -> gf.GF2:
+    """den[i] = α_const + Σ_k χ^k·col_k[i] (circuit.rs:208-222)."""
+    n = columns[0].shape[0]
+    acc = gf.ext_broadcast_to(const_chal.reshape((1,)), (n,))
+    chal = gf.ext_ones(())
+    for k in range(num_cols):
+        term = mle_mod.ext_mul_by_base(gf.ext_broadcast_to(chal.reshape((1,)), (n,)), columns[k])
+        acc = gf.ext_add(acc, term)
+        if k + 1 < num_cols:
+            chal = gf.ext_mul(chal, sep_chal)
+    return acc
+
+
+def _frac_add(n1, d1, n2, d2):
+    return (
+        gf.ext_add(gf.ext_mul(n1, d2), gf.ext_mul(n2, d1)),
+        gf.ext_mul(d1, d2),
+    )
+
+
+@jax.jit
+def _lookup_tree(denominator: gf.GF2):
+    """All layers of a lookup circuit: numerators start at −1 (implicit).
+
+    Returns (nums, dens): lists from the input level up to the 2-element
+    output layer; nums[0] is None conceptually (all −1) so it is omitted
+    and the caller treats level 0 as InitialLookup.
+    """
+    dens = [denominator]
+    nums = [None]
+    half = denominator.shape[0] // 2
+    d_lo, d_hi = denominator[:half], denominator[half:]
+    # fraction −1/d_lo + −1/d_hi = (−d_lo − d_hi)/(d_lo d_hi)
+    n = gf.ext_sub(gf.ext_zeros(d_lo.shape), gf.ext_add(d_lo, d_hi))
+    d = gf.ext_mul(d_lo, d_hi)
+    nums.append(n)
+    dens.append(d)
+    while d.shape[0] > 2:
+        half = d.shape[0] // 2
+        n, d = _frac_add(n[:half], d[:half], n[half:], d[half:])
+        nums.append(n)
+        dens.append(d)
+    return nums[1:], dens  # nums aligned with dens[1:]
+
+
+@jax.jit
+def _table_tree(numerator: gf.GF2, denominator: gf.GF2):
+    nums = [numerator]
+    dens = [denominator]
+    n, d = numerator, denominator
+    while d.shape[0] > 2:
+        half = d.shape[0] // 2
+        n, d = _frac_add(n[:half], d[:half], n[half:], d[half:])
+        nums.append(n)
+        dens.append(d)
+    return nums, dens
+
+
+class _Circuit:
+    """One instance's fraction tree, levels input→output (LogUpCircuit)."""
+
+    def __init__(self, nums, dens, initial_lookup: bool):
+        self.nums = nums  # for lookup circuits: aligned with dens[1:]
+        self.dens = dens
+        self.initial_lookup = initial_lookup
+
+    @property
+    def num_vars(self) -> int:
+        """circuit.num_vars() = log2(input_len) − 1 (circuit.rs:34-41)."""
+        return self.dens[0].shape[0].bit_length() - 2
+
+    def outputs(self) -> list[ExtPair]:
+        """[n0, n1, d0, d1] of the final 2-element layer (flat_evals)."""
+        if self.initial_lookup and len(self.dens) == 1:
+            raise AssertionError("lookup circuit too small")
+        n_last = self.nums[-1]
+        d_last = self.dens[-1]
+        return _pairs(n_last) + _pairs(d_last)
+
+    def level_mles(self, level_from_top: int):
+        """MLEs for the sumcheck at GKR level ℓ (1-indexed from the top).
+
+        Level ℓ proves the layer with 2^ℓ entries, i.e. dens[-(ℓ)] ...
+        Returns (kind, mles) with kind in {"generic", "initial_lookup"} and
+        mles ordered [n_lo, n_hi, d_lo, d_hi] or [d_lo, d_hi].
+        """
+        idx = len(self.dens) - 1 - level_from_top  # index into self.dens
+        den = self.dens[idx]
+        half = den.shape[0] // 2
+        if self.initial_lookup and idx == 0:
+            return "initial_lookup", [den[:half], den[half:]]
+        num = self.nums[idx - 1] if self.initial_lookup else self.nums[idx]
+        return "generic", [num[:half], num[half:], den[:half], den[half:]]
+
+
+def make_circuits(inp: LogUpInput) -> list[_Circuit]:
+    const_c = _ext_scalar(inp.constant_challenge)
+    sep_c = _ext_scalar(inp.column_separation_challenge)
+    if inp.is_table:
+        den = merge_columns(tuple(inp.column_evals), const_c, sep_c, len(inp.column_evals))
+        num = gf.ext_from_base(inp.multiplicities)
+        nums, dens = _table_tree(num, den)
+        return [_Circuit(nums, dens, initial_lookup=False)]
+    circuits = []
+    k = inp.columns_per_instance
+    for i in range(inp.num_instances):
+        cols = tuple(inp.column_evals[i * k : (i + 1) * k])
+        den = merge_columns(cols, const_c, sep_c, k)
+        nums, dens = _lookup_tree(den)
+        circuits.append(_Circuit(nums, dens, initial_lookup=True))
+    return circuits
+
+
+# ---------------------------------------------------------------------------
+# prover (logup_gkr/prover.rs:24 batch_prove)
+# ---------------------------------------------------------------------------
+
+
+def batch_prove(inp: LogUpInput, transcript: BasicTranscript) -> LogUpProof:
+    circuits = make_circuits(inp)
+    num_instances = len(circuits)
+    total_layers = max(c.num_vars for c in circuits)
+    circuit_outputs = [c.outputs() for c in circuits]
+
+    transcript.append_field_element(num_instances)
+    for evals in circuit_outputs:
+        transcript.append_field_element_exts(evals)
+
+    bc = transcript.get_and_append_challenge(b"initial_batching")
+    alpha = transcript.get_and_append_challenge(b"initial_alpha")
+    lam = transcript.get_and_append_challenge(b"initial_lambda")
+
+    current_claim = (0, 0)
+    alpha_comb = (1, 0)
+    for e in circuit_outputs:
+        term = host.ext_add(
+            host.ext_add(e[0], host.ext_mul(bc, host.ext_sub(e[1], e[0]))),
+            host.ext_mul(lam, host.ext_add(e[2], host.ext_mul(bc, host.ext_sub(e[3], e[2])))),
+        )
+        current_claim = host.ext_add(current_claim, host.ext_mul(alpha_comb, term))
+        alpha_comb = host.ext_mul(alpha_comb, alpha)
+
+    sumcheck_point: list[ExtPair] = [bc]
+    sumcheck_proofs = []
+    round_evaluations: list[list[ExtPair]] = []
+
+    for level in range(1, total_layers + 1):
+        transcript.append_field_element_ext(current_claim)
+
+        eq = mle_mod.eq_table([_ext_scalar(p) for p in sumcheck_point])
+        vp = VirtualPolynomial.new(level)
+        i_eq = vp.add_mle(eq)
+
+        cur_alpha = (1, 0)
+        for c in circuits:
+            kind, mles = c.level_mles(level)
+            if kind == "generic":
+                # storage order [eq, n_lo, d_hi, n_hi, d_lo] — matches the
+                # reference VP's raw-pointer dedup insertion order
+                # (prover.rs:104-117); the claim algebra depends on it.
+                n_lo = vp.add_mle(mles[0])
+                d_hi = vp.add_mle(mles[3])
+                n_hi = vp.add_mle(mles[1])
+                d_lo = vp.add_mle(mles[2])
+                vp.add_product(cur_alpha, [i_eq, n_lo, d_hi])
+                vp.add_product(cur_alpha, [i_eq, n_hi, d_lo])
+                vp.add_product(host.ext_mul(cur_alpha, lam), [i_eq, d_lo, d_hi])
+            else:
+                # storage order [eq, d_hi, d_lo] (prover.rs:119-124)
+                d_hi = vp.add_mle(mles[1])
+                d_lo = vp.add_mle(mles[0])
+                vp.add_product(host.ext_neg(cur_alpha), [i_eq, d_hi])
+                vp.add_product(host.ext_neg(cur_alpha), [i_eq, d_lo])
+                vp.add_product(host.ext_mul(cur_alpha, lam), [i_eq, d_lo, d_hi])
+            cur_alpha = host.ext_mul(cur_alpha, alpha)
+
+        out = sumcheck_prove(vp, transcript)
+        sumcheck_point = list(out.proof.point)
+        evals = out.final_evals[1:]  # skip eq
+
+        bc = transcript.get_and_append_challenge(b"logup_batching")
+        alpha_next = transcript.get_and_append_challenge(b"logup_alpha")
+        lam_next = transcript.get_and_append_challenge(b"logup_lambda")
+        sumcheck_point.append(bc)
+        sumcheck_proofs.append(out.proof)
+
+        if level != total_layers:
+            current_claim = (0, 0)
+            alpha_comb = (1, 0)
+            for i in range(0, len(evals), 4):
+                e = evals[i : i + 4]  # [n_lo, d_hi, n_hi, d_lo] (vp dedup order)
+                term = host.ext_add(
+                    host.ext_add(e[0], host.ext_mul(bc, host.ext_sub(e[2], e[0]))),
+                    host.ext_mul(
+                        lam_next,
+                        host.ext_add(e[3], host.ext_mul(bc, host.ext_sub(e[1], e[3]))),
+                    ),
+                )
+                current_claim = host.ext_add(current_claim, host.ext_mul(alpha_comb, term))
+                alpha_comb = host.ext_mul(alpha_comb, alpha_next)
+        else:
+            current_claim = _final_round_claim(inp, evals, bc, alpha_next, lam_next)
+
+        alpha, lam = alpha_next, lam_next
+        round_evaluations.append(evals)
+
+    output_claims = []
+    pt_dev = [_ext_scalar(p) for p in sumcheck_point]
+    for m in inp.base_mles():
+        ev = mle_mod.evaluate(m, pt_dev)
+        output_claims.append(Claim(point=list(sumcheck_point), eval=_pairs(ev.reshape((1,)))[0]))
+
+    return LogUpProof(
+        sumcheck_proofs=sumcheck_proofs,
+        round_evaluations=round_evaluations,
+        output_claims=output_claims,
+        circuit_outputs=circuit_outputs,
+        is_table=inp.is_table,
+    )
+
+
+def _final_round_claim(inp, evals, bc, alpha, lam) -> ExtPair:
+    claim = (0, 0)
+    alpha_comb = (1, 0)
+    if not inp.is_table:
+        # per instance [d_hi, d_lo]: merged denom at (r, bc)
+        for i in range(0, len(evals), 2):
+            e = evals[i : i + 2]
+            term = host.ext_add(e[1], host.ext_mul(bc, host.ext_sub(e[0], e[1])))
+            claim = host.ext_add(claim, host.ext_mul(alpha_comb, term))
+            alpha_comb = host.ext_mul(alpha_comb, alpha)
+    else:
+        for i in range(0, len(evals), 4):
+            e = evals[i : i + 4]
+            term = host.ext_add(
+                host.ext_add(e[0], host.ext_mul(bc, host.ext_sub(e[2], e[0]))),
+                host.ext_mul(lam, host.ext_add(e[3], host.ext_mul(bc, host.ext_sub(e[1], e[3])))),
+            )
+            claim = host.ext_add(claim, host.ext_mul(alpha_comb, term))
+            alpha_comb = host.ext_mul(alpha_comb, alpha)
+    return claim
+
+
+# ---------------------------------------------------------------------------
+# verifier (logup_gkr/verifier.rs:16)
+# ---------------------------------------------------------------------------
+
+
+def _eq_eval_host(x: list[ExtPair], y: list[ExtPair]) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        term = host.ext_add(
+            host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))
+        )
+        acc = host.ext_mul(acc, term)
+    return acc
+
+
+def fractional_outputs(proof: LogUpProof) -> tuple[list[ExtPair], list[ExtPair]]:
+    nums, dens = [], []
+    for e in proof.circuit_outputs:
+        nums.append(host.ext_add(host.ext_mul(e[0], e[3]), host.ext_mul(e[1], e[2])))
+        dens.append(host.ext_mul(e[2], e[3]))
+    return nums, dens
+
+
+def verify_logup_proof(
+    proof: LogUpProof,
+    num_instances: int,
+    constant_challenge: ExtPair,
+    column_separation_challenge: ExtPair,
+    transcript: BasicTranscript,
+) -> VerifierClaim:
+    transcript.append_field_element(num_instances)
+    for evals in proof.circuit_outputs:
+        transcript.append_field_element_exts(evals)
+    numerators, denominators = fractional_outputs(proof)
+
+    bc = transcript.get_and_append_challenge(b"initial_batching")
+    alpha = transcript.get_and_append_challenge(b"initial_alpha")
+    lam = transcript.get_and_append_challenge(b"initial_lambda")
+
+    current_claim = (0, 0)
+    alpha_comb = (1, 0)
+    for e in proof.circuit_outputs:
+        term = host.ext_add(
+            host.ext_add(e[0], host.ext_mul(bc, host.ext_sub(e[1], e[0]))),
+            host.ext_mul(lam, host.ext_add(e[2], host.ext_mul(bc, host.ext_sub(e[3], e[2])))),
+        )
+        current_claim = host.ext_add(current_claim, host.ext_mul(alpha_comb, term))
+        alpha_comb = host.ext_mul(alpha_comb, alpha)
+
+    sumcheck_point: list[ExtPair] = [bc]
+
+    for i, (sc_proof, round_evals) in enumerate(
+        zip(proof.sumcheck_proofs, proof.round_evaluations)
+    ):
+        transcript.append_field_element_ext(current_claim)
+        level = i + 1
+        eq_e = _eq_eval_host(sumcheck_point, sc_proof.point)
+        subclaim = sumcheck_verify(
+            current_claim, sc_proof.round_messages, level, 3, transcript
+        )
+
+        bc = transcript.get_and_append_challenge(b"logup_batching")
+        alpha_next = transcript.get_and_append_challenge(b"logup_alpha")
+        lam_next = transcript.get_and_append_challenge(b"logup_lambda")
+
+        evals_per_instance = len(round_evals) // num_instances
+        next_claim = (0, 0)
+        sc_claim = (0, 0)
+        next_comb = (1, 0)
+        prev_comb = (1, 0)
+        if evals_per_instance == 4:
+            for j in range(0, len(round_evals), 4):
+                e = round_evals[j : j + 4]  # [n_lo, d_hi, n_hi, d_lo]
+                nc = host.ext_add(
+                    host.ext_add(e[0], host.ext_mul(bc, host.ext_sub(e[2], e[0]))),
+                    host.ext_mul(
+                        lam_next,
+                        host.ext_add(e[3], host.ext_mul(bc, host.ext_sub(e[1], e[3]))),
+                    ),
+                )
+                sc = host.ext_mul(
+                    eq_e,
+                    host.ext_add(
+                        host.ext_add(host.ext_mul(e[0], e[1]), host.ext_mul(e[2], e[3])),
+                        host.ext_mul(lam, host.ext_mul(e[3], e[1])),
+                    ),
+                )
+                next_claim = host.ext_add(next_claim, host.ext_mul(next_comb, nc))
+                sc_claim = host.ext_add(sc_claim, host.ext_mul(prev_comb, sc))
+                next_comb = host.ext_mul(next_comb, alpha_next)
+                prev_comb = host.ext_mul(prev_comb, alpha)
+        else:
+            for j in range(0, len(round_evals), 2):
+                e = round_evals[j : j + 2]  # [d_hi, d_lo]
+                nc = host.ext_add(e[1], host.ext_mul(bc, host.ext_sub(e[0], e[1])))
+                sc = host.ext_mul(
+                    eq_e,
+                    host.ext_add(
+                        host.ext_neg(host.ext_add(e[0], e[1])),
+                        host.ext_mul(lam, host.ext_mul(e[0], e[1])),
+                    ),
+                )
+                next_claim = host.ext_add(next_claim, host.ext_mul(next_comb, nc))
+                sc_claim = host.ext_add(sc_claim, host.ext_mul(prev_comb, sc))
+                next_comb = host.ext_mul(next_comb, alpha_next)
+                prev_comb = host.ext_mul(prev_comb, alpha)
+
+        if sc_claim != subclaim.expected_evaluation:
+            raise AssertionError(
+                f"logup level {i}: recomputed sumcheck claim mismatch"
+            )
+        current_claim = next_claim
+        alpha, lam = alpha_next, lam_next
+        sumcheck_point = list(subclaim.point)
+        sumcheck_point.append(bc)
+
+    calculated = _calculate_final_eval(
+        proof, constant_challenge, column_separation_challenge, alpha, lam, num_instances
+    )
+    if calculated != current_claim:
+        raise AssertionError("logup final column-claim check failed")
+
+    return VerifierClaim(
+        claims=list(proof.output_claims),
+        numerators=numerators,
+        denominators=denominators,
+    )
+
+
+def _calculate_final_eval(
+    proof: LogUpProof, constant_challenge, column_separation_challenge, alpha, lam, num_instances
+) -> ExtPair:
+    if not proof.is_table:
+        per_instance = len(proof.output_claims) // num_instances
+        acc = (0, 0)
+        alpha_comb = (1, 0)
+        for i in range(num_instances):
+            chunk = proof.output_claims[i * per_instance : (i + 1) * per_instance]
+            merged = constant_challenge
+            csc = (1, 0)
+            for cl in chunk:
+                merged = host.ext_add(merged, host.ext_mul(cl.eval, csc))
+                csc = host.ext_mul(csc, column_separation_challenge)
+            acc = host.ext_add(acc, host.ext_mul(merged, alpha_comb))
+            alpha_comb = host.ext_mul(alpha_comb, alpha)
+        return acc
+    merged = constant_challenge
+    csc = (1, 0)
+    for cl in proof.output_claims[1:]:
+        merged = host.ext_add(merged, host.ext_mul(cl.eval, csc))
+        csc = host.ext_mul(csc, column_separation_challenge)
+    return host.ext_add(proof.output_claims[0].eval, host.ext_mul(lam, merged))

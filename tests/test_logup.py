@@ -1,0 +1,141 @@
+"""logup-GKR prove/verify roundtrips (mirrors logup_gkr tests + the global
+Σ num = 0 soundness identity from iop/verifier.rs:275-291)."""
+
+import numpy as np
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.lookup import logup
+from deepprove_tpu.transcript import BasicTranscript
+
+P = host.P
+
+
+def rand_ext(rng):
+    return (int(rng.integers(0, P, dtype=np.uint64)), int(rng.integers(0, P, dtype=np.uint64)))
+
+
+def test_lookup_tree_outputs_match_naive(rng):
+    n = 5
+    col = rng.integers(1, P, size=1 << n, dtype=np.uint64)
+    const_c = rand_ext(rng)
+    sep_c = (1, 0)
+    inp = logup.LogUpInput.new_lookup([gf.from_u64(col)], const_c, sep_c, 1)
+    (circ,) = logup.make_circuits(inp)
+    e = circ.outputs()
+    # combined fraction = Σ −1/(const + col_i)
+    num = host.ext_add(host.ext_mul(e[0], e[3]), host.ext_mul(e[1], e[2]))
+    den = host.ext_mul(e[2], e[3])
+    want = (0, 0)
+    for v in col:
+        d = host.ext_add(const_c, (int(v), 0))
+        want = host.ext_sub(want, host.ext_inv(d))
+    got = host.ext_mul(num, host.ext_inv(den))
+    assert got == want
+
+
+def _prove_verify_lookup(rng, num_cols, cols_per_instance, n):
+    cols = [
+        gf.from_u64(rng.integers(0, 1 << 8, size=1 << n, dtype=np.uint64))
+        for _ in range(num_cols)
+    ]
+    const_c = rand_ext(rng)
+    sep_c = rand_ext(rng)
+    inp = logup.LogUpInput.new_lookup(cols, const_c, sep_c, cols_per_instance)
+    proof = logup.batch_prove(inp, BasicTranscript(b"lk"))
+    claim = logup.verify_logup_proof(
+        proof, inp.num_instances, const_c, sep_c, BasicTranscript(b"lk")
+    )
+    assert len(claim.claims) == num_cols
+    return inp, proof, claim
+
+
+def test_logup_lookup_single_instance(rng):
+    _prove_verify_lookup(rng, 1, 1, 4)
+
+
+def test_logup_lookup_multi_instance_multi_col(rng):
+    _prove_verify_lookup(rng, 4, 2, 3)
+
+
+def test_logup_table_and_global_balance(rng):
+    """Lookup into a table with correct multiplicities ⇒ Σ numerators = 0."""
+    bits = 4
+    table_col = np.arange(1 << bits, dtype=np.uint64)  # range table 0..15
+    lookups = rng.integers(0, 1 << bits, size=1 << 5, dtype=np.uint64)
+    mult = np.zeros(1 << bits, dtype=np.uint64)
+    for v in lookups:
+        mult[v] += 1
+
+    const_c = rand_ext(rng)
+    sep_c = rand_ext(rng)
+
+    lk_inp = logup.LogUpInput.new_lookup([gf.from_u64(lookups)], const_c, sep_c, 1)
+    tb_inp = logup.LogUpInput.new_table(
+        [gf.from_u64(table_col)], gf.from_u64(mult), const_c, sep_c
+    )
+
+    lk_proof = logup.batch_prove(lk_inp, BasicTranscript(b"a"))
+    tb_proof = logup.batch_prove(tb_inp, BasicTranscript(b"b"))
+
+    lk_claim = logup.verify_logup_proof(lk_proof, 1, const_c, sep_c, BasicTranscript(b"a"))
+    tb_claim = logup.verify_logup_proof(tb_proof, 1, const_c, sep_c, BasicTranscript(b"b"))
+
+    # global soundness: Σ num_i/den_i over lookup+table proofs == 0
+    # (iop/verifier.rs:275-291): num_total = Σ n_i · Π_{j≠i} d_j
+    nums = lk_claim.numerators + tb_claim.numerators
+    dens = lk_claim.denominators + tb_claim.denominators
+    total = (0, 0)
+    for i, n_i in enumerate(nums):
+        term = n_i
+        for j, d_j in enumerate(dens):
+            if j != i:
+                term = host.ext_mul(term, d_j)
+        total = host.ext_add(total, term)
+    assert total == (0, 0)
+    for d in dens:
+        assert d != (0, 0)
+
+
+def test_logup_rejects_wrong_multiplicities(rng):
+    bits = 3
+    table_col = np.arange(1 << bits, dtype=np.uint64)
+    lookups = rng.integers(0, 1 << bits, size=1 << 4, dtype=np.uint64)
+    mult = np.zeros(1 << bits, dtype=np.uint64)
+    for v in lookups:
+        mult[v] += 1
+    mult[0] += 1  # corrupt
+
+    const_c = rand_ext(rng)
+    sep_c = rand_ext(rng)
+    lk = logup.batch_prove(
+        logup.LogUpInput.new_lookup([gf.from_u64(lookups)], const_c, sep_c, 1),
+        BasicTranscript(b"a"),
+    )
+    tb = logup.batch_prove(
+        logup.LogUpInput.new_table([gf.from_u64(table_col)], gf.from_u64(mult), const_c, sep_c),
+        BasicTranscript(b"b"),
+    )
+    nums = logup.fractional_outputs(lk)[0] + logup.fractional_outputs(tb)[0]
+    dens = logup.fractional_outputs(lk)[1] + logup.fractional_outputs(tb)[1]
+    total = (0, 0)
+    for i, n_i in enumerate(nums):
+        term = n_i
+        for j, d_j in enumerate(dens):
+            if j != i:
+                term = host.ext_mul(term, d_j)
+        total = host.ext_add(total, term)
+    assert total != (0, 0)
+
+
+def test_logup_tampered_proof_rejected(rng):
+    inp, proof, _ = _prove_verify_lookup(rng, 1, 1, 3)
+    proof.circuit_outputs[0][0] = host.ext_add(proof.circuit_outputs[0][0], (1, 0))
+    try:
+        logup.verify_logup_proof(
+            proof, 1, inp.constant_challenge, inp.column_separation_challenge,
+            BasicTranscript(b"lk"),
+        )
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised
