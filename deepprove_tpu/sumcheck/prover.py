@@ -9,17 +9,21 @@ round, mirroring the reference's `IOPProverState::prove_parallel`
 
 TPU mapping (SURVEY.md §7): each round is ONE jitted device kernel that
 (a) folds the previous challenge into every MLE (`fix_variable`) and
-(b) computes the (max_degree+1)-point round message by evaluating each
-product factor at t = 0..d incrementally (f_t = f_{t-1} + Δ, so integer
-points cost adds, not muls — this replaces the reference's
-`sumcheck_code_gen!` proc-macro specializations, which exist only because
-Rust lacks this fusion; XLA fuses it for free). The only host↔device
-traffic is the (d+1)-element message out and the 1-element challenge in,
-per round — the fundamental cadence of a TPU sumcheck.
+(b) computes the (max_degree+1)-point round message.
 
-Multi-chip: the hypercube's leading variables become the device axis;
-round messages are `psum`ed — see parallel/ (devirgo analogue,
-sumcheck/src/prover.rs:31-321, arXiv:2210.00264).
+The kernel is GENERIC: all MLEs are stacked into a single extension-field
+array of shape (M, L) and each product is a row of factor indices into
+it, passed as data. M (mle count), Pn (product count) and D (degree) are
+padded to power-of-two buckets, so the XLA compile cache holds ONE kernel
+per (bucket, L) reused by every sumcheck in the framework (dense, logup
+levels, Basefold, same-poly, …) — the per-structure codegen the reference
+does with `sumcheck_macro` proc-macros (sumcheck_macro/src/lib.rs:46) is
+replaced by data-driven indexing that XLA turns into gathers.
+
+The only host↔device traffic is the (d+1)-element message out and the
+1-element challenge in, per round. Multi-chip: the flat L axis is the
+sharding axis; round messages psum over it (devirgo analogue,
+sumcheck/src/prover.rs:31-321, arXiv:2210.00264) — see parallel/.
 """
 
 from __future__ import annotations
@@ -28,13 +32,14 @@ import dataclasses
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..fields import gf
 from ..poly import mle as mle_mod
 from ..transcript import BasicTranscript
 
-ExtPair = tuple[int, int]  # host-side extension element (a0, a1)
+ExtPair = tuple[int, int]
 
 
 @dataclasses.dataclass
@@ -81,72 +86,65 @@ class ProverOutput:
     final_evals: list[ExtPair]  # each MLE fully folded (get_mle_final_evaluations)
 
 
-def _fmul(a, b):
-    """Field multiply with Base/Ext promotion (op_mle! dispatch analogue)."""
-    a_ext = isinstance(a, gf.GF2)
-    b_ext = isinstance(b, gf.GF2)
-    if a_ext and b_ext:
-        return gf.ext_mul(a, b)
-    if a_ext:
-        return mle_mod.ext_mul_by_base(a, b)
-    if b_ext:
-        return mle_mod.ext_mul_by_base(b, a)
-    return gf.mul(a, b)
+def _bucket(x: int) -> int:
+    """Next power of two ≥ x (compile-cache bucketing)."""
+    return 1 << max(0, (x - 1).bit_length())
 
 
-def _fadd(a, b):
-    if isinstance(a, gf.GF2) or isinstance(b, gf.GF2):
-        return gf.ext_add(mle_mod.to_ext(a), mle_mod.to_ext(b))
-    return gf.add(a, b)
+@partial(jax.jit, static_argnames=("n_points", "degree", "fold"))
+def _round_kernel(stacked: gf.GF2, coeffs: gf.GF2, prod_idx, r: gf.GF2, n_points: int, degree: int, fold: bool):
+    """Generic sumcheck round.
 
-
-def _split_lo_hi(values):
-    pairs = values.reshape(-1, 2)
-    return pairs[:, 0], pairs[:, 1]
-
-
-def _sub(a, b):
-    return gf.ext_sub(a, b) if isinstance(a, gf.GF2) else gf.sub(a, b)
-
-
-def _round_message(mles, products_struct, coeffs, max_degree):
-    """Evals of the round polynomial at t = 0..max_degree (GF2 (d+1,))."""
-    totals = [None] * (max_degree + 1)
-    for (pi, idxs) in products_struct:
-        coeff = coeffs[pi]
-        los, his, diffs = [], [], []
-        for k in idxs:
-            lo, hi = _split_lo_hi(mles[k])
-            los.append(lo)
-            his.append(hi)
-            diffs.append(_sub(hi, lo))
-        cur = los
-        for t in range(max_degree + 1):
-            if t == 1:
-                cur = his
-            elif t >= 2:
-                cur = [_fadd(c, d) for c, d in zip(cur, diffs)]
-            prod = cur[0]
-            for f in cur[1:]:
-                prod = _fmul(prod, f)
-            s = gf.ext_sum_all(prod) if isinstance(prod, gf.GF2) else gf.ext_from_base(gf.sum_all(prod))
-            term = gf.ext_mul(coeff, s)
-            totals[t] = term if totals[t] is None else gf.ext_add(totals[t], term)
-    return gf.ext_stack(totals)
-
-
-@partial(jax.jit, static_argnames=("products_struct", "max_degree", "fold"))
-def _round_kernel(mles, coeffs, r_prev, products_struct, max_degree, fold):
-    """One sumcheck round: optionally fold previous challenge, then message."""
+    stacked: (M, L) ext MLE rows (row M-1 is the constant-one pad row).
+    coeffs: (Pn,) ext; prod_idx: int32 (Pn, degree) rows into `stacked`.
+    Returns (folded_or_same stacked (M, L'), message GF2 (n_points,)).
+    """
     if fold:
-        mles = [mle_mod.fix_variable(m, r_prev) for m in mles]
-    msg = _round_message(mles, products_struct, coeffs, max_degree)
-    return mles, msg
+        m, l = stacked.shape
+        pairs = stacked.reshape(m, l // 2, 2)
+        lo_f, hi_f = pairs[:, :, 0], pairs[:, :, 1]
+        rb = gf.ext_broadcast_to(r.reshape((1, 1)), lo_f.shape)
+        stacked = gf.ext_add(lo_f, gf.ext_mul(rb, gf.ext_sub(hi_f, lo_f)))
+
+    m, l = stacked.shape
+    l2 = l // 2
+    pairs = stacked.reshape(m, l2, 2)
+    lo, hi = pairs[:, :, 0], pairs[:, :, 1]
+    diff = gf.ext_sub(hi, lo)
+
+    def take_rows(a: gf.GF2, idx) -> gf.GF2:
+        return gf.GF2(
+            gf.GF(jnp.take(a.a0.lo, idx, axis=0), jnp.take(a.a0.hi, idx, axis=0)),
+            gf.GF(jnp.take(a.a1.lo, idx, axis=0), jnp.take(a.a1.hi, idx, axis=0)),
+        )
+
+    idx_flat = prod_idx.reshape(-1)  # (Pn*D,)
+    msgs = []
+    cur = lo
+    for t in range(n_points):
+        if t == 1:
+            cur = hi
+        elif t >= 2:
+            cur = gf.ext_add(cur, diff)
+        g = take_rows(cur, idx_flat)  # (Pn*D, L2)
+        pn = prod_idx.shape[0]
+        g = g.reshape(pn, degree, l2)
+        p = g[:, 0]
+        for d in range(1, degree):
+            p = gf.ext_mul(p, g[:, d])
+        s = gf.ext_sum_axis(p, axis=1)  # (Pn,)
+        term = gf.ext_mul(coeffs, s)
+        msgs.append(gf.ext_sum_axis(term, axis=0))
+    return stacked, gf.ext_stack(msgs)
 
 
 @jax.jit
-def _final_fold(mles, r):
-    return [mle_mod.fix_variable(m, r) for m in mles]
+def _final_fold(stacked: gf.GF2, r: gf.GF2) -> gf.GF2:
+    m, l = stacked.shape
+    pairs = stacked.reshape(m, l // 2, 2)
+    lo, hi = pairs[:, :, 0], pairs[:, :, 1]
+    rb = gf.ext_broadcast_to(r.reshape((1, 1)), lo.shape)
+    return gf.ext_add(lo, gf.ext_mul(rb, gf.ext_sub(hi, lo)))
 
 
 def _ext_scalar(pair: ExtPair) -> gf.GF2:
@@ -160,6 +158,15 @@ def _msg_to_host(msg: gf.GF2) -> list[ExtPair]:
     return [(int(x), int(y)) for x, y in zip(np.atleast_1d(a0), np.atleast_1d(a1))]
 
 
+def _stack_mles(vp: VirtualPolynomial) -> tuple[gf.GF2, int]:
+    """Stack (and ext-promote) MLEs into (M_pad, L); last rows are ones."""
+    l = 1 << vp.num_vars
+    m_pad = _bucket(len(vp.mles) + 1)
+    rows = [mle_mod.to_ext(v) for v in vp.mles]
+    rows += [gf.ext_ones((l,))] * (m_pad - len(rows))
+    return gf.ext_stack(rows, axis=0), m_pad
+
+
 def prove(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOutput:
     """prove_parallel (sumcheck/src/prover.rs:203): n rounds, ext challenges."""
     n = vp.num_vars
@@ -167,17 +174,26 @@ def prove(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOutput:
     transcript.append_message(int(n).to_bytes(8, "little"))
     transcript.append_message(int(max_degree).to_bytes(8, "little"))
 
-    coeffs = gf.ext_stack([_ext_scalar(c) for c, _ in vp.products])
-    products_struct = tuple((i, tuple(idxs)) for i, (_, idxs) in enumerate(vp.products))
+    stacked, m_pad = _stack_mles(vp)
+    ones_row = m_pad - 1  # constant-one pad row index
+    pn_pad = _bucket(len(vp.products))
+    d_pad = max_degree
 
-    mles = list(vp.mles)
+    coeff_list = [c for c, _ in vp.products] + [(0, 0)] * (pn_pad - len(vp.products))
+    coeffs = gf.ext_stack([_ext_scalar(c) for c in coeff_list])
+    idx = np.full((pn_pad, d_pad), ones_row, dtype=np.int32)
+    for i, (_, fs) in enumerate(vp.products):
+        idx[i, : len(fs)] = fs
+    idx = jnp.asarray(idx)
+
     point: list[ExtPair] = []
     msgs: list[list[ExtPair]] = []
     r = None
     for rnd in range(n):
         r_arg = _ext_scalar((0, 0)) if r is None else _ext_scalar(r)
-        mles, msg = _round_kernel(
-            mles, coeffs, r_arg, products_struct, max_degree, fold=rnd > 0
+        stacked, msg = _round_kernel(
+            stacked, coeffs, idx, r_arg,
+            n_points=max_degree + 1, degree=d_pad, fold=rnd > 0,
         )
         evals = _msg_to_host(msg)
         msgs.append(evals)
@@ -185,12 +201,11 @@ def prove(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOutput:
         r = transcript.get_and_append_challenge(b"Internal round")
         point.append(r)
 
-    mles = _final_fold(mles, _ext_scalar(r))
-    final_evals = []
-    for m in mles:
-        e = mle_mod.to_ext(m).reshape(())
-        a0, a1 = gf.ext_to_u64(e)
-        final_evals.append((int(a0), int(a1)))
+    stacked = _final_fold(stacked, _ext_scalar(r))
+    a0, a1 = gf.ext_to_u64(stacked.reshape(m_pad))
+    final_evals = [
+        (int(x), int(y)) for x, y in zip(a0[: len(vp.mles)], a1[: len(vp.mles)])
+    ]
     return ProverOutput(
         proof=SumcheckProof(point=point, round_messages=msgs),
         final_evals=final_evals,
