@@ -1,0 +1,3 @@
+from . import basefold, merkle, ntt
+
+__all__ = ["basefold", "merkle", "ntt"]

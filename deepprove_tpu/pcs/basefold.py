@@ -1,0 +1,609 @@
+"""Basefold multilinear PCS (RS encoding + Poseidon2 Merkle + FRI-style fold).
+
+Mirrors mpcs/src/basefold/* with the reference's exact protocol shape:
+
+  * commit: evals → multilinear coeffs (`interpolate_over_hypercube`) →
+    bit-reverse (RS is even-odd message folding, basefold.rs:128) → RS
+    encode at rate 1/2 on the coset γ·H → bit-reverse codeword → Merkle
+    over adjacent leaf pairs (basefold.rs:86-154).
+  * open (commit phase): interleaved sumcheck of Σ_b eq(b,point)·f(b)
+    with codeword folding; per round, message = 3 coefficients of the
+    degree-2 round poly in (c0 + c1·X) pair-coefficient form
+    (basefold/sumcheck.rs `parallel_pi`), then b"commit round" challenge,
+    FRI fold with interpolation weights, Merkle commit of the folded
+    oracle (commit_phase.rs:30-185). Polys ≤ basecode size are committed
+    trivially (PolyEvalsCodeword::TooSmall, basefold.rs:73-103).
+  * query phase: 200 b"query indices" challenges; open sibling pairs +
+    Merkle paths through the original and every folded oracle
+    (query_phase.rs); verifier refolds with the round challenges down to
+    encode(final_message).
+  * batch_open: RLC of many (poly, point, eval) triples via an initial
+    point-merging sumcheck, then one batched commit/query phase
+    (basefold.rs:546-770). simple_batch_open: same-point many-poly
+    (basefold.rs:777).
+
+Protocol constants (BASELINE.md): 200 queries, rate_log 1, basecode 2^7
+(encoding/rs.rs:203-214) — configurable for tests.
+
+TPU mapping: encode = device NTT; Merkle levels = batched Poseidon2;
+sumcheck+fold rounds = one fused device kernel per size; queries = device
+gathers shipped host-side once. The fold-weight tables are precomputed on
+host at setup and live on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gf, host
+from ..poly import mle as mle_mod
+from ..transcript import BasicTranscript
+from . import ntt
+from .merkle import MerkleTree, verify_path
+from .ntt import bit_reverse_perm
+
+ExtPair = tuple[int, int]
+Digest = tuple[int, int, int, int]
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+
+def _geom_powers(g, n: int) -> np.ndarray:
+    """[1, g, g², …, g^{n-1}] via vectorized doubling (log n host.mul calls)."""
+    out = np.ones(n, dtype=np.uint64)
+    if n == 1:
+        return out
+    out[1] = g
+    filled = 2
+    while filled < n:
+        step = host.pow_const(np.uint64(g), filled)
+        take = min(filled, n - filled)
+        out[filled : filled + take] = host.mul(out[:take], step)
+        filled *= 2
+    return out
+
+
+@dataclasses.dataclass
+class BasefoldParams:
+    max_message_size_log: int
+    rate_log: int = 1
+    num_queries: int = 200
+    basecode_msg_size_log: int = 7
+    # per-level fold weights, level = lg of folded codeword size:
+    # x0[level][j], w[level][j] for bit-reversed pair index j (base field)
+    _fold_x0: dict = dataclasses.field(default_factory=dict)
+    _fold_w: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def full_codeword_log(self) -> int:
+        return self.max_message_size_log + self.rate_log
+
+    def fold_coeffs_host(self, level: int) -> tuple[np.ndarray, np.ndarray]:
+        """x0, w arrays for folding a 2^(level+1) codeword to 2^level.
+
+        x0[j] = ω_{2^(level+1)}^rev(j)·γ^{2^(full-level-1)}, w = −1/(2·x0)
+        (encoding/rs.rs:374-407 prover_folding_coeffs).
+        """
+        if level in self._fold_x0:
+            return self._fold_x0[level], self._fold_w[level]
+        size = 1 << level
+        # ω: generator of the 2^(level+1) subgroup; x0 = ω^rev(j)·γ^2^s and
+        # w = −1/(2·x0) = −(1/2)·ω^{−rev(j)}·γ^{−2^s} — closed form, no
+        # batch inversion needed (rs.rs gamma_powers_inv_div_two).
+        g = host.pow_const(
+            np.uint64(host.TWO_ADIC_GENERATOR), 1 << (host.TWO_ADICITY - level - 1)
+        )
+        g_inv = host.pow_const(g, host.P - 2)
+        pows = _geom_powers(g, size)
+        pows_inv = _geom_powers(g_inv, size)
+        rev = bit_reverse_perm(level) if level > 0 else np.zeros(1, dtype=np.int64)
+        s = 1 << (self.full_codeword_log - level - 1)
+        gamma_pow = host.pow_const(np.uint64(host.MULTIPLICATIVE_GENERATOR), s)
+        gamma_inv = host.pow_const(gamma_pow, host.P - 2)
+        half = np.uint64((host.P + 1) >> 1)  # 1/2
+        x0 = host.mul(pows[rev], gamma_pow)
+        w = host.neg(host.mul(host.mul(pows_inv[rev], gamma_inv), half))
+        self._fold_x0[level] = x0
+        self._fold_w[level] = w
+        return x0, w
+
+    def fold_coeffs_device(self, level: int):
+        x0, w = self.fold_coeffs_host(level)
+        return gf.from_u64(x0), gf.from_u64(w)
+
+
+def setup(max_message_size_log: int, **kw) -> BasefoldParams:
+    return BasefoldParams(max_message_size_log=max_message_size_log, **kw)
+
+
+# ---------------------------------------------------------------------------
+# commitment
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BasefoldCommitment:
+    """Verifier-side commitment: root + shape (basefold/structure.rs)."""
+
+    root: Digest
+    num_vars: int
+    num_polys: int = 1
+    is_trivial: bool = False
+
+
+@dataclasses.dataclass
+class CommitmentWithWitness:
+    commitment: BasefoldCommitment
+    codeword: object  # GF|GF2 bit-reversed codeword ((K,N) for simple-batch)
+    bh_evals: list  # list of GF|GF2 bit-reversed eval arrays (len num_polys)
+    tree: MerkleTree
+
+    @property
+    def num_vars(self) -> int:
+        return self.commitment.num_vars
+
+    def codeword_size(self) -> int:
+        return self.codeword.shape[-1]
+
+
+@partial(jax.jit, static_argnames=("lg_n",))
+def _evals_to_rev_coeffs(evals, lg_n: int):
+    coeffs = ntt._interp_bh_kernel(evals, lg_n)
+    return ntt.bit_reverse(coeffs, lg_n)
+
+
+def _encode(params: BasefoldParams, evals) -> tuple:
+    """evals (little-endian) → (bit-reversed bh_evals, bit-reversed codeword)."""
+    lg_n = evals.shape[0].bit_length() - 1
+    rev_coeffs = _evals_to_rev_coeffs(evals, lg_n)
+    codeword = ntt.encode_rs(rev_coeffs, params.max_message_size_log, params.rate_log)
+    codeword = ntt.bit_reverse(codeword, lg_n + params.rate_log)
+    bh = ntt.bit_reverse(evals, lg_n)
+    return bh, codeword
+
+
+def commit(params: BasefoldParams, evals) -> CommitmentWithWitness:
+    """Commit to one polynomial given little-endian hypercube evals (GF)."""
+    lg_n = evals.shape[0].bit_length() - 1
+    assert lg_n <= params.max_message_size_log
+    if lg_n <= params.basecode_msg_size_log:
+        # trivial commitment: Merkle over the raw evals (basefold.rs:100)
+        tree = MerkleTree.from_leaves(evals)
+        cm = BasefoldCommitment(root=tree.root, num_vars=lg_n, is_trivial=True)
+        return CommitmentWithWitness(cm, codeword=evals, bh_evals=[evals], tree=tree)
+    bh, codeword = _encode(params, evals)
+    tree = MerkleTree.from_leaves(codeword)
+    cm = BasefoldCommitment(root=tree.root, num_vars=lg_n)
+    return CommitmentWithWitness(cm, codeword=codeword, bh_evals=[bh], tree=tree)
+
+
+def batch_commit(params: BasefoldParams, evals_list) -> list[CommitmentWithWitness]:
+    return [commit(params, e) for e in evals_list]
+
+
+def simple_batch_commit(params: BasefoldParams, evals_list) -> CommitmentWithWitness:
+    """One commitment over K same-size polys (leaf = K-column)."""
+    lg_n = evals_list[0].shape[0].bit_length() - 1
+    assert all(e.shape[0] == 1 << lg_n for e in evals_list)
+    if lg_n <= params.basecode_msg_size_log:
+        leaves = gf.stack(list(evals_list), axis=0)
+        tree = MerkleTree.from_leaves(leaves)
+        cm = BasefoldCommitment(
+            root=tree.root, num_vars=lg_n, num_polys=len(evals_list), is_trivial=True
+        )
+        return CommitmentWithWitness(cm, codeword=leaves, bh_evals=list(evals_list), tree=tree)
+    bhs, cws = zip(*[_encode(params, e) for e in evals_list])
+    codewords = gf.stack(list(cws), axis=0)  # (K, N)
+    tree = MerkleTree.from_leaves(codewords)
+    cm = BasefoldCommitment(root=tree.root, num_vars=lg_n, num_polys=len(evals_list))
+    return CommitmentWithWitness(cm, codeword=codewords, bh_evals=list(bhs), tree=tree)
+
+
+def write_commitment(cm: BasefoldCommitment, transcript: BasicTranscript):
+    """digest_to_transcript (util/hash.rs:58): absorb the 4 root elements."""
+    transcript.append_field_elements(np.asarray(cm.root, dtype=np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# commit-phase device kernels
+# ---------------------------------------------------------------------------
+
+
+def _pairs_of(values):
+    v = values.reshape(-1, 2)
+    return v[:, 0], v[:, 1]
+
+
+@jax.jit
+def _sumcheck_first_round(eq: gf.GF2, evals):
+    """one_level_interp on both + parallel_pi: coefficient-form message."""
+    e_lo, e_hi = _pairs_of(eq)
+    e_c1 = gf.ext_sub(e_hi, e_lo)
+    if isinstance(evals, gf.GF2):
+        f_lo, f_hi = _pairs_of(evals)
+        f_c1 = gf.ext_sub(f_hi, f_lo)
+        c0 = gf.ext_mul(f_lo, e_lo)
+        c1 = gf.ext_add(gf.ext_mul(f_c1, e_lo), gf.ext_mul(f_lo, e_c1))
+        c2 = gf.ext_mul(f_c1, e_c1)
+    else:
+        f_lo, f_hi = _pairs_of(evals)
+        f_c1 = gf.sub(f_hi, f_lo)
+        c0 = mle_mod.ext_mul_by_base(e_lo, f_lo)
+        c1 = gf.ext_add(
+            mle_mod.ext_mul_by_base(e_lo, f_c1), mle_mod.ext_mul_by_base(e_c1, f_lo)
+        )
+        c2 = mle_mod.ext_mul_by_base(e_c1, f_c1)
+    msg = gf.ext_stack(
+        [gf.ext_sum_all(c0), gf.ext_sum_all(c1), gf.ext_sum_all(c2)]
+    )
+    return msg
+
+
+@jax.jit
+def _fold_pair_linear(values, r: gf.GF2):
+    """one_level_eval_hc: new[j] = lo + r·(hi − lo)."""
+    lo, hi = _pairs_of(values)
+    if isinstance(values, gf.GF2):
+        diff = gf.ext_sub(hi, lo)
+        return gf.ext_add(lo, gf.ext_mul(gf.ext_broadcast_to(r.reshape((1,)), diff.shape), diff))
+    diff = gf.sub(hi, lo)
+    return gf.ext_add(
+        gf.ext_from_base(lo),
+        mle_mod.ext_mul_by_base(gf.ext_broadcast_to(r.reshape((1,)), diff.shape), diff),
+    )
+
+
+@jax.jit
+def _fri_fold(oracle, r: gf.GF2, x0: gf.GF, w: gf.GF):
+    """new[j] = lo + (r − x0[j])·w[j]·(hi − lo) (interpolate2_weights)."""
+    lo, hi = _pairs_of(oracle)
+    rb = gf.ext_broadcast_to(r.reshape((1,)), x0.shape)
+    coeff = mle_mod.ext_mul_by_base(gf.ext_sub(rb, gf.ext_from_base(x0)), w)
+    if isinstance(oracle, gf.GF2):
+        return gf.ext_add(lo, gf.ext_mul(coeff, gf.ext_sub(hi, lo)))
+    return gf.ext_add(
+        gf.ext_from_base(lo), mle_mod.ext_mul_by_base(coeff, gf.sub(hi, lo))
+    )
+
+
+def _ext_scalar(pair: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(pair[0] % host.P), np.uint64(pair[1] % host.P))
+
+
+def _pairs_host(e: gf.GF2) -> list[ExtPair]:
+    a0, a1 = gf.ext_to_u64(e)
+    return [(int(x), int(y)) for x, y in zip(np.atleast_1d(a0), np.atleast_1d(a1))]
+
+
+# ---------------------------------------------------------------------------
+# single-poly open / verify
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class QueryOpening:
+    """One query: pair openings + Merkle paths through all oracles."""
+
+    commitment_pair: tuple  # ((lo, hi) values; base ints or ext pairs)
+    commitment_path: np.ndarray  # (depth, 4) uint64
+    oracle_pairs: list  # per tree: (lo, hi) ext pairs
+    oracle_paths: list  # per tree: (depth, 4)
+
+
+@dataclasses.dataclass
+class BasefoldProof:
+    sumcheck_messages: list[list[ExtPair]]  # coefficient-form, 3 each
+    roots: list[Digest]
+    final_message: list[ExtPair]
+    query_indices: list[int] = dataclasses.field(default_factory=list)
+    queries: list[QueryOpening] = dataclasses.field(default_factory=list)
+    trivial_evals: list = dataclasses.field(default_factory=list)  # host u64 arrays
+    # batch-open extras
+    batch_sumcheck: object = None  # SumcheckProof of the point-merging sumcheck
+
+    @property
+    def is_trivial(self) -> bool:
+        return len(self.trivial_evals) > 0
+
+
+def _commit_phase(
+    params: BasefoldParams,
+    point: list[ExtPair],
+    running_evals,
+    codeword,
+    transcript: BasicTranscript,
+    num_vars: int,
+    num_rounds: int,
+    oracle_merger=None,
+):
+    """Shared commit phase (commit_phase.rs:30 / batch :190).
+
+    `oracle_merger(i, oracle)` lets batch_open add newly-matching codewords
+    after each fold. Returns (trees, messages, roots, final_message).
+    """
+    eq = mle_mod.eq_table([_ext_scalar(p) for p in point])
+    eq = ntt.bit_reverse(eq, num_vars)
+
+    msg_dev = _sumcheck_first_round(eq, running_evals)
+    last_msg = _pairs_host(msg_dev)
+    # after interp, eq/evals carry (c0, c1) pair-coefficients; fold uses them
+    trees = []
+    msgs: list[list[ExtPair]] = []
+    roots: list[Digest] = []
+    final_message: list[ExtPair] = []
+    oracle = codeword
+    pending_tree_leaves = None
+    for i in range(num_rounds):
+        transcript.append_field_element_exts(last_msg)
+        msgs.append(last_msg)
+        r = transcript.get_and_append_challenge(b"commit round")
+        r_dev = _ext_scalar(r)
+
+        if i > 0 and pending_tree_leaves is not None:
+            trees.append(pending_tree_leaves)
+        if oracle_merger is not None and i > 0:
+            oracle = oracle_merger(i, oracle)
+
+        level = (oracle.shape[0].bit_length() - 1) - 1
+        x0, w = params.fold_coeffs_device(level)
+        new_oracle = _fri_fold(oracle, r_dev, x0, w)
+
+        if i < num_rounds - 1:
+            eq = _fold_pair_linear(eq, r_dev)
+            running_evals = _fold_pair_linear(running_evals, r_dev)
+            msg_dev = _sumcheck_first_round(eq, running_evals)
+            last_msg = _pairs_host(msg_dev)
+            tree = MerkleTree.from_leaves(new_oracle)
+            roots.append(tree.root)
+            transcript.append_field_elements(np.asarray(tree.root, dtype=np.uint64))
+            pending_tree_leaves = tree
+            oracle = new_oracle
+        else:
+            running_evals = _fold_pair_linear(running_evals, r_dev)
+            k = running_evals.shape[0].bit_length() - 1
+            fm = ntt.bit_reverse(running_evals, k) if k > 0 else running_evals
+            final_message = _pairs_host(fm)
+            transcript.append_field_element_exts(final_message)
+    return trees, msgs, roots, final_message
+
+
+def _sample_queries(params: BasefoldParams, transcript: BasicTranscript, size: int):
+    idxs = []
+    for _ in range(params.num_queries):
+        c = transcript.get_and_append_challenge(b"query indices")
+        idxs.append(c[0] % size)
+    return idxs
+
+
+def _gather_pairs(arr, pair_idx: np.ndarray):
+    """Gather (lo, hi) of bit-reversed pairs; returns host values."""
+    take = jnp.asarray(pair_idx, dtype=jnp.int32)
+    if isinstance(arr, gf.GF2):
+        lo = gf.GF2(
+            gf.GF(jnp.take(arr.a0.lo, 2 * take), jnp.take(arr.a0.hi, 2 * take)),
+            gf.GF(jnp.take(arr.a1.lo, 2 * take), jnp.take(arr.a1.hi, 2 * take)),
+        )
+        hi = gf.GF2(
+            gf.GF(jnp.take(arr.a0.lo, 2 * take + 1), jnp.take(arr.a0.hi, 2 * take + 1)),
+            gf.GF(jnp.take(arr.a1.lo, 2 * take + 1), jnp.take(arr.a1.hi, 2 * take + 1)),
+        )
+        return _pairs_host(lo), _pairs_host(hi)
+    lo = gf.GF(jnp.take(arr.lo, 2 * take), jnp.take(arr.hi, 2 * take))
+    hi = gf.GF(jnp.take(arr.lo, 2 * take + 1), jnp.take(arr.hi, 2 * take + 1))
+    return (
+        [int(x) for x in gf.to_u64(lo)],
+        [int(x) for x in gf.to_u64(hi)],
+    )
+
+
+def _prover_queries(
+    comm: CommitmentWithWitness, trees: list[MerkleTree], indices: list[int]
+) -> list[QueryOpening]:
+    """basefold_get_query (query_phase.rs:373) for all indices at once."""
+    pair0 = np.asarray([i >> 1 for i in indices], dtype=np.int64)
+    lo0, hi0 = _gather_pairs(comm.codeword, pair0)
+    paths0 = comm.tree.paths(pair0)
+    per_tree = []
+    idx = pair0
+    for t in trees:
+        idx = idx >> 1
+        lo, hi = _gather_pairs(t.leaves, idx)
+        per_tree.append((lo, hi, t.paths(idx)))
+    out = []
+    for q in range(len(indices)):
+        out.append(
+            QueryOpening(
+                commitment_pair=(lo0[q], hi0[q]),
+                commitment_path=paths0[q],
+                oracle_pairs=[(pt[0][q], pt[1][q]) for pt in per_tree],
+                oracle_paths=[pt[2][q] for pt in per_tree],
+            )
+        )
+    return out
+
+
+def open(
+    params: BasefoldParams,
+    comm: CommitmentWithWitness,
+    point: list[ExtPair],
+    transcript: BasicTranscript,
+) -> BasefoldProof:
+    """Single-poly opening (basefold.rs open → commit_phase + query phase)."""
+    num_vars = comm.num_vars
+    if comm.commitment.is_trivial:
+        evals = [int(x) for x in gf.to_u64(comm.bh_evals[0])]
+        return BasefoldProof([], [], [], trivial_evals=[evals])
+    num_rounds = num_vars - params.basecode_msg_size_log
+    trees, msgs, roots, final_message = _commit_phase(
+        params, point, comm.bh_evals[0], comm.codeword, transcript, num_vars, num_rounds
+    )
+    indices = _sample_queries(params, transcript, comm.codeword_size())
+    queries = _prover_queries(comm, trees, indices)
+    return BasefoldProof(msgs, roots, final_message, indices, queries)
+
+
+def _deg2_eval(msg: list[ExtPair], x: ExtPair) -> ExtPair:
+    """c0 + c1·x + c2·x² (coefficient form)."""
+    acc = msg[2]
+    acc = host.ext_add(host.ext_mul(acc, x), msg[1])
+    acc = host.ext_add(host.ext_mul(acc, x), msg[0])
+    return acc
+
+
+def _deg2_zero_plus_one(msg: list[ExtPair]) -> ExtPair:
+    return host.ext_add(host.ext_add(msg[0], msg[0]), host.ext_add(msg[1], msg[2]))
+
+
+def _encode_final_message_host(params: BasefoldParams, final_message: list[ExtPair]):
+    """Re-encode the final message like the verifier (query_phase.rs:159-171)."""
+    k = len(final_message).bit_length() - 1
+    fm = gf.ext_from_u64(
+        np.asarray([m[0] for m in final_message], dtype=np.uint64),
+        np.asarray([m[1] for m in final_message], dtype=np.uint64),
+    )
+    coeffs = ntt.interpolate_over_hypercube(fm)
+    coeffs = ntt.bit_reverse(coeffs, k)
+    cw = ntt.encode_rs(coeffs, params.max_message_size_log, params.rate_log)
+    cw = ntt.bit_reverse(cw, k + params.rate_log)
+    return _pairs_host(cw)
+
+
+def _eq_eval_host(x: list[ExtPair], y: list[ExtPair]) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc, host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi)))
+        )
+    return acc
+
+
+def _eq_table_host(point: list[ExtPair]) -> list[ExtPair]:
+    table = [(1, 0)]
+    for r in point:
+        hi = [host.ext_mul(t, r) for t in table]
+        lo = [host.ext_sub(t, h) for t, h in zip(table, hi)]
+        table = lo + hi
+    return table
+
+
+def _verify_query(
+    params: BasefoldParams,
+    q: QueryOpening,
+    index: int,
+    fold_challenges: list[ExtPair],
+    num_rounds: int,
+    full_log: int,
+    final_codeword: list[ExtPair],
+    roots: list[Digest],
+    comm_root: Digest,
+    is_base: bool,
+):
+    """Walk one query down the fold chain (query_phase.rs check)."""
+    from .merkle import leaf_digest_host
+
+    pair = index >> 1
+    lo, hi = q.commitment_pair
+    if is_base:
+        ld = leaf_digest_host(lo, hi, ext=False)
+        cur = ((int(lo), 0), (int(hi), 0))
+    else:
+        ld = leaf_digest_host(lo, hi, ext=True)
+        cur = (lo, hi)
+    assert verify_path(ld, pair, q.commitment_path, comm_root), "commitment path"
+
+    level = full_log - 1
+    idx = pair
+    cur_lo, cur_hi = cur
+    for rnd in range(num_rounds):
+        x0s, ws = params.fold_coeffs_host(level)
+        x0 = (int(x0s[idx]), 0)
+        w = (int(ws[idx]), 0)
+        r = fold_challenges[rnd]
+        folded = host.ext_add(
+            cur_lo,
+            host.ext_mul(
+                host.ext_mul(host.ext_sub(r, x0), w), host.ext_sub(cur_hi, cur_lo)
+            ),
+        )
+        if rnd == num_rounds - 1:
+            assert folded == final_codeword[idx], "final codeword mismatch"
+            return
+        nxt_pair = idx >> 1
+        o_lo, o_hi = q.oracle_pairs[rnd]
+        got = o_hi if idx & 1 else o_lo
+        assert folded == got, f"fold chain mismatch at round {rnd}"
+        ld = leaf_digest_host(o_lo, o_hi, ext=True)
+        assert verify_path(ld, nxt_pair, q.oracle_paths[rnd], roots[rnd]), (
+            f"oracle path {rnd}"
+        )
+        idx = nxt_pair
+        cur_lo, cur_hi = o_lo, o_hi
+        level -= 1
+
+
+def verify(
+    params: BasefoldParams,
+    commitment: BasefoldCommitment,
+    point: list[ExtPair],
+    eval_: ExtPair,
+    proof: BasefoldProof,
+    transcript: BasicTranscript,
+):
+    """Single-poly verification (basefold.rs:863)."""
+    if proof.is_trivial:
+        evals = np.asarray(proof.trivial_evals[0], dtype=np.uint64)
+        tree = MerkleTree.from_leaves(gf.from_u64(evals))
+        assert tree.root == commitment.root, "trivial root mismatch"
+        pt = [_ext_scalar(p) for p in point]
+        got = mle_mod.evaluate(gf.from_u64(evals), pt)
+        assert _pairs_host(got.reshape((1,)))[0] == eval_, "trivial eval mismatch"
+        return
+
+    num_vars = len(point)
+    assert num_vars == commitment.num_vars
+    num_rounds = num_vars - params.basecode_msg_size_log
+    fold_challenges: list[ExtPair] = []
+    for i in range(num_rounds):
+        transcript.append_field_element_exts(proof.sumcheck_messages[i])
+        fold_challenges.append(transcript.get_and_append_challenge(b"commit round"))
+        if i < num_rounds - 1:
+            transcript.append_field_elements(np.asarray(proof.roots[i], dtype=np.uint64))
+    transcript.append_field_element_exts(proof.final_message)
+    indices = _sample_queries(params, transcript, 1 << (num_vars + params.rate_log))
+    assert indices == proof.query_indices, "query indices mismatch"
+
+    final_codeword = _encode_final_message_host(params, proof.final_message)
+
+    for q, idx in zip(proof.queries, indices):
+        _verify_query(
+            params, q, idx, fold_challenges, num_rounds,
+            num_vars + params.rate_log, final_codeword, proof.roots,
+            commitment.root, is_base=True,
+        )
+
+    # sumcheck chain (query_phase.rs:188-206)
+    assert eval_ == _deg2_zero_plus_one(proof.sumcheck_messages[0]), "claimed eval"
+    for i in range(len(fold_challenges) - 1):
+        assert _deg2_eval(proof.sumcheck_messages[i], fold_challenges[i]) == (
+            _deg2_zero_plus_one(proof.sumcheck_messages[i + 1])
+        ), f"sumcheck chain round {i}"
+
+    # final: last eval == <final_message, partial_eq>
+    rev_challenges = list(reversed(fold_challenges))
+    coeff = _eq_eval_host(point[num_vars - num_rounds :], rev_challenges)
+    eq_low = _eq_table_host(point[: num_vars - num_rounds])
+    total = (0, 0)
+    for m, e in zip(proof.final_message, eq_low, strict=True):
+        total = host.ext_add(total, host.ext_mul(m, host.ext_mul(e, coeff)))
+    assert _deg2_eval(
+        proof.sumcheck_messages[-1], fold_challenges[-1]
+    ) == total, "final message inner product"

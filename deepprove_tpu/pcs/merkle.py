@@ -1,0 +1,158 @@
+"""Merkle trees over Poseidon2 (device-batched levels, host paths).
+
+Mirrors mpcs/src/util/merkle_tree.rs + util/hash.rs `PoseidonHasher`:
+  * leaf-pair digest = hash_or_noop packing — for a pair of base elements
+    (a, b) → [a, b, 0, 0]; for a pair of ext elements → [a0, a1, b0, b1]
+    (≤ 4 base elements, so NO permutation — hash.rs:52, digest.rs:26).
+  * inner nodes = two_to_one compression: fresh duplex, observe 8, sample
+    4 (poseidon_hash.rs:67) — popped in reverse, digest = state[3..=0] rev.
+
+Every level is ONE batched device Poseidon2 call (the per-level halving
+pipeline from SURVEY.md §7); paths are gathered on device and shipped to
+the host once per query set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gf
+from ..hashing import poseidon2
+
+Digest = tuple[int, int, int, int]
+
+
+@partial(jax.jit)
+def _compress_level(digests: gf.GF) -> gf.GF:
+    """(2M, 4) digests -> (M, 4) parents via batched two_to_one."""
+    m2 = digests.shape[0]
+    pairs = digests.reshape(m2 // 2, 2, 4)
+    left, right = pairs[:, 0, :], pairs[:, 1, :]
+    zeros = gf.zeros(left.shape)
+    st1 = poseidon2.permute_device(gf.concatenate([left, zeros], axis=-1))
+    st2_in = gf.concatenate([right, st1[:, 4:]], axis=-1)
+    st2 = poseidon2.permute_device(st2_in)
+    # digest = sample_array::<4>() = [s3, s2, s1, s0] (pop from end)
+    out = st2[:, :4]
+    return out[:, ::-1]
+
+
+@partial(jax.jit)
+def _leaf_digests_base(leaves: gf.GF) -> gf.GF:
+    """Base-field leaves (N,) -> (N/2, 4) pair digests [a, b, 0, 0]."""
+    n = leaves.shape[0]
+    pairs = leaves.reshape(n // 2, 2)
+    z = gf.zeros((n // 2, 2))
+    return gf.concatenate([pairs, z], axis=-1)
+
+
+@partial(jax.jit)
+def _leaf_digests_ext(leaves: gf.GF2) -> gf.GF:
+    """Ext leaves (N,) -> (N/2, 4) pair digests [a0, a1, b0, b1]."""
+    n = leaves.shape[0]
+    a0 = leaves.a0.reshape(n // 2, 2)  # GF (N/2, 2): [a_re, b_re]
+    a1 = leaves.a1.reshape(n // 2, 2)
+    return gf.stack(
+        [a0[:, 0], a1[:, 0], a0[:, 1], a1[:, 1]], axis=-1
+    )
+
+
+@partial(jax.jit)
+def _leaf_digests_batch_base(leaves: gf.GF) -> gf.GF:
+    """Multi-poly base leaves (K, N): digest column pairs.
+
+    hash_two_leaves_batch_base (hash.rs:32): H(col(2i)) , H(col(2i+1))
+    compressed. For K ≤ 4 the column hash is a noop packing.
+    """
+    k, n = leaves.shape
+    assert k <= 4, "column hash for >4 polys needs sponge path (todo)"
+    cols = leaves.reshape(k, n // 2, 2)
+    pad = gf.zeros((4 - k, n // 2))
+    left = gf.concatenate([cols[:, :, 0], pad], axis=0).reshape(4, n // 2)
+    right = gf.concatenate([cols[:, :, 1], pad], axis=0).reshape(4, n // 2)
+    left_t = gf.stack([left[i] for i in range(4)], axis=-1)  # (N/2, 4)
+    right_t = gf.stack([right[i] for i in range(4)], axis=-1)
+    zeros = gf.zeros(left_t.shape)
+    st1 = poseidon2.permute_device(gf.concatenate([left_t, zeros], axis=-1))
+    st2 = poseidon2.permute_device(gf.concatenate([right_t, st1[:, 4:]], axis=-1))
+    return st2[:, :4][:, ::-1]
+
+
+@dataclasses.dataclass
+class MerkleTree:
+    """Levels of digests; levels[0] = leaf-pair digests, levels[-1] = root."""
+
+    leaves: object  # GF (N,) | GF2 (N,) | GF (K, N) — bit-reversed codeword(s)
+    levels: list  # list of GF (M, 4), M = N/2, N/4, ..., 1
+
+    @staticmethod
+    def from_leaves(leaves) -> "MerkleTree":
+        if isinstance(leaves, gf.GF2):
+            lvl = _leaf_digests_ext(leaves)
+        elif leaves.ndim == 2:
+            lvl = _leaf_digests_batch_base(leaves)
+        else:
+            lvl = _leaf_digests_base(leaves)
+        levels = [lvl]
+        while levels[-1].shape[0] > 1:
+            levels.append(_compress_level(levels[-1]))
+        return MerkleTree(leaves=leaves, levels=levels)
+
+    @property
+    def root(self) -> Digest:
+        r = gf.to_u64(self.levels[-1][0])
+        return tuple(int(x) for x in r)
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels) - 1
+
+    def paths(self, pair_indices: np.ndarray) -> np.ndarray:
+        """Merkle paths for leaf-pair indices: (Q, depth, 4) uint64 host array.
+
+        Path level ℓ holds the sibling digest of the node on the way up.
+        """
+        q = len(pair_indices)
+        out = np.empty((q, self.depth, 4), dtype=np.uint64)
+        idx = np.asarray(pair_indices, dtype=np.int64)
+        for lvl in range(self.depth):
+            sib = idx ^ 1
+            sibs = gf.GF(
+                jnp.take(self.levels[lvl].lo, jnp.asarray(sib), axis=0),
+                jnp.take(self.levels[lvl].hi, jnp.asarray(sib), axis=0),
+            )
+            out[:, lvl, :] = gf.to_u64(sibs)
+            idx = idx >> 1
+        return out
+
+
+# ---------------------------------------------------------------------------
+# host-side path verification (verifier)
+# ---------------------------------------------------------------------------
+
+
+def leaf_digest_host(left, right, ext: bool) -> np.ndarray:
+    if ext:
+        return np.array([left[0], left[1], right[0], right[1]], dtype=np.uint64)
+    return np.array([left, right, 0, 0], dtype=np.uint64)
+
+
+def verify_path(
+    leaf_digest: np.ndarray, pair_index: int, path: np.ndarray, root: Digest
+) -> bool:
+    """Recompute the root from a leaf-pair digest + sibling path (host)."""
+    d = np.asarray(leaf_digest, dtype=np.uint64)
+    idx = int(pair_index)
+    for lvl in range(path.shape[0]):
+        sib = path[lvl]
+        if idx & 1:
+            d = poseidon2.compress_host(sib, d)
+        else:
+            d = poseidon2.compress_host(d, sib)
+        idx >>= 1
+    return tuple(int(x) for x in d) == tuple(root)

@@ -1,0 +1,183 @@
+"""Goldilocks NTT + hypercube interpolation (device kernels).
+
+Mirrors the reference's plonky2-derived FFT (mpcs/src/basefold/encoding/rs.rs:31
+`fft_root_table`, :129 `fft`, :174 `coset_fft`): radix-2 DIT over the 2^32
+two-adic subgroup, bit-reversed input order, per-stage precomputed root rows.
+
+TPU mapping: each butterfly stage is two fused elementwise GF ops over a
+(n_groups, half_m) view — log n sequential stages, all inside one jit. The
+root rows live on device; bit-reversal is a single gather.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gf, host
+
+
+@lru_cache(maxsize=None)
+def bit_reverse_perm(lg_n: int) -> np.ndarray:
+    """Permutation j -> reverse_bits(j, lg_n) (plonky2_util reverse_index_bits)."""
+    n = 1 << lg_n
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(lg_n):
+        rev |= ((idx >> b) & 1) << (lg_n - 1 - b)
+    return rev
+
+
+def bit_reverse(values, lg_n: int):
+    perm = jnp.asarray(bit_reverse_perm(lg_n))
+    if isinstance(values, gf.GF2):
+        return gf.GF2(bit_reverse(values.a0, lg_n), bit_reverse(values.a1, lg_n))
+    if isinstance(values, gf.GF):
+        return gf.GF(jnp.take(values.lo, perm), jnp.take(values.hi, perm))
+    return jnp.take(values, perm)
+
+
+def geom_powers(g, n: int) -> np.ndarray:
+    """[1, g, g², …, g^{n-1}] via vectorized doubling (log n host.mul calls)."""
+    out = np.ones(n, dtype=np.uint64)
+    if n == 1:
+        return out
+    out[1] = np.uint64(g)
+    filled = 2
+    while filled < n:
+        step = host.pow_const(np.uint64(g), filled)
+        take = min(filled, n - filled)
+        out[filled : filled + take] = host.mul(out[:take], step)
+        filled *= 2
+    return out
+
+
+@lru_cache(maxsize=None)
+def _root_rows_host(lg_n: int) -> tuple:
+    """root_table rows (rs.rs:31): row lg_m-1 = first half powers of the
+    2^lg_m-th root of unity, length max(half_m, 2)."""
+    g = host.pow_const(
+        np.uint64(host.TWO_ADIC_GENERATOR), 1 << (host.TWO_ADICITY - lg_n)
+    )
+    bases = [g]
+    for _ in range(1, lg_n):
+        bases.append(host.mul(bases[-1], bases[-1]))
+    rows = []
+    for lg_m in range(1, lg_n + 1):
+        half_m = 1 << (lg_m - 1)
+        base = bases[lg_n - lg_m]
+        rows.append(geom_powers(base, max(half_m, 2)))
+    return tuple(rows)
+
+
+def root_rows_device(lg_n: int):
+    return [gf.from_u64(r) for r in _root_rows_host(lg_n)]
+
+
+def _butterflies(values, lg_n: int, rows):
+    """DIT stages after bit-reversal; `values` GF or GF2 of length 2^lg_n."""
+    is_ext = isinstance(values, gf.GF2)
+    for lg_m in range(1, lg_n + 1):
+        m = 1 << lg_m
+        half_m = m // 2
+        v = values.reshape(-1, m)
+        u, t_in = v[:, :half_m], v[:, half_m:]
+        omega = rows[lg_m - 1][:half_m]  # GF (half_m,)
+        if is_ext:
+            t = gf.GF2(
+                gf.mul(t_in.a0, gf.broadcast_to(omega, t_in.a0.shape)),
+                gf.mul(t_in.a1, gf.broadcast_to(omega, t_in.a1.shape)),
+            )
+            values = gf.ext_concatenate([gf.ext_add(u, t), gf.ext_sub(u, t)], axis=1).reshape(-1)
+        else:
+            t = gf.mul(t_in, gf.broadcast_to(omega, t_in.shape))
+            values = gf.concatenate([gf.add(u, t), gf.sub(u, t)], axis=1).reshape(-1)
+    return values
+
+
+@partial(jax.jit, static_argnames=("lg_n",))
+def _fft_kernel(values, rows, lg_n: int):
+    values = bit_reverse(values, lg_n)
+    return _butterflies(values, lg_n, rows)
+
+
+def fft(values, lg_n: int | None = None):
+    """values (coeffs) -> evaluations over the 2^lg_n subgroup (natural order)."""
+    if lg_n is None:
+        lg_n = values.shape[0].bit_length() - 1
+    return _fft_kernel(values, root_rows_device(lg_n), lg_n)
+
+
+@partial(jax.jit, static_argnames=("lg_n", "rate_log"))
+def _coset_fft_kernel(values, shift_powers, rows, lg_n: int, rate_log: int):
+    """coset_fft (rs.rs:174): scale by shift powers then fft.
+
+    rate_log: the trailing (1 - 2^-rate_log) of the input is zero; we skip
+    nothing for simplicity (XLA folds the zero muls) — semantics identical.
+    """
+    if isinstance(values, gf.GF2):
+        values = gf.GF2(
+            gf.mul(values.a0, shift_powers), gf.mul(values.a1, shift_powers)
+        )
+    else:
+        values = gf.mul(values, shift_powers)
+    values = bit_reverse(values, lg_n)
+    return _butterflies(values, lg_n, rows)
+
+
+@lru_cache(maxsize=None)
+def _shift_powers_host(shift: int, n: int) -> np.ndarray:
+    return geom_powers(np.uint64(shift), n)
+
+
+def coset_fft(values, shift: int, rate_log: int = 0):
+    n = values.shape[0]
+    lg_n = n.bit_length() - 1
+    sp = gf.from_u64(_shift_powers_host(int(shift), n))
+    return _coset_fft_kernel(values, sp, root_rows_device(lg_n), lg_n, rate_log)
+
+
+@partial(jax.jit, static_argnames=("lg_n",))
+def _interp_bh_kernel(values, lg_n: int):
+    """Evaluations over {0,1}^n (little-endian) -> multilinear coefficients.
+
+    interpolate_field_type_over_boolean_hypercube: per variable, hi -= lo.
+    """
+    is_ext = isinstance(values, gf.GF2)
+    for i in range(lg_n):
+        m = 1 << (i + 1)
+        v = values.reshape(-1, m)
+        half = m // 2
+        lo, hi = v[:, :half], v[:, half:]
+        if is_ext:
+            values = gf.ext_concatenate([lo, gf.ext_sub(hi, lo)], axis=1).reshape(-1)
+        else:
+            values = gf.concatenate([lo, gf.sub(hi, lo)], axis=1).reshape(-1)
+    return values
+
+
+def interpolate_over_hypercube(values):
+    lg_n = values.shape[0].bit_length() - 1
+    return _interp_bh_kernel(values, lg_n)
+
+
+def encode_rs(coeffs, full_message_size_log: int, rate_log: int = 1):
+    """RS-encode multilinear coeffs at rate 2^-rate_log on the coset
+    gamma^2^(full-lg_m)·H (rs.rs:458 encode_internal). Returns the codeword
+    in natural order (callers bit-reverse)."""
+    lg_m = coeffs.shape[0].bit_length() - 1
+    assert lg_m <= full_message_size_log
+    n_out = coeffs.shape[0] << rate_log
+    if isinstance(coeffs, gf.GF2):
+        padded = gf.ext_concatenate(
+            [coeffs, gf.ext_zeros((n_out - coeffs.shape[0],))]
+        )
+    else:
+        padded = gf.concatenate([coeffs, gf.zeros((n_out - coeffs.shape[0],))])
+    shift = host.pow_const(
+        np.uint64(host.MULTIPLICATIVE_GENERATOR), 1 << (full_message_size_log - lg_m)
+    )
+    return coset_fft(padded, int(shift), rate_log)

@@ -1,0 +1,129 @@
+"""Basefold PCS: Merkle + commit/open/verify roundtrips.
+
+Mirrors mpcs test_util roundtrips (mpcs/src/lib.rs:388) with a small
+basecode/query count for test speed (protocol defaults are 2^7/200).
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.pcs import basefold
+from deepprove_tpu.pcs.merkle import MerkleTree, leaf_digest_host, verify_path
+from deepprove_tpu.poly import mle
+from deepprove_tpu.transcript import BasicTranscript
+
+P = host.P
+
+
+def small_params(num_vars):
+    return basefold.setup(
+        num_vars, num_queries=17, basecode_msg_size_log=2
+    )
+
+
+def rand_point(rng, n):
+    return [
+        (int(rng.integers(0, P, dtype=np.uint64)), int(rng.integers(0, P, dtype=np.uint64)))
+        for _ in range(n)
+    ]
+
+
+def dev_point(point):
+    return [basefold._ext_scalar(p) for p in point]
+
+
+def test_merkle_roundtrip(rng):
+    leaves = gf.from_u64(rng.integers(0, P, size=64, dtype=np.uint64))
+    tree = MerkleTree.from_leaves(leaves)
+    vals = gf.to_u64(leaves)
+    idxs = np.array([0, 5, 31], dtype=np.int64)
+    paths = tree.paths(idxs)
+    for q, i in enumerate(idxs):
+        ld = leaf_digest_host(int(vals[2 * i]), int(vals[2 * i + 1]), ext=False)
+        assert verify_path(ld, int(i), paths[q], tree.root)
+    # wrong leaf fails
+    ld_bad = leaf_digest_host(int(vals[0]) ^ 1, int(vals[1]), ext=False)
+    assert not verify_path(ld_bad, 0, paths[0], tree.root)
+
+
+def test_merkle_ext_leaves(rng):
+    leaves = gf.ext_from_u64(
+        rng.integers(0, P, size=16, dtype=np.uint64),
+        rng.integers(0, P, size=16, dtype=np.uint64),
+    )
+    tree = MerkleTree.from_leaves(leaves)
+    a0, a1 = gf.ext_to_u64(leaves)
+    paths = tree.paths(np.array([3], dtype=np.int64))
+    ld = leaf_digest_host(
+        (int(a0[6]), int(a1[6])), (int(a0[7]), int(a1[7])), ext=True
+    )
+    assert verify_path(ld, 3, paths[0], tree.root)
+
+
+def test_basefold_commit_open_verify(rng):
+    n = 6
+    params = small_params(n)
+    evals_np = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    evals = gf.from_u64(evals_np)
+    comm = basefold.commit(params, evals)
+
+    point = rand_point(rng, n)
+    ev = mle.evaluate(evals, dev_point(point))
+    eval_pair = basefold._pairs_host(ev.reshape((1,)))[0]
+
+    t_p = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_p)
+    proof = basefold.open(params, comm, point, t_p)
+
+    t_v = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_v)
+    basefold.verify(params, comm.commitment, point, eval_pair, proof, t_v)
+
+
+def test_basefold_trivial_commit(rng):
+    n = 2
+    params = small_params(6)
+    evals = gf.from_u64(rng.integers(0, P, size=1 << n, dtype=np.uint64))
+    comm = basefold.commit(params, evals)
+    assert comm.commitment.is_trivial
+    point = rand_point(rng, n)
+    ev = mle.evaluate(evals, dev_point(point))
+    eval_pair = basefold._pairs_host(ev.reshape((1,)))[0]
+    proof = basefold.open(params, comm, point, BasicTranscript(b"t"))
+    basefold.verify(params, comm.commitment, point, eval_pair, proof, BasicTranscript(b"t"))
+
+
+def test_basefold_rejects_wrong_eval(rng):
+    n = 5
+    params = small_params(n)
+    evals = gf.from_u64(rng.integers(0, P, size=1 << n, dtype=np.uint64))
+    comm = basefold.commit(params, evals)
+    point = rand_point(rng, n)
+    t_p = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_p)
+    proof = basefold.open(params, comm, point, t_p)
+    wrong = (12345, 678)
+    t_v = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_v)
+    with pytest.raises(AssertionError):
+        basefold.verify(params, comm.commitment, point, wrong, proof, t_v)
+
+
+def test_basefold_rejects_tampered_query(rng):
+    n = 5
+    params = small_params(n)
+    evals = gf.from_u64(rng.integers(0, P, size=1 << n, dtype=np.uint64))
+    comm = basefold.commit(params, evals)
+    point = rand_point(rng, n)
+    ev = mle.evaluate(evals, dev_point(point))
+    eval_pair = basefold._pairs_host(ev.reshape((1,)))[0]
+    t_p = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_p)
+    proof = basefold.open(params, comm, point, t_p)
+    lo, hi = proof.queries[0].commitment_pair
+    proof.queries[0].commitment_pair = ((lo + 1) % P, hi)
+    t_v = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_v)
+    with pytest.raises(AssertionError):
+        basefold.verify(params, comm.commitment, point, eval_pair, proof, t_v)

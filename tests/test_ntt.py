@@ -1,0 +1,93 @@
+"""NTT / hypercube interpolation vs naive ground truth."""
+
+import numpy as np
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.pcs import ntt
+
+P = host.P
+
+
+def naive_dft(coeffs, omega, shift=1):
+    n = len(coeffs)
+    out = []
+    for i in range(n):
+        x = pow(shift, 1, P) * pow(omega, i, P) % P
+        acc = 0
+        xp = 1
+        for c in coeffs:
+            acc = (acc + int(c) * xp) % P
+            xp = xp * x % P
+        out.append(acc)
+    return out
+
+
+def subgroup_gen(lg_n):
+    return int(host.pow_const(np.uint64(host.TWO_ADIC_GENERATOR), 1 << (host.TWO_ADICITY - lg_n)))
+
+
+def test_fft_matches_naive(rng):
+    lg_n = 4
+    coeffs = rng.integers(0, P, size=1 << lg_n, dtype=np.uint64)
+    got = gf.to_u64(ntt.fft(gf.from_u64(coeffs)))
+    want = naive_dft(coeffs, subgroup_gen(lg_n))
+    np.testing.assert_array_equal(got.astype(object), np.array(want, dtype=object))
+
+
+def test_coset_fft_matches_naive(rng):
+    lg_n = 3
+    coeffs = rng.integers(0, P, size=1 << lg_n, dtype=np.uint64)
+    shift = host.MULTIPLICATIVE_GENERATOR
+    got = gf.to_u64(ntt.coset_fft(gf.from_u64(coeffs), shift))
+    # coset_fft scales coeff j by shift^j then evaluates on H = evaluate on shift*H
+    omega = subgroup_gen(lg_n)
+    want = []
+    for i in range(1 << lg_n):
+        x = shift * pow(omega, i, P) % P
+        acc = 0
+        xp = 1
+        for c in coeffs:
+            acc = (acc + int(c) * xp) % P
+            xp = xp * x % P
+        want.append(acc)
+    np.testing.assert_array_equal(got.astype(object), np.array(want, dtype=object))
+
+
+def test_interpolate_over_hypercube(rng):
+    # coeffs -> evals via MLE identity: eval at b = sum of coeffs of monomials ⊆ b
+    lg_n = 3
+    evals = rng.integers(0, P, size=1 << lg_n, dtype=np.uint64)
+    coeffs = gf.to_u64(ntt.interpolate_over_hypercube(gf.from_u64(evals)))
+    for b in range(1 << lg_n):
+        acc = 0
+        for m in range(1 << lg_n):
+            if m & ~b == 0:
+                acc = (acc + int(coeffs[m])) % P
+        assert acc == int(evals[b]), b
+
+
+def test_encode_rs_degree(rng):
+    # codeword of a message of 2^k coeffs is a poly of degree < 2^k evaluated
+    # on a 2^(k+1) coset: check consistency with naive evaluation
+    lg_m = 3
+    coeffs = rng.integers(0, P, size=1 << lg_m, dtype=np.uint64)
+    full = 5  # full message size log
+    cw = gf.to_u64(ntt.encode_rs(gf.from_u64(coeffs), full, rate_log=1))
+    assert len(cw) == 1 << (lg_m + 1)
+    shift = int(host.pow_const(np.uint64(host.MULTIPLICATIVE_GENERATOR), 1 << (full - lg_m)))
+    omega = subgroup_gen(lg_m + 1)
+    for i in [0, 1, 7, 13]:
+        x = shift * pow(omega, i, P) % P
+        acc, xp = 0, 1
+        for c in coeffs:
+            acc = (acc + int(c) * xp) % P
+            xp = xp * x % P
+        assert acc == int(cw[i]), i
+
+
+def test_bit_reverse_involution(rng):
+    lg_n = 5
+    v = rng.integers(0, P, size=1 << lg_n, dtype=np.uint64)
+    g = gf.from_u64(v)
+    rr = ntt.bit_reverse(ntt.bit_reverse(g, lg_n), lg_n)
+    np.testing.assert_array_equal(gf.to_u64(rr), v)
