@@ -1,0 +1,3 @@
+from . import sumcheck
+
+__all__ = ["sumcheck"]

@@ -1,0 +1,195 @@
+"""Multi-chip sharded sumcheck — the devirgo distributed sumcheck mapped
+to a JAX device mesh (reference: sumcheck/src/prover.rs:31-321,
+arXiv:2210.00264; SURVEY.md §2.3 item 2).
+
+The 2^n hypercube is partitioned across D devices by the TOP log D
+variables: device d holds the contiguous slice [d·2^n/D, (d+1)·2^n/D) of
+every MLE (little-endian layout ⇒ top vars = slice index). Sumcheck
+rounds bind LOW variables, so folds are embarrassingly local; the only
+communication is the per-round (deg+1)-element message `psum` over ICI —
+the exact analogue of the reference's main thread summing per-thread
+round messages (prover.rs:160-167). After n − log D rounds each device
+holds one value per MLE; the tail runs replicated on the gathered
+remainders (stage-2 merge, prover.rs:263-304). The transcript only ever
+sees summed messages, so 1-chip and D-chip provers produce IDENTICAL
+transcripts — asserted by the equivalence test.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..fields import gf
+from ..sumcheck.prover import (
+    ProverOutput,
+    SumcheckProof,
+    VirtualPolynomial,
+    _bucket,
+    _ext_scalar,
+    _final_fold,
+    _msg_to_host,
+    _round_kernel,
+    _stack_mles,
+)
+from ..transcript import BasicTranscript
+
+P = PartitionSpec
+
+_KERNEL_CACHE: dict = {}
+
+
+def _shard_kernel(mesh: Mesh, max_degree, fold):
+    """One sharded sumcheck round: local fold + message, psum over 'x'."""
+    key = (id(mesh), max_degree, fold)
+    if key in _KERNEL_CACHE:
+        return _KERNEL_CACHE[key]
+
+    def body(stacked, coeffs, prod_idx, r):
+        new_stacked, msg = _round_kernel(
+            stacked, coeffs, prod_idx, r,
+            n_points=max_degree + 1, degree=max_degree, fold=fold,
+        )
+        # psum the (deg+1) message over the device axis
+        msg = gf.GF2(
+            gf.GF(*_psum_u32_pair(msg.a0.lo, msg.a0.hi)),
+            gf.GF(*_psum_u32_pair(msg.a1.lo, msg.a1.hi)),
+        )
+        return new_stacked, msg
+
+    from jax.experimental.shard_map import shard_map
+
+    kern = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            _gf2_spec(P(None, "x")),
+            _gf2_spec(P(None)),
+            P(None, None),
+            _gf2_spec(P()),
+        ),
+        out_specs=(_gf2_spec(P(None, "x")), _gf2_spec(P(None))),
+        check_rep=False,
+    )
+    _KERNEL_CACHE[key] = kern
+    return kern
+
+
+def _gf2_spec(spec):
+    return gf.GF2(gf.GF(spec, spec), gf.GF(spec, spec))
+
+
+def _psum_u32_pair(lo, hi):
+    """Modular sum over the device axis of a GF in u32 limb planes.
+
+    Widen to u64-equivalent via per-limb psum with carry handling: sum the
+    lo limbs in uint64... TPUs lack u64, so instead reduce with a log-D
+    tree of modular adds via lax.psum on a one-hot decomposition. For
+    simplicity and exactness we psum four u32 half-limbs (16-bit digits)
+    in fp-free int32 space and reduce mod p afterwards.
+    """
+    d0 = (lo & jnp.uint32(0xFFFF)).astype(jnp.uint32)
+    d1 = (lo >> jnp.uint32(16)).astype(jnp.uint32)
+    d2 = (hi & jnp.uint32(0xFFFF)).astype(jnp.uint32)
+    d3 = (hi >> jnp.uint32(16)).astype(jnp.uint32)
+    s0 = jax.lax.psum(d0, "x")
+    s1 = jax.lax.psum(d1, "x")
+    s2 = jax.lax.psum(d2, "x")
+    s3 = jax.lax.psum(d3, "x")
+    # digits now ≤ D·(2^16−1) < 2^32; carry-propagate and reduce mod p
+    from ..fields.gf import _reduce128
+
+    digits = []
+    carry = jnp.zeros_like(s0)
+    for s in (s0, s1, s2, s3):
+        acc = s + carry
+        digits.append(acc & jnp.uint32(0xFFFF))
+        carry = acc >> jnp.uint32(16)
+    # carry < 2^16 spills into digit 4; digits 5..7 zero
+    digits += [carry, jnp.zeros_like(carry), jnp.zeros_like(carry), jnp.zeros_like(carry)]
+    out = _reduce128(digits)
+    return out.lo, out.hi
+
+
+def prove_sharded(
+    vp: VirtualPolynomial, transcript: BasicTranscript, mesh: Mesh
+) -> ProverOutput:
+    """Sharded prove() — transcript-identical to sumcheck.prove()."""
+    n = vp.num_vars
+    d = mesh.devices.size
+    log_d = d.bit_length() - 1
+    assert 1 << log_d == d, "device count must be a power of two"
+    max_degree = vp.max_degree
+    transcript.append_message(int(n).to_bytes(8, "little"))
+    transcript.append_message(int(max_degree).to_bytes(8, "little"))
+
+    stacked, m_pad = _stack_mles(vp)
+    ones_row = m_pad - 1
+    pn_pad = _bucket(len(vp.products))
+    coeff_list = [c for c, _ in vp.products] + [(0, 0)] * (pn_pad - len(vp.products))
+    coeffs = gf.ext_stack([_ext_scalar(c) for c in coeff_list])
+    idx = np.full((pn_pad, max_degree), ones_row, dtype=np.int32)
+    for i, (_, fs) in enumerate(vp.products):
+        idx[i, : len(fs)] = fs
+    idx = jnp.asarray(idx)
+
+    # place the stacked MLEs sharded over the trailing axis
+    sharding = NamedSharding(mesh, P(None, "x"))
+    stacked = gf.GF2(
+        gf.GF(
+            jax.device_put(stacked.a0.lo, sharding),
+            jax.device_put(stacked.a0.hi, sharding),
+        ),
+        gf.GF(
+            jax.device_put(stacked.a1.lo, sharding),
+            jax.device_put(stacked.a1.hi, sharding),
+        ),
+    )
+
+    point = []
+    msgs = []
+    r = None
+    local_rounds = n - log_d
+    for rnd in range(local_rounds):
+        kern = _shard_kernel(mesh, max_degree, fold=rnd > 0)
+        r_arg = _ext_scalar((0, 0)) if r is None else _ext_scalar(r)
+        stacked, msg = kern(stacked, coeffs, idx, r_arg)
+        evals = _msg_to_host(msg)
+        msgs.append(evals)
+        transcript.append_field_element_exts(evals)
+        r = transcript.get_and_append_challenge(b"Internal round")
+        point.append(r)
+
+    # gather the per-device remainders: (M, D) replicated, continue locally
+    stacked = jax.device_put(
+        gf.GF2(
+            gf.GF(np.asarray(stacked.a0.lo), np.asarray(stacked.a0.hi)),
+            gf.GF(np.asarray(stacked.a1.lo), np.asarray(stacked.a1.hi)),
+        ),
+        NamedSharding(mesh, P(None, None)),
+    )
+    for rnd in range(local_rounds, n):
+        r_arg = _ext_scalar(r)
+        stacked, msg = _round_kernel(
+            stacked, coeffs, idx, r_arg,
+            n_points=max_degree + 1, degree=max_degree, fold=True,
+        )
+        evals = _msg_to_host(msg)
+        msgs.append(evals)
+        transcript.append_field_element_exts(evals)
+        r = transcript.get_and_append_challenge(b"Internal round")
+        point.append(r)
+
+    stacked = _final_fold(stacked, _ext_scalar(r))
+    a0, a1 = gf.ext_to_u64(stacked.reshape(m_pad))
+    final_evals = [
+        (int(x), int(y)) for x, y in zip(a0[: len(vp.mles)], a1[: len(vp.mles)])
+    ]
+    return ProverOutput(
+        proof=SumcheckProof(point=point, round_messages=msgs),
+        final_evals=final_evals,
+    )

@@ -607,3 +607,499 @@ def verify(
     assert _deg2_eval(
         proof.sumcheck_messages[-1], fold_challenges[-1]
     ) == total, "final message inner product"
+
+
+# ---------------------------------------------------------------------------
+# simple batch: many same-size polys, one commitment, one point
+# (basefold.rs:777 simple_batch_open / :1000 simple_batch_verify)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _rlc_rows(rows, coeffs: gf.GF2, k: int):
+    """Σ_i coeffs[i]·rows[i] for GF rows (k, N) -> GF2 (N,)."""
+    acc = None
+    for i in range(k):
+        c = gf.GF2(coeffs.a0[i], coeffs.a1[i])
+        if isinstance(rows, gf.GF2):
+            row = gf.GF2(rows.a0[i], rows.a1[i])
+            term = gf.ext_mul(gf.ext_broadcast_to(c.reshape((1,)), row.shape), row)
+        else:
+            row = rows[i]
+            term = mle_mod.ext_mul_by_base(
+                gf.ext_broadcast_to(c.reshape((1,)), row.shape), row
+            )
+        acc = term if acc is None else gf.ext_add(acc, term)
+    return acc
+
+
+def simple_batch_open(
+    params: BasefoldParams,
+    comm: CommitmentWithWitness,
+    point: list[ExtPair],
+    transcript: BasicTranscript,
+) -> BasefoldProof:
+    """Open K same-size polys of one commitment at one shared point."""
+    num_vars = comm.num_vars
+    k = comm.commitment.num_polys
+    if comm.commitment.is_trivial:
+        evals = [[int(x) for x in gf.to_u64(bh)] for bh in comm.bh_evals]
+        return BasefoldProof([], [], [], trivial_evals=evals)
+    batch_size_log = max(1, (k - 1).bit_length()) if k > 1 else 0
+    ts = [transcript.get_and_append_challenge(b"batch coeffs") for _ in range(batch_size_log)]
+    eq_t = _eq_table_host(ts)  # 2^batch_size_log coeffs; first k used
+    coeffs_dev = gf.ext_from_u64(
+        np.asarray([eq_t[i][0] for i in range(k)], dtype=np.uint64),
+        np.asarray([eq_t[i][1] for i in range(k)], dtype=np.uint64),
+    )
+    # RLC the bh_evals and the codewords
+    bh_stack = gf.stack(comm.bh_evals, axis=0) if not isinstance(comm.bh_evals[0], gf.GF2) else None
+    assert bh_stack is not None, "ext witness polys unsupported in simple batch"
+    running_evals = _rlc_rows(bh_stack, coeffs_dev, k)
+    running_oracle = _rlc_rows(comm.codeword, coeffs_dev, k)
+
+    num_rounds = num_vars - params.basecode_msg_size_log
+    trees, msgs, roots, final_message = _commit_phase(
+        params, point, running_evals, running_oracle, transcript, num_vars, num_rounds
+    )
+    indices = _sample_queries(params, transcript, comm.codeword_size())
+    # open the K-column pairs of the batch commitment + folded oracle pairs
+    pair0 = np.asarray([i >> 1 for i in indices], dtype=np.int64)
+    col_pairs = []
+    for i in range(k):
+        row = comm.codeword[i]
+        lo, hi = _gather_pairs(row, pair0)
+        col_pairs.append((lo, hi))
+    paths0 = comm.tree.paths(pair0)
+    per_tree = []
+    idx = pair0
+    for t in trees:
+        idx = idx >> 1
+        lo, hi = _gather_pairs(t.leaves, idx)
+        per_tree.append((lo, hi, t.paths(idx)))
+    queries = []
+    for q in range(len(indices)):
+        queries.append(
+            QueryOpening(
+                commitment_pair=(
+                    [col_pairs[i][0][q] for i in range(k)],
+                    [col_pairs[i][1][q] for i in range(k)],
+                ),
+                commitment_path=paths0[q],
+                oracle_pairs=[(pt[0][q], pt[1][q]) for pt in per_tree],
+                oracle_paths=[pt[2][q] for pt in per_tree],
+            )
+        )
+    return BasefoldProof(msgs, roots, final_message, indices, queries)
+
+
+def simple_batch_verify(
+    params: BasefoldParams,
+    commitment: BasefoldCommitment,
+    point: list[ExtPair],
+    evals: list[ExtPair],
+    proof: BasefoldProof,
+    transcript: BasicTranscript,
+):
+    k = commitment.num_polys
+    assert len(evals) == k
+    if proof.is_trivial:
+        leaves = gf.stack(
+            [gf.from_u64(np.asarray(e, dtype=np.uint64)) for e in proof.trivial_evals],
+            axis=0,
+        ) if k > 1 else gf.from_u64(np.asarray(proof.trivial_evals[0], dtype=np.uint64))
+        tree = MerkleTree.from_leaves(leaves)
+        assert tree.root == commitment.root, "trivial root mismatch"
+        pt = [_ext_scalar(p) for p in point]
+        for i in range(k):
+            got = mle_mod.evaluate(
+                gf.from_u64(np.asarray(proof.trivial_evals[i], dtype=np.uint64)), pt
+            )
+            assert _pairs_host(got.reshape((1,)))[0] == evals[i], f"trivial eval {i}"
+        return
+    num_vars = len(point)
+    batch_size_log = max(1, (k - 1).bit_length()) if k > 1 else 0
+    ts = [transcript.get_and_append_challenge(b"batch coeffs") for _ in range(batch_size_log)]
+    eq_t = _eq_table_host(ts)
+    target_eval = (0, 0)
+    for i in range(k):
+        target_eval = host.ext_add(target_eval, host.ext_mul(eq_t[i], evals[i]))
+
+    num_rounds = num_vars - params.basecode_msg_size_log
+    fold_challenges: list[ExtPair] = []
+    for i in range(num_rounds):
+        transcript.append_field_element_exts(proof.sumcheck_messages[i])
+        fold_challenges.append(transcript.get_and_append_challenge(b"commit round"))
+        if i < num_rounds - 1:
+            transcript.append_field_elements(np.asarray(proof.roots[i], dtype=np.uint64))
+    transcript.append_field_element_exts(proof.final_message)
+    indices = _sample_queries(params, transcript, 1 << (num_vars + params.rate_log))
+    assert indices == proof.query_indices, "query indices mismatch"
+
+    final_codeword = _encode_final_message_host(params, proof.final_message)
+
+    from .merkle import leaf_digest_host as _ldh
+    from ..hashing import poseidon2 as _p2
+
+    for q, index in zip(proof.queries, indices):
+        pair = index >> 1
+        los, his = q.commitment_pair
+        # batch leaf digest: compress(pack(los), pack(his))
+        packed_lo = np.zeros(4, dtype=np.uint64)
+        packed_hi = np.zeros(4, dtype=np.uint64)
+        for i in range(min(k, 4)):
+            packed_lo[i] = los[i]
+            packed_hi[i] = his[i]
+        ld = _p2.compress_host(packed_lo, packed_hi)
+        assert verify_path(ld, pair, q.commitment_path, commitment.root), "batch leaf path"
+        # RLC the opened column values, then walk the fold chain
+        cur_lo, cur_hi = (0, 0), (0, 0)
+        for i in range(k):
+            cur_lo = host.ext_add(cur_lo, host.ext_mul(eq_t[i], (int(los[i]), 0)))
+            cur_hi = host.ext_add(cur_hi, host.ext_mul(eq_t[i], (int(his[i]), 0)))
+        level = num_vars + params.rate_log - 1
+        idx = pair
+        for rnd in range(num_rounds):
+            x0s, ws = params.fold_coeffs_host(level)
+            folded = host.ext_add(
+                cur_lo,
+                host.ext_mul(
+                    host.ext_mul(
+                        host.ext_sub(fold_challenges[rnd], (int(x0s[idx]), 0)),
+                        (int(ws[idx]), 0),
+                    ),
+                    host.ext_sub(cur_hi, cur_lo),
+                ),
+            )
+            if rnd == num_rounds - 1:
+                assert folded == final_codeword[idx], "final codeword mismatch"
+                break
+            nxt = idx >> 1
+            o_lo, o_hi = q.oracle_pairs[rnd]
+            got = o_hi if idx & 1 else o_lo
+            assert folded == got, f"fold chain mismatch round {rnd}"
+            ld = _ldh(o_lo, o_hi, ext=True)
+            assert verify_path(ld, nxt, q.oracle_paths[rnd], proof.roots[rnd]), (
+                f"oracle path {rnd}"
+            )
+            idx = nxt
+            cur_lo, cur_hi = o_lo, o_hi
+            level -= 1
+
+    assert target_eval == _deg2_zero_plus_one(proof.sumcheck_messages[0]), "claimed eval"
+    for i in range(len(fold_challenges) - 1):
+        assert _deg2_eval(proof.sumcheck_messages[i], fold_challenges[i]) == (
+            _deg2_zero_plus_one(proof.sumcheck_messages[i + 1])
+        ), f"sumcheck chain {i}"
+    rev_challenges = list(reversed(fold_challenges))
+    coeff = _eq_eval_host(point[num_vars - num_rounds :], rev_challenges)
+    eq_low = _eq_table_host(point[: num_vars - num_rounds])
+    total = (0, 0)
+    for m, e in zip(proof.final_message, eq_low, strict=True):
+        total = host.ext_add(total, host.ext_mul(m, host.ext_mul(e, coeff)))
+    assert _deg2_eval(
+        proof.sumcheck_messages[-1], fold_challenges[-1]
+    ) == total, "final message inner product"
+
+
+# ---------------------------------------------------------------------------
+# full batch: many polys, many points (basefold.rs:546 batch_open)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BatchEvaluation:
+    """mpcs Evaluation{poly, point, value} (mpcs/src/lib.rs)."""
+
+    poly: int
+    point: int
+    value: ExtPair
+
+
+@partial(jax.jit, static_argnames=("reps",))
+def _tile_ext(values: gf.GF2, reps: int) -> gf.GF2:
+    """Tile a little-endian poly over `reps` high-var copies."""
+    return gf.GF2(
+        gf.GF(jnp.tile(values.a0.lo, reps), jnp.tile(values.a0.hi, reps)),
+        gf.GF(jnp.tile(values.a1.lo, reps), jnp.tile(values.a1.hi, reps)),
+    )
+
+
+def batch_open(
+    params: BasefoldParams,
+    polys: list,  # little-endian GF eval arrays
+    comms: list[CommitmentWithWitness],
+    points: list[list[ExtPair]],
+    evals: list[BatchEvaluation],
+    transcript: BasicTranscript,
+):
+    """Batched opening of many (poly, point, eval) triples.
+
+    Returns the proof (batch sumcheck embedded). Protocol (basefold.rs:546):
+      1. squeeze ⌈log₂ #evals⌉ b"batch coeffs" challenges t; eq_t table;
+      2. sumcheck Σ_x Σ_pt eq(x, point_pt)·merged_pt(x) = Σ eq_t·2^Δ·eval
+         (merged_pt = Σ eq_t[i]·poly_i, smaller polys on the LOW vars);
+      3. per-commitment RLC coeffs from eq(challenges, point)·eq_t;
+      4. batched commit phase folding codewords in at matching sizes;
+      5. shared query phase over all commitments + fold trees.
+    """
+    from ..sumcheck import VirtualPolynomial, prove as sumcheck_prove
+
+    num_vars = max(c.num_vars for c in comms)
+    batch_size_log = max(1, (len(evals) - 1).bit_length()) if len(evals) > 1 else 0
+    ts = [transcript.get_and_append_challenge(b"batch coeffs") for _ in range(batch_size_log)]
+    eq_t = _eq_table_host(ts)
+
+    # target sum (for the verifier side; prover doesn't strictly need it)
+    target_sum = (0, 0)
+    for i, ev in enumerate(evals):
+        scale = (1 << (num_vars - len(points[ev.point]))) % host.P
+        target_sum = host.ext_add(
+            target_sum,
+            host.ext_mul(host.ext_mul(eq_t[i], (scale, 0)), ev.value),
+        )
+
+    # merged poly per point: Σ eq_t[i]·poly_i (ext), tiled to full size
+    merged = {}
+    for i, ev in enumerate(evals):
+        c = _ext_scalar(eq_t[i])
+        poly = polys[ev.poly]
+        term = mle_mod.ext_mul_by_base(
+            gf.ext_broadcast_to(c.reshape((1,)), (poly.shape[0],)), poly
+        )
+        if ev.point in merged:
+            assert merged[ev.point].shape[0] == poly.shape[0], (
+                "polys opened at one point must share size"
+            )
+            merged[ev.point] = gf.ext_add(merged[ev.point], term)
+        else:
+            merged[ev.point] = term
+
+    vp = VirtualPolynomial.new(num_vars)
+    for pt_idx, m in sorted(merged.items()):
+        n_pt = len(points[pt_idx])
+        eq = mle_mod.eq_table([_ext_scalar(p) for p in points[pt_idx]])
+        reps = 1 << (num_vars - n_pt)
+        m_full = _tile_ext(m, reps) if reps > 1 else m
+        eq_full = _tile_ext(eq, reps) if reps > 1 else eq
+        i_eq = vp.add_mle(eq_full)
+        i_m = vp.add_mle(m_full)
+        vp.add_product((1, 0), [i_eq, i_m])
+    sc_out = sumcheck_prove(vp, transcript)
+    challenges = sc_out.proof.point
+
+    # per-commitment RLC coefficients (verifier recomputes these)
+    coeffs = [(0, 0)] * len(comms)
+    for i, ev in enumerate(evals):
+        n_pt = len(points[ev.point])
+        e = _eq_eval_host(challenges[:n_pt], points[ev.point])
+        coeffs[ev.poly] = host.ext_add(coeffs[ev.poly], host.ext_mul(e, eq_t[i]))
+
+    # initial oracle/evals from max-size commitments
+    full_cw = 1 << (num_vars + params.rate_log)
+    oracle = gf.ext_zeros((full_cw,))
+    run_evals = gf.ext_zeros((1 << num_vars,))
+    for c, comm in zip(coeffs, comms):
+        cd = _ext_scalar(c)
+        if comm.codeword_size() == full_cw:
+            oracle = gf.ext_add(
+                oracle,
+                mle_mod.ext_mul_by_base(
+                    gf.ext_broadcast_to(cd.reshape((1,)), (full_cw,)), comm.codeword
+                ),
+            )
+        # bh_evals are bit-reversed; smaller polys broadcast over consecutive
+        # chunks (commit_phase.rs:227-238)
+        reps = 1 << (num_vars - comm.num_vars)
+        bh = comm.bh_evals[0]
+        term = mle_mod.ext_mul_by_base(
+            gf.ext_broadcast_to(cd.reshape((1,)), (bh.shape[0],)), bh
+        )
+        if reps > 1:
+            term = gf.GF2(
+                gf.GF(
+                    jnp.repeat(term.a0.lo, reps), jnp.repeat(term.a0.hi, reps)
+                ),
+                gf.GF(
+                    jnp.repeat(term.a1.lo, reps), jnp.repeat(term.a1.hi, reps)
+                ),
+            )
+        run_evals = gf.ext_add(run_evals, term)
+
+    num_rounds = num_vars - params.basecode_msg_size_log
+
+    def merger(i, oracle):
+        size = oracle.shape[0]
+        out = oracle
+        for c, comm in zip(coeffs, comms):
+            if comm.codeword_size() == size:
+                cd = _ext_scalar(c)
+                out = gf.ext_add(
+                    out,
+                    mle_mod.ext_mul_by_base(
+                        gf.ext_broadcast_to(cd.reshape((1,)), (size,)), comm.codeword
+                    ),
+                )
+        return out
+
+    trees, msgs, roots, final_message = _commit_phase(
+        params, challenges, run_evals, oracle, transcript, num_vars, num_rounds,
+        oracle_merger=merger,
+    )
+    indices = _sample_queries(params, transcript, full_cw)
+
+    # queries: per commitment pairs at shifted indices + fold-tree pairs
+    comm_pairs = []
+    for comm in comms:
+        shift = num_vars - comm.num_vars
+        pair_idx = np.asarray([(i >> shift) >> 1 for i in indices], dtype=np.int64)
+        lo, hi = _gather_pairs(comm.codeword, pair_idx)
+        paths = comm.tree.paths(pair_idx)
+        comm_pairs.append((lo, hi, paths, pair_idx))
+    per_tree = []
+    idx = np.asarray([i >> 1 for i in indices], dtype=np.int64)
+    for t in trees:
+        idx = idx >> 1
+        lo, hi = _gather_pairs(t.leaves, idx)
+        per_tree.append((lo, hi, t.paths(idx)))
+    queries = []
+    for q in range(len(indices)):
+        queries.append(
+            QueryOpening(
+                commitment_pair=[
+                    (cp[0][q], cp[1][q]) for cp in comm_pairs
+                ],
+                commitment_path=[cp[2][q] for cp in comm_pairs],
+                oracle_pairs=[(pt[0][q], pt[1][q]) for pt in per_tree],
+                oracle_paths=[pt[2][q] for pt in per_tree],
+            )
+        )
+    proof = BasefoldProof(
+        msgs, roots, final_message, indices, queries, batch_sumcheck=sc_out.proof
+    )
+    return proof
+
+
+def batch_verify(
+    params: BasefoldParams,
+    commitments: list[BasefoldCommitment],
+    points: list[list[ExtPair]],
+    evals: list[BatchEvaluation],
+    proof: BasefoldProof,
+    transcript: BasicTranscript,
+):
+    from ..sumcheck import verify as sumcheck_verify
+    from .merkle import leaf_digest_host as _ldh
+
+    num_vars = max(len(p) for p in points)
+    batch_size_log = max(1, (len(evals) - 1).bit_length()) if len(evals) > 1 else 0
+    ts = [transcript.get_and_append_challenge(b"batch coeffs") for _ in range(batch_size_log)]
+    eq_t = _eq_table_host(ts)
+
+    target_sum = (0, 0)
+    for i, ev in enumerate(evals):
+        scale = (1 << (num_vars - len(points[ev.point]))) % host.P
+        target_sum = host.ext_add(
+            target_sum, host.ext_mul(host.ext_mul(eq_t[i], (scale, 0)), ev.value)
+        )
+
+    sub = sumcheck_verify(
+        target_sum, proof.batch_sumcheck.round_messages, num_vars, 2, transcript
+    )
+    challenges = sub.point
+
+    # recompute per-commitment coeffs; check the sumcheck's expected value
+    # against Σ_pt eq(chal[:n_pt], point_pt)·merged_eval is deferred to the
+    # commit-phase claimed eval (first message): Σ coeffs·poly(chal) — the
+    # chain below enforces it against the committed codewords.
+    coeffs = [(0, 0)] * len(commitments)
+    for i, ev in enumerate(evals):
+        n_pt = len(points[ev.point])
+        e = _eq_eval_host(challenges[:n_pt], points[ev.point])
+        coeffs[ev.poly] = host.ext_add(coeffs[ev.poly], host.ext_mul(e, eq_t[i]))
+
+    num_rounds = num_vars - params.basecode_msg_size_log
+    fold_challenges: list[ExtPair] = []
+    for i in range(num_rounds):
+        transcript.append_field_element_exts(proof.sumcheck_messages[i])
+        fold_challenges.append(transcript.get_and_append_challenge(b"commit round"))
+        if i < num_rounds - 1:
+            transcript.append_field_elements(np.asarray(proof.roots[i], dtype=np.uint64))
+    transcript.append_field_element_exts(proof.final_message)
+    indices = _sample_queries(params, transcript, 1 << (num_vars + params.rate_log))
+    assert indices == proof.query_indices, "query indices mismatch"
+
+    final_codeword = _encode_final_message_host(params, proof.final_message)
+
+    # the commit-phase claim equals the sumcheck's expected evaluation
+    assert sub.expected_evaluation == _deg2_zero_plus_one(
+        proof.sumcheck_messages[0]
+    ), "batch claim mismatch"
+
+    for q, index in zip(proof.queries, indices):
+        # verify all commitment openings
+        for ci, (cm, c) in enumerate(zip(commitments, coeffs)):
+            shift = num_vars - cm.num_vars
+            pair = (index >> shift) >> 1
+            lo, hi = q.commitment_pair[ci]
+            ld = _ldh(int(lo), int(hi), ext=False)
+            assert verify_path(ld, pair, q.commitment_path[ci], cm.root), (
+                f"commitment {ci} path"
+            )
+        # walk the fold chain, merging commitment contributions at each size
+        idx_pair = index >> 1
+        level = num_vars + params.rate_log - 1
+        cur_lo, cur_hi = (0, 0), (0, 0)
+        for ci, (cm, c) in enumerate(zip(commitments, coeffs)):
+            if cm.num_vars == num_vars:
+                lo, hi = q.commitment_pair[ci]
+                cur_lo = host.ext_add(cur_lo, host.ext_mul(c, (int(lo), 0)))
+                cur_hi = host.ext_add(cur_hi, host.ext_mul(c, (int(hi), 0)))
+        idx = idx_pair
+        for rnd in range(num_rounds):
+            x0s, ws = params.fold_coeffs_host(level)
+            folded = host.ext_add(
+                cur_lo,
+                host.ext_mul(
+                    host.ext_mul(
+                        host.ext_sub(fold_challenges[rnd], (int(x0s[idx]), 0)),
+                        (int(ws[idx]), 0),
+                    ),
+                    host.ext_sub(cur_hi, cur_lo),
+                ),
+            )
+            if rnd == num_rounds - 1:
+                assert folded == final_codeword[idx], "final codeword mismatch"
+                break
+            nxt = idx >> 1
+            o_lo, o_hi = q.oracle_pairs[rnd]
+            got = o_hi if idx & 1 else o_lo
+            assert folded == got, f"batch fold chain mismatch round {rnd}"
+            ld = _ldh(o_lo, o_hi, ext=True)
+            assert verify_path(ld, nxt, q.oracle_paths[rnd], proof.roots[rnd]), (
+                f"oracle path {rnd}"
+            )
+            # merge commitments whose codeword size matches the next oracle
+            cur_lo, cur_hi = o_lo, o_hi
+            next_size_vars = num_vars - (rnd + 1)
+            for ci, (cm, c) in enumerate(zip(commitments, coeffs)):
+                if cm.num_vars == next_size_vars:
+                    lo, hi = q.commitment_pair[ci]
+                    cur_lo = host.ext_add(cur_lo, host.ext_mul(c, (int(lo), 0)))
+                    cur_hi = host.ext_add(cur_hi, host.ext_mul(c, (int(hi), 0)))
+            idx = nxt
+            level -= 1
+
+    for i in range(len(fold_challenges) - 1):
+        assert _deg2_eval(proof.sumcheck_messages[i], fold_challenges[i]) == (
+            _deg2_zero_plus_one(proof.sumcheck_messages[i + 1])
+        ), f"batch sumcheck chain {i}"
+    rev_challenges = list(reversed(fold_challenges))
+    coeff = _eq_eval_host(challenges[num_vars - num_rounds :], rev_challenges)
+    eq_low = _eq_table_host(challenges[: num_vars - num_rounds])
+    total = (0, 0)
+    for m, e in zip(proof.final_message, eq_low, strict=True):
+        total = host.ext_add(total, host.ext_mul(m, host.ext_mul(e, coeff)))
+    assert _deg2_eval(
+        proof.sumcheck_messages[-1], fold_challenges[-1]
+    ) == total, "batch final message inner product"

@@ -1,0 +1,3 @@
+from . import model, quantization, tensor
+
+__all__ = ["model", "quantization", "tensor"]

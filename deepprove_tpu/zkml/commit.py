@@ -1,0 +1,229 @@
+"""Claim accumulation → batched Basefold opening (zkml/src/commit/).
+
+`CommitmentContext` commits every model weight poly (+ committed table
+columns) at setup (commit/context.rs:59); `CommitmentProver` collects
+claims during the backward proving pass, splits trivial (≤ basecode
+vars) from batched, and emits one `batch_open` (context.rs:355-430);
+`CommitmentVerifier` mirrors it. `same_poly` binds k claims on one
+polynomial into one via a β-RLC sumcheck (commit/same_poly.rs:57-170).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fields import gf, host
+from ..lookup.logup import Claim
+from ..pcs import basefold
+from ..poly import mle as mle_mod
+from ..sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
+from ..transcript import BasicTranscript
+
+ExtPair = tuple[int, int]
+
+
+def _ext_scalar(p: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+
+def _pair(e: gf.GF2) -> ExtPair:
+    a0, a1 = gf.ext_to_u64(e.reshape((1,)))
+    return (int(a0[0]), int(a1[0]))
+
+
+class CommitmentContext:
+    """Params + commitments for model polys and committed table columns."""
+
+    def __init__(self, max_poly_len: int, model_polys, table_types, **pcs_kw):
+        """model_polys: {node_id: {poly_id: GF evals}} (little-endian)."""
+        for polys in model_polys.values():
+            for p in polys.values():
+                max_poly_len = max(max_poly_len, p.shape[0])
+        self.params = basefold.setup(max(1, (max_poly_len - 1).bit_length()), **pcs_kw)
+        self.model_comms = {}
+        for node_id in sorted(model_polys):
+            self.model_comms[node_id] = {
+                pid: (basefold.commit(self.params, poly), poly)
+                for pid, poly in sorted(model_polys[node_id].items())
+            }
+        self.table_comms = {}
+        for tt in sorted(table_types):
+            cols = tt.committed_columns()
+            if cols is not None:
+                self.table_comms[tt] = (basefold.commit(self.params, cols), cols)
+
+    @property
+    def trivial_num_vars(self) -> int:
+        return self.params.basecode_msg_size_log
+
+    def commit(self, evals: gf.GF):
+        return basefold.commit(self.params, evals)
+
+    def write_to_transcript(self, transcript: BasicTranscript):
+        for node_id in sorted(self.model_comms):
+            for pid in sorted(self.model_comms[node_id]):
+                comm, _ = self.model_comms[node_id][pid]
+                basefold.write_commitment(comm.commitment, transcript)
+        for tt in sorted(self.table_comms):
+            comm, _ = self.table_comms[tt]
+            basefold.write_commitment(comm.commitment, transcript)
+
+
+@dataclasses.dataclass
+class _ProverClaim:
+    comm: object  # CommitmentWithWitness
+    poly: gf.GF
+    claim: Claim
+
+
+class CommitmentProver:
+    def __init__(self, ctx: CommitmentContext):
+        self.ctx = ctx
+        self.claims: list[_ProverClaim] = []
+        self.trivial: list[_ProverClaim] = []
+
+    def add_witness_claim(self, comm_with_poly, claim: Claim):
+        comm, poly = comm_with_poly
+        entry = _ProverClaim(comm, poly, claim)
+        if poly.shape[0].bit_length() - 1 <= self.ctx.trivial_num_vars:
+            self.trivial.append(entry)
+        else:
+            self.claims.append(entry)
+
+    def add_common_claims(self, node_id: int, claims: dict):
+        """Model-poly claims keyed by poly id, added in sorted-id order."""
+        for pid, (comm, poly) in self.ctx.model_comms[node_id].items():
+            self.add_witness_claim((comm, poly), claims[pid])
+
+    def add_table_claim(self, table_type, claim: Claim):
+        comm, poly = self.ctx.table_comms[table_type]
+        self.add_witness_claim((comm, poly), claim)
+
+    def prove(self, transcript: BasicTranscript):
+        trivial_proofs = []
+        for tc in self.trivial:
+            proof = basefold.open(self.ctx.params, tc.comm, tc.claim.point, transcript)
+            trivial_proofs.append(proof)
+        polys = [c.poly for c in self.claims]
+        comms = [c.comm for c in self.claims]
+        points = [c.claim.point for c in self.claims]
+        evals = [
+            basefold.BatchEvaluation(poly=i, point=i, value=c.claim.eval)
+            for i, c in enumerate(self.claims)
+        ]
+        batch_proof = None
+        if self.claims:
+            batch_proof = basefold.batch_open(
+                self.ctx.params, polys, comms, points, evals, transcript
+            )
+        return {"batch": batch_proof, "trivial": trivial_proofs}
+
+
+@dataclasses.dataclass
+class _VerifierClaim:
+    commitment: object  # BasefoldCommitment
+    claim: Claim
+
+
+class CommitmentVerifier:
+    def __init__(self, ctx: CommitmentContext):
+        self.ctx = ctx
+        self.claims: list[_VerifierClaim] = []
+        self.trivial: list[_VerifierClaim] = []
+
+    def add_witness_claim(self, commitment, claim: Claim):
+        entry = _VerifierClaim(commitment, claim)
+        if commitment.num_vars <= self.ctx.trivial_num_vars:
+            self.trivial.append(entry)
+        else:
+            self.claims.append(entry)
+
+    def add_common_claims(self, node_id: int, claims: dict):
+        for pid, (comm, _) in self.ctx.model_comms[node_id].items():
+            self.add_witness_claim(comm.commitment, claims[pid])
+
+    def add_table_claim(self, table_type, claim: Claim):
+        comm, _ = self.ctx.table_comms[table_type]
+        self.add_witness_claim(comm.commitment, claim)
+
+    def verify(self, proof, transcript: BasicTranscript):
+        assert len(proof["trivial"]) == len(self.trivial), "trivial proof count"
+        for tp, tc in zip(proof["trivial"], self.trivial):
+            basefold.verify(
+                self.ctx.params, tc.commitment, tc.claim.point, tc.claim.eval,
+                tp, transcript,
+            )
+        if self.claims:
+            commitments = [c.commitment for c in self.claims]
+            points = [c.claim.point for c in self.claims]
+            evals = [
+                basefold.BatchEvaluation(poly=i, point=i, value=c.claim.eval)
+                for i, c in enumerate(self.claims)
+            ]
+            basefold.batch_verify(
+                self.ctx.params, commitments, points, evals, proof["batch"], transcript
+            )
+        else:
+            assert proof["batch"] is None
+
+
+# ---------------------------------------------------------------------------
+# same-poly claim aggregation (commit/same_poly.rs)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SamePolyProof:
+    sumcheck: object  # SumcheckProof
+    evals: list[ExtPair]  # [beta eval, poly eval]
+
+    def extract_claim(self) -> Claim:
+        return Claim(point=list(self.sumcheck.point), eval=self.evals[1])
+
+
+def same_poly_prove(poly, claims: list[Claim], transcript: BasicTranscript) -> SamePolyProof:
+    """Σ_x (Σ_i a_i·eq(x, r_i))·f(x) = Σ_i a_i·y_i with fresh challenges a_i."""
+    n = poly.shape[0].bit_length() - 1
+    challenges = [transcript.read_challenge() for _ in range(len(claims))]
+    beta = None
+    for a, c in zip(challenges, claims):
+        pt = [_ext_scalar(p) for p in c.point]
+        t = mle_mod.eq_table(pt, scale=_ext_scalar(a))
+        beta = t if beta is None else gf.ext_add(beta, t)
+    vp = VirtualPolynomial.new(n)
+    i_b = vp.add_mle(beta)
+    i_p = vp.add_mle(poly)
+    vp.add_product((1, 0), [i_b, i_p])
+    out = sumcheck_prove(vp, transcript)
+    return SamePolyProof(sumcheck=out.proof, evals=out.final_evals)
+
+
+def same_poly_verify(
+    proof: SamePolyProof, claims: list[Claim], num_vars: int, transcript: BasicTranscript
+) -> Claim:
+    challenges = [transcript.read_challenge() for _ in range(len(claims))]
+    y = (0, 0)
+    for a, c in zip(challenges, claims):
+        y = host.ext_add(y, host.ext_mul(a, c.eval))
+    sub = sumcheck_verify(y, proof.sumcheck.round_messages, num_vars, 2, transcript)
+    beta_eval = (0, 0)
+    for a, c in zip(challenges, claims):
+        beta_eval = host.ext_add(
+            beta_eval, host.ext_mul(a, _eq_eval(c.point, sub.point))
+        )
+    got = host.ext_mul(beta_eval, proof.evals[1])
+    assert got == sub.expected_evaluation, "same-poly final check"
+    return Claim(point=list(sub.point), eval=proof.evals[1])
+
+
+def _eq_eval(x: list[ExtPair], y: list[ExtPair]) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc,
+            host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))),
+        )
+    return acc

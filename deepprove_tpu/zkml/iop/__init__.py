@@ -1,0 +1,5 @@
+from .context import Context
+from .prover import Prover
+from .verifier import verify
+
+__all__ = ["Context", "Prover", "verify"]

@@ -1,0 +1,65 @@
+"""Proving context: per-node layer contexts + commitments (iop/context.rs:109).
+
+`Context.generate` walks the model forward, calling each op's `step_info`
+to build its verifier-side `LayerCtx` and register lookup tables + model
+polynomials, then commits everything via `CommitmentContext`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..commit import CommitmentContext
+from ..model import Model
+from ..tensor import next_pow2
+
+
+@dataclasses.dataclass
+class ContextAux:
+    tables: set = dataclasses.field(default_factory=set)
+    model_polys: dict = dataclasses.field(default_factory=dict)
+    max_poly_len: int = 0
+
+
+@dataclasses.dataclass
+class NodeCtx:
+    node_id: int
+    op: object  # the layer op (prover side)
+    ctx: object  # the LayerCtx (verifier side)
+    inputs: list  # edges
+
+
+class Context:
+    def __init__(self, model: Model, steps_info, lookup, commitment_ctx):
+        self.model = model
+        self.steps_info = steps_info  # NodeId -> NodeCtx
+        self.lookup = lookup  # sorted list of TableType
+        self.commitment_ctx = commitment_ctx
+
+    @staticmethod
+    def generate(model: Model, **pcs_kw) -> "Context":
+        aux = ContextAux()
+        steps_info = {}
+        for nid in model.forward_order():
+            node = model.nodes[nid]
+            layer_ctx = node.op.step_info(nid, aux)
+            steps_info[nid] = NodeCtx(
+                node_id=nid, op=node.op, ctx=layer_ctx, inputs=node.inputs
+            )
+        lookup = sorted(aux.tables)
+        commitment_ctx = CommitmentContext(
+            max_poly_len=next_pow2(max(1, aux.max_poly_len)),
+            model_polys=aux.model_polys,
+            table_types=lookup,
+            **pcs_kw,
+        )
+        return Context(model, steps_info, lookup, commitment_ctx)
+
+    def forward_order(self):
+        return sorted(self.steps_info)
+
+    def backward_order(self):
+        return sorted(self.steps_info, reverse=True)
+
+    def write_to_transcript(self, transcript):
+        self.commitment_ctx.write_to_transcript(transcript)

@@ -1,0 +1,137 @@
+"""Model prover: the backward claim loop (iop/prover.rs:401 Prover::prove).
+
+Flow: absorb the context, generate lookup witnesses + challenges, derive
+output claims from Fiat-Shamir, walk the DAG backwards proving each node
+(per-layer sumchecks + logup), prove the lookup tables, then emit one
+batched Basefold opening for every accumulated claim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup import logup
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...transcript import BasicTranscript
+from ..commit import CommitmentProver
+from ..lookup_context import generate_lookup_witnesses
+from ..model import InferenceTrace
+
+ExtPair = tuple[int, int]
+
+
+@dataclasses.dataclass
+class TableProof:
+    table_type: object
+    multiplicity_commit: object  # BasefoldCommitment
+    lookup: object  # LogUpProof
+
+
+@dataclasses.dataclass
+class Proof:
+    steps: dict  # NodeId -> layer proof
+    table_proofs: list[TableProof]
+    commit: dict  # {"batch": ..., "trivial": [...]}
+
+
+class Prover:
+    def __init__(self, ctx, transcript: BasicTranscript):
+        self.ctx = ctx
+        self.transcript = transcript
+        self.commit_prover = CommitmentProver(ctx.commitment_ctx)
+        self.proofs = {}
+        self.table_proofs: list[TableProof] = []
+        self.challenge_storage = None
+        self.lookup_witness = {}
+        self.table_witness = []
+
+    def push_proof(self, node_id, proof):
+        self.proofs[node_id] = proof
+
+    def lookup_witnesses_for(self, node_id):
+        return self.lookup_witness.pop(node_id)
+
+    def prove(self, trace: InferenceTrace) -> Proof:
+        self.ctx.write_to_transcript(self.transcript)
+        if self.ctx.lookup:
+            storage, witnesses, table_witnesses = generate_lookup_witnesses(
+                trace, self.ctx, self.transcript
+            )
+            self.challenge_storage = storage
+            self.lookup_witness = witnesses
+            self.table_witness = table_witnesses
+
+        # output claims from FS (iop/prover.rs:423-436)
+        out_claims = []
+        for out in trace.outputs:
+            n = out.num_vars()
+            r = [self.transcript.read_challenge() for _ in range(n)]
+            out_gf = out.to_gf()
+            y = mle_mod.evaluate(out_gf, [_dev(p) for p in r])
+            out_claims.append(Claim(point=r, eval=_host(y)))
+
+        # backward claim loop
+        claims_by_layer: dict[int, list[Claim]] = {}
+        out_nodes = self.ctx.model.output_nodes()
+        for nid in self.ctx.backward_order():
+            node_ctx = self.ctx.steps_info[nid]
+            claims_for_prove = _claims_for_node(
+                self.ctx.model, nid, claims_by_layer, out_claims, out_nodes
+            )
+            step_data = trace.steps[nid]
+            if node_ctx.op.is_provable:
+                claims = node_ctx.op.prove(
+                    nid, node_ctx.ctx, claims_for_prove, step_data, self
+                )
+            else:
+                claims = list(claims_for_prove)
+            claims_by_layer[nid] = claims
+
+        # table proofs (iop/prover.rs:110)
+        for tw in self.table_witness:
+            logup_input = tw.get_logup_input(self.challenge_storage)
+            table_proof = logup.batch_prove(logup_input, self.transcript)
+            comm, poly = tw.commits[0]
+            self.commit_prover.add_witness_claim(
+                (comm, poly), table_proof.output_claims[0]
+            )
+            table_claims = tw.table_type.table_claims(table_proof.output_claims)
+            if table_claims:
+                self.commit_prover.add_table_claim(tw.table_type, table_claims[0])
+            self.table_proofs.append(
+                TableProof(
+                    table_type=tw.table_type,
+                    multiplicity_commit=comm.commitment,
+                    lookup=table_proof,
+                )
+            )
+
+        commit_proof = self.commit_prover.prove(self.transcript)
+        return Proof(
+            steps=self.proofs, table_proofs=self.table_proofs, commit=commit_proof
+        )
+
+
+def _claims_for_node(model, nid, claims_by_layer, out_claims, out_nodes):
+    """NodeCtx::claims_for_node: a claim per output — from the consumer's
+    input-slot claim, or from out_claims for model outputs."""
+    consumers = model.consumers(nid)
+    if not consumers:
+        idx = out_nodes.index(nid)
+        return [out_claims[idx]]
+    assert len(consumers) == 1, "multi-consumer outputs need same-poly merge (todo)"
+    consumer_id, slot = consumers[0]
+    return [claims_by_layer[consumer_id][slot]]
+
+
+def _dev(p: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+
+def _host(e: gf.GF2) -> ExtPair:
+    a0, a1 = gf.ext_to_u64(e.reshape((1,)))
+    return (int(a0[0]), int(a1[0]))

@@ -1,0 +1,128 @@
+"""Model verifier (iop/verifier.rs:72 Verifier::verify).
+
+Mirrors the prover's transcript interaction exactly: absorb context,
+re-derive lookup challenges, collect lookup fractional outputs, derive
+output claims via FS, verify each layer backwards, verify table proofs,
+check input claims against the model input MLEs, verify the batched
+commitment opening, and enforce the global Σnum = 0 / Πden ≠ 0 check.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup import logup
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...transcript import BasicTranscript
+from ..commit import CommitmentVerifier
+from ..lookup_context import ChallengeStorage
+from .prover import Proof, _claims_for_node, _dev, _host
+
+
+@dataclasses.dataclass
+class IO:
+    inputs: list  # Tensors
+    outputs: list  # Tensors
+
+
+class Verifier:
+    def __init__(self, ctx, transcript: BasicTranscript):
+        self.ctx = ctx
+        self.transcript = transcript
+        self.commit_verifier = CommitmentVerifier(ctx.commitment_ctx)
+        self.challenge_storage = None
+
+
+def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
+    v = Verifier(ctx, transcript)
+    ctx.write_to_transcript(transcript)
+    if ctx.lookup:
+        v.challenge_storage = ChallengeStorage.initialise(ctx.lookup, transcript)
+
+    # collect lookup fractional outputs in forward node order, then tables
+    numerators, denominators = [], []
+    for nid in ctx.forward_order():
+        step_proof = proof.steps.get(nid)
+        if step_proof is None:
+            continue
+        data = step_proof.get_lookup_data()
+        if data is not None:
+            nums, dens = data
+            numerators.extend(nums)
+            denominators.extend(dens)
+    for tp in proof.table_proofs:
+        nums, dens = logup.fractional_outputs(tp.lookup)
+        numerators.extend(nums)
+        denominators.extend(dens)
+
+    # output claims
+    out_claims = []
+    for out in io.outputs:
+        n = out.num_vars()
+        r = [transcript.read_challenge() for _ in range(n)]
+        y = mle_mod.evaluate(out.to_gf(), [_dev(p) for p in r])
+        out_claims.append(Claim(point=r, eval=_host(y)))
+
+    # backward verification loop
+    claims_by_layer = {}
+    out_nodes = ctx.model.output_nodes()
+    for nid in ctx.backward_order():
+        node_ctx = ctx.steps_info[nid]
+        claims_for_verify = _claims_for_node(
+            ctx.model, nid, claims_by_layer, out_claims, out_nodes
+        )
+        if node_ctx.ctx.is_provable:
+            claims = node_ctx.ctx.verify(proof.steps[nid], claims_for_verify, v)
+        else:
+            claims = list(claims_for_verify)
+        claims_by_layer[nid] = claims
+
+    # table proofs (in sorted table order, same as prover)
+    assert len(proof.table_proofs) == len(ctx.lookup), "table proof count"
+    for tp, tt in zip(proof.table_proofs, ctx.lookup):
+        assert tp.table_type == tt, "table order mismatch"
+        const_c, sep_c = v.challenge_storage.get(tt.name())
+        claims = logup.verify_logup_proof(
+            tp.lookup, 1, const_c, sep_c, transcript
+        )
+        v.commit_verifier.add_witness_claim(
+            tp.multiplicity_commit, claims.claims[0]
+        )
+        table_claims = tt.table_claims(claims.claims)
+        if table_claims:
+            v.commit_verifier.add_table_claim(tt, table_claims[0])
+        # check the table column evaluations the verifier can compute itself
+        expected = tt.evaluate_table_columns(claims.claims[0].point)
+        n_table_claims = len(table_claims)
+        col_claims = claims.claims[1:]
+        assert len(expected) == len(col_claims) - n_table_claims
+        for cl, exp in zip(col_claims, expected):
+            assert cl.eval == exp, f"table column eval mismatch for {tt.name()}"
+
+    # input claims: check against the model input MLEs
+    for nid in ctx.forward_order():
+        node_ctx = ctx.steps_info[nid]
+        node_claims = claims_by_layer[nid]
+        for slot, edge in enumerate(node_ctx.inputs):
+            if edge.node is None:
+                claim = node_claims[slot]
+                inp = io.inputs[edge.index]
+                y = mle_mod.evaluate(inp.to_gf(), [_dev(p) for p in claim.point])
+                assert _host(y) == claim.eval, "input claim mismatch"
+
+    # batched opening
+    v.commit_verifier.verify(proof.commit, transcript)
+
+    # global lookup soundness (iop/verifier.rs:275-291)
+    final_num, final_den = (0, 0), (1, 0)
+    for num, den in zip(numerators, denominators):
+        final_num = host.ext_add(
+            host.ext_mul(final_num, den), host.ext_mul(num, final_den)
+        )
+        final_den = host.ext_mul(final_den, den)
+    assert final_num == (0, 0), "global lookup numerator non-zero"
+    assert final_den != (0, 0), "global lookup denominator zero"

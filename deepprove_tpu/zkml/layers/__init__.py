@@ -1,0 +1,3 @@
+from . import activation, dense, requant
+
+__all__ = ["activation", "dense", "requant"]

@@ -1,0 +1,126 @@
+"""Activation (ReLU) by table lookup (zkml/src/layers/activation.rs).
+
+The (input, output) pairs of every activation element are looked up in
+the 2^BIT_LEN-row Relu table via logup-GKR; the output column is bound to
+the incoming claim with a same-poly accumulation sumcheck; input/output
+column commitments + claims go to the batched opening.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup import logup
+from ...lookup.logup import Claim
+from ...transcript import BasicTranscript
+from .. import quantization as Q
+from ..commit import SamePolyProof, same_poly_prove, same_poly_verify
+from ..lookup_context import COLUMN_SEPARATOR, LogUpWitness, TableType, count_elements
+from ..tensor import Tensor, ceil_log2
+
+ExtPair = tuple[int, int]
+
+
+@dataclasses.dataclass
+class Relu:
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        return [Tensor(np.maximum(inputs[0].data, 0))]
+
+    def step_info(self, node_id: int, aux):
+        aux.tables.add(TableType("relu"))
+        return ReluCtx(node_id=node_id)
+
+    def gen_lookup_witness(self, node_id, ctx, step_data):
+        inp = step_data.inputs[0].flat()
+        out = step_data.outputs[0].flat()
+        n = 1 << ceil_log2(inp.size)
+        inp_p = np.zeros(n, dtype=np.int64)
+        out_p = np.zeros(n, dtype=np.int64)
+        inp_p[: inp.size] = inp
+        out_p[: out.size] = out
+        counts = count_elements(inp_p + out_p * COLUMN_SEPARATOR)
+        col_in = gf.from_u64(Q.to_field(inp_p))
+        col_out = gf.from_u64(Q.to_field(out_p))
+        commits = [
+            (ctx.commitment_ctx.commit(col_in), col_in),
+            (ctx.commitment_ctx.commit(col_out), col_out),
+        ]
+        wit = LogUpWitness(
+            commits=commits,
+            column_evals=[col_in, col_out],
+            columns_per_instance=2,
+            table_type=TableType("relu"),
+        )
+        return [wit], {TableType("relu"): counts}
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        (wit,) = prover.lookup_witnesses_for(node_id)
+        logup_input = wit.get_logup_input(prover.challenge_storage)
+        lookup_proof = logup.batch_prove(logup_input, prover.transcript)
+
+        input_claim = lookup_proof.output_claims[0]
+        output_claim = lookup_proof.output_claims[1]
+        out_poly = wit.column_evals[1]
+        acc_proof = same_poly_prove(
+            out_poly, [last_claim, output_claim], prover.transcript
+        )
+
+        new_out_claim = acc_proof.extract_claim()
+        commits = []
+        for (comm, poly), claim in zip(wit.commits, [input_claim, new_out_claim]):
+            prover.commit_prover.add_witness_claim((comm, poly), claim)
+            commits.append(comm.commitment)
+
+        prover.push_proof(
+            node_id,
+            ActivationProof(
+                io_accumulation=acc_proof, lookup=lookup_proof, commits=commits
+            ),
+        )
+        return [input_claim]
+
+
+@dataclasses.dataclass
+class ActivationProof:
+    io_accumulation: SamePolyProof
+    lookup: object
+    commits: list
+
+    def get_lookup_data(self):
+        return logup.fractional_outputs(self.lookup)
+
+
+@dataclasses.dataclass
+class ReluCtx:
+    node_id: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: ActivationProof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        const_c, sep_c = verifier.challenge_storage.get(TableType("relu").name())
+        claims = logup.verify_logup_proof(
+            proof.lookup, 1, const_c, sep_c, verifier.transcript
+        )
+        num_vars = len(last_claim.point)
+        new_output_claim = same_poly_verify(
+            proof.io_accumulation,
+            [last_claim] + claims.claims[1:],
+            num_vars,
+            verifier.transcript,
+        )
+        for commit, claim in zip(
+            proof.commits, [claims.claims[0], new_output_claim]
+        ):
+            verifier.commit_verifier.add_witness_claim(commit, claim)
+        return [claims.claims[0]]

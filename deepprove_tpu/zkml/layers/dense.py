@@ -1,0 +1,157 @@
+"""Dense (fully-connected) layer: y = Wx + b, proven with one degree-2
+sumcheck (zkml/src/layers/dense.rs:423-520).
+
+Protocol: verifier subtracts bias~(r) from the output claim; prover fixes
+r into the matrix MLE's HIGH (row) variables, then sumchecks
+Σ_j W(r,j)·x(j). Weight claim lands at (sumcheck_point ++ r); bias claim
+at r; both go to the commitment accumulator (WEIGHT/BIAS poly ids). The
+output claim for the previous layer is (sumcheck_point, x~(point)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
+from .. import quantization as Q
+from ..tensor import Tensor, ceil_log2, next_pow2, pad_matrix_pow2
+
+ExtPair = tuple[int, int]
+
+WEIGHT_POLY_ID = "weight"
+BIAS_POLY_ID = "bias"
+
+
+def _ext_scalar(p: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+
+def _pair(e: gf.GF2) -> ExtPair:
+    a0, a1 = gf.ext_to_u64(e.reshape((1,)))
+    return (int(a0[0]), int(a1[0]))
+
+
+@dataclasses.dataclass
+class Dense:
+    """Quantized dense layer; matrix/bias padded to powers of two."""
+
+    matrix: np.ndarray  # (rows, cols) int64
+    bias: np.ndarray  # (rows,) int64
+
+    def __post_init__(self):
+        self.matrix = pad_matrix_pow2(np.asarray(self.matrix, dtype=np.int64))
+        b = np.zeros(self.matrix.shape[0], dtype=np.int64)
+        bb = np.asarray(self.bias, dtype=np.int64)
+        b[: bb.size] = bb
+        self.bias = b
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        x = inputs[0].flat()
+        xp = np.zeros(self.matrix.shape[1], dtype=np.int64)
+        xp[: x.size] = x
+        return [Tensor(self.matrix @ xp + self.bias)]
+
+    def output_bitsize(self) -> int:
+        """2·(BIT_LEN−1) + log(cols) + 1 (dense.rs:415)."""
+        return 2 * (Q.BIT_LEN - 1) + ceil_log2(self.matrix.shape[1]) + 1
+
+    # -- context ------------------------------------------------------------
+    def step_info(self, node_id: int, aux):
+        aux.model_polys[node_id] = {
+            WEIGHT_POLY_ID: gf.from_u64(Q.to_field(self.matrix.reshape(-1))),
+            BIAS_POLY_ID: gf.from_u64(Q.to_field(self.bias)),
+        }
+        return DenseCtx(
+            node_id=node_id,
+            nrows=self.matrix.shape[0],
+            ncols=self.matrix.shape[1],
+        )
+
+    # -- proving ------------------------------------------------------------
+    def prove(self, node_id: int, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        r = [_ext_scalar(p) for p in last_claim.point]
+        bias_gf = gf.from_u64(Q.to_field(self.bias))
+        bias_eval = _pair(mle_mod.evaluate(bias_gf, r))
+
+        mat_gf = gf.from_u64(Q.to_field(self.matrix.reshape(-1)))
+        w_fixed = mle_mod.fix_high_variables(mat_gf, r)  # GF2 over col vars
+        x_gf = step_data.inputs[0].to_gf()
+
+        n = x_gf.shape[0].bit_length() - 1
+        vp = VirtualPolynomial.new(n)
+        iw = vp.add_mle(w_fixed)
+        ix = vp.add_mle(x_gf)
+        vp.add_product((1, 0), [iw, ix])
+        out = sumcheck_prove(vp, prover.transcript)
+
+        w_point = list(out.proof.point) + list(last_claim.point)
+        prover.commit_prover.add_common_claims(
+            node_id,
+            {
+                WEIGHT_POLY_ID: Claim(point=w_point, eval=out.final_evals[0]),
+                BIAS_POLY_ID: Claim(point=list(last_claim.point), eval=bias_eval),
+            },
+        )
+        prover.push_proof(
+            node_id,
+            DenseProof(
+                sumcheck=out.proof,
+                bias_eval=bias_eval,
+                individual_claims=out.final_evals,
+            ),
+        )
+        return [Claim(point=list(out.proof.point), eval=out.final_evals[1])]
+
+
+@dataclasses.dataclass
+class DenseProof:
+    sumcheck: object
+    bias_eval: ExtPair
+    individual_claims: list[ExtPair]
+
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class DenseCtx:
+    node_id: int
+    nrows: int
+    ncols: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: DenseProof, last_claims, verifier) -> list[Claim]:
+        """dense.rs:576 verify_dense."""
+        last_claim = last_claims[0]
+        eval_no_bias = host.ext_sub(last_claim.eval, proof.bias_eval)
+        n = ceil_log2(self.ncols)
+        sub = sumcheck_verify(
+            eval_no_bias, proof.sumcheck.round_messages, n, 2, verifier.transcript
+        )
+        w_point = list(sub.point) + list(last_claim.point)
+        verifier.commit_verifier.add_common_claims(
+            self.node_id,
+            {
+                WEIGHT_POLY_ID: Claim(point=w_point, eval=proof.individual_claims[0]),
+                BIAS_POLY_ID: Claim(
+                    point=list(last_claim.point), eval=proof.bias_eval
+                ),
+            },
+        )
+        # final check: Π individual claims == expected evaluation
+        got = host.ext_mul(proof.individual_claims[0], proof.individual_claims[1])
+        assert got == sub.expected_evaluation, "dense sumcheck final mismatch"
+        return [Claim(point=list(sub.point), eval=proof.individual_claims[1])]

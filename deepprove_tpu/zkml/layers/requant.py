@@ -1,0 +1,274 @@
+"""Requantization layer (zkml/src/layers/requant.rs).
+
+tmp = in·fpm + 2^(shift−1); the top part (tmp >> shift) goes through the
+Clamping table, the masked low `shift` bits are split into BIT_LEN-sized
+chunks range-checked in the Range table. A batched sumcheck ties the
+incoming claim to the clamping OUTPUT column and brings every lookup
+column claim to one shared point; the layer's input claim is recombined
+as fpm⁻¹·(clamp_in·2^shift + Σ chunk_j·2^(j·B) − 2^(shift−1))
+(requant.rs:499 recombine_claims).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup import logup
+from ...lookup.logup import Claim
+from ...sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
+from ...poly import mle as mle_mod
+from .. import quantization as Q
+from ..lookup_context import COLUMN_SEPARATOR, LogUpWitness, TableType, count_elements
+from ..quantization import RequantSpec
+from ..tensor import Tensor, ceil_log2
+
+ExtPair = tuple[int, int]
+
+
+def _ext_scalar(p: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+
+@dataclasses.dataclass
+class Requant:
+    spec: RequantSpec
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        return [Tensor(self.spec.apply(inputs[0].data))]
+
+    def step_info(self, node_id: int, aux):
+        aux.tables.add(TableType("range"))
+        aux.tables.add(TableType("clamping", (self.spec.clamping_size(),)))
+        return RequantCtx(spec=self.spec, node_id=node_id)
+
+    def gen_lookup_witness(self, node_id, ctx, step_data):
+        spec = self.spec
+        inp = step_data.inputs[0].flat()
+        n = 1 << ceil_log2(inp.size)
+        v = np.zeros(n, dtype=np.int64)
+        v[: inp.size] = inp
+        shift = spec.shift
+        rounding = np.int64(1 << (shift - 1))
+        mask = np.int64((1 << shift) - 1)
+        tmp = v * np.int64(spec.fixed_point_multiplier) + rounding
+        clamp_in = tmp >> np.int64(shift)
+        masked = tmp & mask
+        clamp_out = np.clip(clamp_in, Q.MIN, Q.MAX)
+
+        no_chunks = shift // Q.BIT_LEN
+        range_mask = np.int64((1 << Q.BIT_LEN) - 1)
+        chunks = [
+            (masked >> np.int64(j * Q.BIT_LEN)) & range_mask for j in range(no_chunks)
+        ]
+
+        range_counts = count_elements(np.concatenate(chunks))
+        clamp_counts = count_elements(clamp_in + clamp_out * COLUMN_SEPARATOR)
+
+        clamp_cols = [gf.from_u64(Q.to_field(clamp_in)), gf.from_u64(Q.to_field(clamp_out))]
+        chunk_cols = [gf.from_u64(Q.to_field(c)) for c in chunks]
+        clamp_commits = [(ctx.commitment_ctx.commit(c), c) for c in clamp_cols]
+        chunk_commits = [(ctx.commitment_ctx.commit(c), c) for c in chunk_cols]
+
+        clamp_tt = TableType("clamping", (spec.clamping_size(),))
+        wits = [
+            LogUpWitness(
+                commits=clamp_commits,
+                column_evals=clamp_cols,
+                columns_per_instance=2,
+                table_type=clamp_tt,
+            ),
+            LogUpWitness(
+                commits=chunk_commits,
+                column_evals=chunk_cols,
+                columns_per_instance=1,
+                table_type=TableType("range"),
+            ),
+        ]
+        return wits, {TableType("range"): range_counts, clamp_tt: clamp_counts}
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        spec = self.spec
+        last_claim = last_claims[0]
+        clamping_wit, shifted_wit = prover.lookup_witnesses_for(node_id)
+
+        clamping_input = clamping_wit.get_logup_input(prover.challenge_storage)
+        shifted_input = shifted_wit.get_logup_input(prover.challenge_storage)
+        clamping_proof = logup.batch_prove(clamping_input, prover.transcript)
+        shifted_proof = logup.batch_prove(shifted_input, prover.transcript)
+
+        bc = prover.transcript.get_and_append_challenge(b"requant_batching")
+
+        clamp_cols = clamping_wit.column_evals  # [in, out]
+        chunk_cols = shifted_wit.column_evals
+        num_vars = clamp_cols[0].shape[0].bit_length() - 1
+
+        clamping_beta = mle_mod.eq_table(
+            [_ext_scalar(p) for p in clamping_proof.output_claims[0].point]
+        )
+        last_beta = mle_mod.eq_table([_ext_scalar(p) for p in last_claim.point])
+        shifted_beta = mle_mod.eq_table(
+            [_ext_scalar(p) for p in shifted_proof.output_claims[0].point]
+        )
+
+        # storage order: [clamp_out, last_beta, clamping_beta, clamp_in,
+        # shifted_beta, chunk_0, chunk_1, …] (requant.rs:612-627 dedup order)
+        vp = VirtualPolynomial.new(num_vars)
+        i_out = vp.add_mle(clamp_cols[1])
+        i_lb = vp.add_mle(last_beta)
+        i_cb = vp.add_mle(clamping_beta)
+        i_in = vp.add_mle(clamp_cols[0])
+        i_sb = vp.add_mle(shifted_beta)
+        chunk_idx = [vp.add_mle(c) for c in chunk_cols]
+
+        vp.add_product((1, 0), [i_out, i_lb])
+        vp.add_product(bc, [i_out, i_cb])
+        combiner = host.ext_mul(bc, bc)
+        vp.add_product(combiner, [i_in, i_cb])
+        for ic in chunk_idx:
+            combiner = host.ext_mul(combiner, bc)
+            vp.add_product(combiner, [i_sb, ic])
+
+        out = sumcheck_prove(vp, prover.transcript)
+        point = list(out.proof.point)
+        clamp_out_eval = out.final_evals[0]
+        clamp_in_eval = out.final_evals[3]
+        shifted_evals = out.final_evals[5:]
+
+        combined_eval = recombine_claims(spec, clamp_in_eval, shifted_evals)
+
+        accumulation_evals = [clamp_in_eval, clamp_out_eval] + list(shifted_evals)
+        commitments = []
+        all_commits = list(clamping_wit.commits) + list(shifted_wit.commits)
+        for (comm, poly), ev in zip(all_commits, accumulation_evals):
+            prover.commit_prover.add_witness_claim(
+                (comm, poly), Claim(point=list(point), eval=ev)
+            )
+            commitments.append(comm.commitment)
+
+        prover.push_proof(
+            node_id,
+            RequantProof(
+                io_accumulation=out.proof,
+                accumulation_evals=accumulation_evals,
+                clamping_lookup=clamping_proof,
+                shifted_lookup=shifted_proof,
+                commitments=commitments,
+            ),
+        )
+        return [Claim(point=point, eval=combined_eval)]
+
+
+def recombine_claims(spec: RequantSpec, clamp_in_eval, shifted_evals) -> ExtPair:
+    shift_field = ((1 << spec.shift) % host.P, 0)
+    acc = host.ext_mul(shift_field, clamp_in_eval)
+    pow_two = (1, 0)
+    for ev in shifted_evals:
+        acc = host.ext_add(acc, host.ext_mul(ev, pow_two))
+        pow_two = host.ext_mul(pow_two, ((1 << Q.BIT_LEN) % host.P, 0))
+    rounding = ((1 << (spec.shift - 1)) % host.P, 0)
+    fpm_inv = (pow(spec.fixed_point_multiplier % host.P, host.P - 2, host.P), 0)
+    return host.ext_mul(host.ext_sub(acc, rounding), fpm_inv)
+
+
+@dataclasses.dataclass
+class RequantProof:
+    io_accumulation: object
+    accumulation_evals: list[ExtPair]
+    clamping_lookup: object
+    shifted_lookup: object
+    commitments: list
+
+    def get_lookup_data(self):
+        n1, d1 = logup.fractional_outputs(self.clamping_lookup)
+        n2, d2 = logup.fractional_outputs(self.shifted_lookup)
+        return n1 + n2, d1 + d2
+
+
+@dataclasses.dataclass
+class RequantCtx:
+    spec: RequantSpec
+    node_id: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: RequantProof, last_claims, verifier) -> list[Claim]:
+        """requant.rs:689 verify_requant."""
+        spec = self.spec
+        last_claim = last_claims[0]
+        clamp_tt = TableType("clamping", (spec.clamping_size(),))
+        const_c, sep_c = verifier.challenge_storage.get(clamp_tt.name())
+        shifted_instances = spec.shift // Q.BIT_LEN
+
+        clamping_claims = logup.verify_logup_proof(
+            proof.clamping_lookup, 1, const_c, sep_c, verifier.transcript
+        )
+        range_const, _ = verifier.challenge_storage.get(TableType("range").name())
+        shifted_claims = logup.verify_logup_proof(
+            proof.shifted_lookup, shifted_instances, range_const, (1, 0),
+            verifier.transcript,
+        )
+
+        bc = verifier.transcript.get_and_append_challenge(b"requant_batching")
+
+        clamping_point = clamping_claims.claims[0].point
+        clamping_evals = [c.eval for c in clamping_claims.claims]
+        shifted_point = shifted_claims.claims[0].point
+        shifted_evals = [c.eval for c in shifted_claims.claims]
+
+        initial_eval = (0, 0)
+        chal = (1, 0)
+        for v in [last_claim.eval, clamping_evals[1], clamping_evals[0]] + shifted_evals:
+            initial_eval = host.ext_add(initial_eval, host.ext_mul(chal, v))
+            chal = host.ext_mul(chal, bc)
+
+        num_vars = len(clamping_point)
+        sub = sumcheck_verify(
+            initial_eval, proof.io_accumulation.round_messages, num_vars, 2,
+            verifier.transcript,
+        )
+        acc_point = sub.point
+        last_beta = _eq(last_claim.point, acc_point)
+        clamping_beta = _eq(clamping_point, acc_point)
+        shifted_beta = _eq(shifted_point, acc_point)
+
+        ae = proof.accumulation_evals
+        calc = host.ext_mul(
+            host.ext_add(last_beta, host.ext_mul(bc, clamping_beta)), ae[1]
+        )
+        combiner = host.ext_mul(bc, bc)
+        calc = host.ext_add(
+            calc, host.ext_mul(host.ext_mul(combiner, clamping_beta), ae[0])
+        )
+        for v in ae[2:]:
+            combiner = host.ext_mul(combiner, bc)
+            calc = host.ext_add(
+                calc, host.ext_mul(host.ext_mul(v, shifted_beta), combiner)
+            )
+        assert calc == sub.expected_evaluation, "requant accumulation mismatch"
+
+        next_eval = recombine_claims(spec, ae[0], ae[2:])
+        for commit, ev in zip(proof.commitments, ae):
+            verifier.commit_verifier.add_witness_claim(
+                commit, Claim(point=list(acc_point), eval=ev)
+            )
+        return [Claim(point=list(acc_point), eval=next_eval)]
+
+
+def _eq(x, y) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc,
+            host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))),
+        )
+    return acc

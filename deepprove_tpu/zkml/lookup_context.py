@@ -1,0 +1,259 @@
+"""Lookup tables + witness generation (zkml/src/lookup/context.rs).
+
+TableType variants mirror context.rs:55-73; each table materializes
+(a) a merged Element column `in + 2^32·out` for multiplicity counting and
+(b) per-column base-field vectors that are proven/evaluated by the
+verifier (get_merged_table_column, context.rs:158-296). Table-type
+ordering (BTreeMap in the reference) is the variant order then params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import total_ordering
+
+import numpy as np
+
+from ..fields import gf, host
+from ..transcript import BasicTranscript
+from . import quantization as Q
+from .tensor import ceil_log2
+
+COLUMN_SEPARATOR = 1 << 32  # context.rs:622
+ExtPair = tuple[int, int]
+
+
+@total_ordering
+@dataclasses.dataclass(frozen=True)
+class TableType:
+    """kind ∈ {relu, gelu, range, clamping, softmax, error, zero, inv_sqrt};
+    params is a kind-specific tuple (e.g. clamping bit size)."""
+
+    kind: str
+    params: tuple = ()
+
+    _ORDER = {
+        "relu": 0, "gelu": 1, "range": 2, "clamping": 3,
+        "softmax": 4, "error": 5, "zero": 6, "inv_sqrt": 7,
+    }
+
+    def __lt__(self, other):
+        return (self._ORDER[self.kind], self.params) < (
+            self._ORDER[other.kind], other.params
+        )
+
+    def name(self) -> str:
+        if self.kind == "relu":
+            return "Relu"
+        if self.kind == "range":
+            return "Range"
+        if self.kind == "clamping":
+            return f"Clamping: {self.params[0]}"
+        if self.kind == "zero":
+            return f"Zero: {self.params[0]}"
+        if self.kind == "error":
+            return f"Error Table - quantised one: {self.params[0]}, allowable error: {self.params[1]}"
+        return self.kind
+
+    # -- table columns ------------------------------------------------------
+
+    def table_columns(self) -> tuple[np.ndarray, list[np.ndarray]]:
+        """(merged Element column, [base-field u64 columns])."""
+        if self.kind == "relu":
+            # rows MIN-1 ..= MAX (context.rs:182-199)
+            i = np.arange(Q.MIN - 1, Q.MAX + 1, dtype=np.int64)
+            out = np.maximum(i, 0)
+            merged = i + out * COLUMN_SEPARATOR
+            return merged, [Q.to_field(i), Q.to_field(out)]
+        if self.kind == "range":
+            i = np.arange(0, 1 << Q.BIT_LEN, dtype=np.int64)
+            return i.copy(), [Q.to_field(i)]
+        if self.kind == "clamping":
+            size = self.params[0]
+            mx = 1 << (size - 1)
+            i = np.arange(-mx, mx, dtype=np.int64)
+            out = np.clip(i, Q.MIN, Q.MAX)
+            merged = i + out * COLUMN_SEPARATOR
+            return merged, [Q.to_field(i), Q.to_field(out)]
+        if self.kind == "zero":
+            bits = self.params[0]
+            i = np.arange(0, 1 << bits, dtype=np.int64)
+            out = (i == 0).astype(np.int64)
+            merged = i + out * COLUMN_SEPARATOR
+            return merged, [Q.to_field(i), Q.to_field(out)]
+        raise NotImplementedError(self.kind)
+
+    def multiplicity_poly_vars(self) -> int:
+        if self.kind in ("relu", "range"):
+            return Q.BIT_LEN
+        if self.kind in ("clamping", "zero"):
+            return self.params[0]
+        raise NotImplementedError(self.kind)
+
+    def committed_columns(self):
+        """Tables whose output column must be PCS-committed (GELU etc)."""
+        return None
+
+    def generate_challenge(self, transcript: BasicTranscript) -> ExtPair:
+        """context.rs:464 — per-table column-separation challenge."""
+        if self.kind == "relu":
+            return transcript.get_and_append_challenge(b"Relu")
+        if self.kind in ("range", "error"):
+            return (1, 0)
+        if self.kind == "clamping":
+            return transcript.get_and_append_challenge(b"Clamping")
+        if self.kind == "zero":
+            return transcript.get_and_append_challenge(b"Zero")
+        raise NotImplementedError(self.kind)
+
+    def evaluate_table_columns(self, point: list[ExtPair]) -> list[ExtPair]:
+        """Verifier-side closed-form column evaluations (context.rs:323)."""
+
+        def ident(pt):
+            acc = (0, 0)
+            for i, p in enumerate(pt):
+                acc = host.ext_add(acc, host.ext_mul(p, ((1 << i) % host.P, 0)))
+            return acc
+
+        if self.kind == "range":
+            assert len(point) == Q.BIT_LEN
+            return [ident(point)]
+        if self.kind == "relu":
+            assert len(point) == Q.BIT_LEN
+            first = host.ext_sub(ident(point), ((1 << (Q.BIT_LEN - 1)) % host.P, 0))
+            top = point[-1]
+            second = (0, 0)
+            for i, p in enumerate(point[:-1]):
+                second = host.ext_add(
+                    second,
+                    host.ext_mul(host.ext_mul(p, ((1 << i) % host.P, 0)), top),
+                )
+            return [first, second]
+        if self.kind == "clamping":
+            size = self.params[0]
+            assert len(point) == size
+            first = host.ext_sub(ident(point), ((1 << (size - 1)) % host.P, 0))
+            # second column has no closed form: evaluate its MLE (device)
+            from ..poly import mle as mle_mod
+
+            _, cols = self.table_columns()
+            out_col = gf.from_u64(cols[1])
+            pt_dev = [
+                gf.ext_from_u64(np.uint64(p[0]), np.uint64(p[1])) for p in point
+            ]
+            ev = mle_mod.evaluate(out_col, pt_dev)
+            a0, a1 = gf.ext_to_u64(ev.reshape((1,)))
+            return [first, (int(a0[0]), int(a1[0]))]
+        raise NotImplementedError(self.kind)
+
+    def table_claims(self, claims: list) -> list:
+        """Claims that must go to the commitment accumulator (context.rs:549)."""
+        if self.kind in ("softmax", "error", "inv_sqrt", "gelu"):
+            return [claims[-1]]
+        return []
+
+
+@dataclasses.dataclass
+class ChallengeStorage:
+    constant_challenge: ExtPair
+    challenge_map: dict  # name -> ExtPair
+
+    @staticmethod
+    def initialise(table_types: list[TableType], transcript: BasicTranscript):
+        """iop/mod.rs:70 — b"table_constant" then per-table challenges in
+        sorted table order."""
+        constant = transcript.get_and_append_challenge(b"table_constant")
+        cmap = {}
+        for tt in sorted(table_types):
+            cmap[tt.name()] = tt.generate_challenge(transcript)
+        return ChallengeStorage(constant_challenge=constant, challenge_map=cmap)
+
+    def get(self, name: str) -> tuple[ExtPair, ExtPair]:
+        return self.constant_challenge, self.challenge_map[name]
+
+
+@dataclasses.dataclass
+class LogUpWitness:
+    """lookup/witness.rs LogUpWitness: committed columns + raw evals."""
+
+    commits: list  # list of (CommitmentWithWitness, GF evals) pairs
+    column_evals: list  # list of GF arrays (base field)
+    columns_per_instance: int
+    table_type: TableType
+    multiplicities: object = None  # GF array for table witnesses
+
+    def get_logup_input(self, storage: ChallengeStorage):
+        from ..lookup import logup
+
+        const_c, sep_c = storage.get(self.table_type.name())
+        if self.multiplicities is not None:
+            _, cols = self.table_type.table_columns()
+            return logup.LogUpInput.new_table(
+                [gf.from_u64(c) for c in cols], self.multiplicities, const_c, sep_c
+            )
+        return logup.LogUpInput.new_lookup(
+            self.column_evals, const_c, sep_c, self.columns_per_instance
+        )
+
+
+def count_elements(values) -> dict:
+    out = {}
+    arr, counts = np.unique(np.asarray(values, dtype=np.int64), return_counts=True)
+    for v, c in zip(arr, counts):
+        out[int(v)] = out.get(int(v), 0) + int(c)
+    return out
+
+
+def generate_lookup_witnesses(trace, ctx, transcript: BasicTranscript):
+    """lookup/context.rs:631 — walk the trace forward collecting per-node
+    lookups, count per-table multiplicities, commit columns + multiplicity
+    polys, then derive the challenge storage."""
+    from ..pcs import basefold
+
+    element_count: dict[TableType, dict] = {}
+    logup_witnesses: dict[int, list[LogUpWitness]] = {}
+
+    for node_id in ctx.forward_order():
+        node_ctx = ctx.steps_info[node_id]
+        op = node_ctx.op
+        if not hasattr(op, "gen_lookup_witness"):
+            continue
+        step = trace.steps[node_id]
+        gen = op.gen_lookup_witness(node_id, ctx, step)
+        if gen is None:
+            continue
+        witnesses, counts = gen
+        logup_witnesses[node_id] = witnesses
+        for tt, cmap in counts.items():
+            agg = element_count.setdefault(tt, {})
+            for k, v in cmap.items():
+                agg[k] = agg.get(k, 0) + v
+
+    table_witnesses = []
+    for tt in sorted(element_count.keys()):
+        counts = element_count[tt]
+        merged, cols = tt.table_columns()
+        mult = np.zeros(len(merged), dtype=np.uint64)
+        for i, val in enumerate(merged):
+            c = counts.get(int(val))
+            if c:
+                mult[i] = c
+        assert len(merged) & (len(merged) - 1) == 0, "table must be pow2"
+        # sanity: every looked-up element must be in the table
+        table_set = set(int(v) for v in merged)
+        for k in counts:
+            assert k in table_set, f"lookup value {k} not in table {tt.name()}"
+        mult_gf = gf.from_u64(mult)
+        commit = ctx.commitment_ctx.commit(mult_gf)
+        table_witnesses.append(
+            LogUpWitness(
+                commits=[(commit, mult_gf)],
+                column_evals=[gf.from_u64(c) for c in cols],
+                columns_per_instance=len(cols),
+                table_type=tt,
+                multiplicities=mult_gf,
+            )
+        )
+
+    storage = ChallengeStorage.initialise(list(element_count.keys()), transcript)
+    return storage, logup_witnesses, table_witnesses

@@ -1,0 +1,130 @@
+"""Symmetric quantization (zkml/src/quantization/mod.rs).
+
+Element = int64; BIT_LEN-bit symmetric range [MIN, MAX] = [-(2^(b-1))+1,
+2^(b-1)-1] (mod.rs:27-29). `ScalingFactor` carries the float span and the
+scale; requantization multipliers M = S1·S2/S3 are split into a right
+shift + fixed-point multiplier at scale ≥ 2^25 (requant.rs:409).
+
+Fieldizer (mod.rs:206): Element → Goldilocks with negatives as p − |x|.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+
+import numpy as np
+
+from ..fields.host import P
+
+BIT_LEN = int(os.environ.get("ZKML_BIT_LEN", "8"))
+MIN = -(1 << (BIT_LEN - 1)) + 1
+MAX = (1 << (BIT_LEN - 1)) - 1
+RANGE = MAX - MIN
+
+
+def to_field(x) -> np.ndarray:
+    """Element(s) → canonical Goldilocks u64 (negatives wrap mod p)."""
+    a = np.asarray(x, dtype=np.int64)
+    out = np.where(a < 0, np.uint64(P) - (-a).astype(np.uint64), a.astype(np.uint64))
+    return out.astype(np.uint64)
+
+
+def from_field_centered(x, bound: int) -> np.ndarray:
+    """Field u64 → signed Element assuming |value| < bound (IntoElement)."""
+    a = np.asarray(x, dtype=np.uint64)
+    neg = a > np.uint64(P - bound)
+    return np.where(neg, a.astype(object) - P, a.astype(object)).astype(np.int64)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalingFactor:
+    min: float
+    max: float
+    scale: float
+    domain: tuple[int, int] = (MIN, MAX)
+
+    @staticmethod
+    def from_absolute_max(abs_max: float, domain=None) -> "ScalingFactor":
+        return ScalingFactor.from_span(-abs(abs_max), abs(abs_max), domain)
+
+    @staticmethod
+    def from_span(mn: float, mx: float, domain=None) -> "ScalingFactor":
+        domain = domain or (MIN, MAX)
+        scale = (mx - mn) / float(domain[1] - domain[0])
+        return ScalingFactor(min=mn, max=mx, scale=scale, domain=domain)
+
+    @staticmethod
+    def from_tensor(data: np.ndarray, domain=None) -> "ScalingFactor":
+        return ScalingFactor.from_absolute_max(float(np.max(np.abs(data))), domain)
+
+    @staticmethod
+    def from_scale(scale: float, domain=None) -> "ScalingFactor":
+        domain = domain or (MIN, MAX)
+        mx = scale / 2.0 * float(domain[1] - domain[0])
+        return ScalingFactor(min=-abs(mx), max=abs(mx), scale=scale, domain=domain)
+
+    def m(self, s2: "ScalingFactor", s3: "ScalingFactor") -> float:
+        """M = S1·S2/S3 — the requant multiplier (mod.rs:118)."""
+        return self.scale * s2.scale / s3.scale
+
+    def quantize(self, values: np.ndarray) -> np.ndarray:
+        q = np.round(np.asarray(values, dtype=np.float64) / self.scale).astype(np.int64)
+        return np.clip(q, self.domain[0], self.domain[1])
+
+    def dequantize(self, values: np.ndarray) -> np.ndarray:
+        return np.asarray(values, dtype=np.float64) * self.scale
+
+
+FIXED_POINT_SCALE = 25  # requant.rs:48
+
+
+@dataclasses.dataclass(frozen=True)
+class RequantSpec:
+    """Requant op parameters (requant.rs:58 + from_multiplier :409)."""
+
+    right_shift: int
+    fixed_point_multiplier: int
+    fp_scale: int
+    multiplier: float
+    intermediate_bit_size: int
+
+    @staticmethod
+    def from_multiplier(multiplier: float, intermediate_bit_size: int) -> "RequantSpec":
+        log_m = math.log2(multiplier)
+        int_part = int(abs(math.trunc(log_m)))
+        epsilon = 2.0 ** (log_m - math.trunc(log_m))
+        # fp_scale: smallest ≥ FIXED_POINT_SCALE with fp_scale+right_shift
+        # a multiple of BIT_LEN so shifted chunks fill whole range tables
+        total = int_part + FIXED_POINT_SCALE
+        next_multiple = ((total + BIT_LEN - 1) // BIT_LEN) * BIT_LEN
+        fp_scale = next_multiple - int_part
+        fpm = int(round(epsilon * (1 << fp_scale)))
+        assert intermediate_bit_size + fp_scale <= 63, (
+            intermediate_bit_size, fp_scale, int_part,
+        )
+        return RequantSpec(
+            right_shift=int_part,
+            fixed_point_multiplier=fpm,
+            fp_scale=fp_scale,
+            multiplier=multiplier,
+            intermediate_bit_size=intermediate_bit_size,
+        )
+
+    @property
+    def shift(self) -> int:
+        return self.fp_scale + self.right_shift
+
+    def clamping_size(self) -> int:
+        fpm_bits = max(1, (self.fixed_point_multiplier - 1).bit_length())
+        return self.intermediate_bit_size + fpm_bits - self.shift
+
+    def apply(self, values: np.ndarray) -> np.ndarray:
+        """Fixed-point multiply + round + shift + clamp (requant.rs:455)."""
+        v = np.asarray(values, dtype=np.int64)
+        rounding = np.int64(1 << (self.shift - 1))
+        unclamped = (v * np.int64(self.fixed_point_multiplier) + rounding) >> np.int64(
+            self.shift
+        )
+        return np.clip(unclamped, MIN, MAX)

@@ -1,0 +1,68 @@
+"""Quantized tensors (zkml/src/tensor.rs, minimal TPU-native subset).
+
+Inference runs over numpy int64 "Element"s on the host (the model forward
+pass is negligible next to proving; the reference is likewise CPU-side,
+tensor.rs matvec/conv). The proving path converts tensors to Goldilocks
+GF arrays on device via `to_gf`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fields import gf
+from . import quantization as Q
+
+
+def ceil_log2(n: int) -> int:
+    return max(0, (int(n) - 1).bit_length())
+
+
+def next_pow2(n: int) -> int:
+    return 1 << ceil_log2(n)
+
+
+@dataclasses.dataclass
+class Tensor:
+    data: np.ndarray  # int64 elements
+
+    @property
+    def shape(self) -> tuple:
+        return tuple(self.data.shape)
+
+    def flat(self) -> np.ndarray:
+        return self.data.reshape(-1)
+
+    def num_vars(self) -> int:
+        return ceil_log2(self.flat().size)
+
+    def to_gf(self) -> gf.GF:
+        """Pad to a power of two and lift to the field (device array)."""
+        flat = self.flat()
+        n = next_pow2(flat.size)
+        padded = np.zeros(n, dtype=np.int64)
+        padded[: flat.size] = flat
+        return gf.from_u64(Q.to_field(padded))
+
+    def pad_1d(self, size: int) -> "Tensor":
+        flat = self.flat()
+        out = np.zeros(size, dtype=np.int64)
+        out[: flat.size] = flat
+        return Tensor(out)
+
+
+def matvec(w: np.ndarray, x: np.ndarray, bias: np.ndarray | None = None) -> np.ndarray:
+    y = w.astype(np.int64) @ x.astype(np.int64)
+    if bias is not None:
+        y = y + bias.astype(np.int64)
+    return y
+
+
+def pad_matrix_pow2(w: np.ndarray) -> np.ndarray:
+    """Pad both dims of a matrix to powers of two with zeros."""
+    r, c = w.shape
+    out = np.zeros((next_pow2(r), next_pow2(c)), dtype=np.int64)
+    out[:r, :c] = w
+    return out

@@ -7,7 +7,9 @@ collectives). Must set flags BEFORE jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment pre-sets JAX_PLATFORMS=axon (one real TPU)
+# via sitecustomize, which overrides the env var — use jax.config instead.
+# The suite must run on the 8-device virtual host platform.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: sumcheck/logup/basefold round kernels are one
 # jit per (shape, structure); caching them across runs keeps the suite fast.

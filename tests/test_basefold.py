@@ -127,3 +127,73 @@ def test_basefold_rejects_tampered_query(rng):
     basefold.write_commitment(comm.commitment, t_v)
     with pytest.raises(AssertionError):
         basefold.verify(params, comm.commitment, point, eval_pair, proof, t_v)
+
+
+def test_simple_batch_open_verify(rng):
+    n = 5
+    k = 3
+    params = small_params(n)
+    evals_list = [
+        gf.from_u64(rng.integers(0, P, size=1 << n, dtype=np.uint64)) for _ in range(k)
+    ]
+    comm = basefold.simple_batch_commit(params, evals_list)
+    point = rand_point(rng, n)
+    pt = dev_point(point)
+    evals = [
+        basefold._pairs_host(mle.evaluate(e, pt).reshape((1,)))[0] for e in evals_list
+    ]
+    t_p = BasicTranscript(b"sb")
+    basefold.write_commitment(comm.commitment, t_p)
+    proof = basefold.simple_batch_open(params, comm, point, t_p)
+    t_v = BasicTranscript(b"sb")
+    basefold.write_commitment(comm.commitment, t_v)
+    basefold.simple_batch_verify(params, comm.commitment, point, evals, proof, t_v)
+
+    # tampered eval rejected
+    bad = list(evals)
+    bad[1] = ((bad[1][0] + 1) % P, bad[1][1])
+    t_v2 = BasicTranscript(b"sb")
+    basefold.write_commitment(comm.commitment, t_v2)
+    with pytest.raises(AssertionError):
+        basefold.simple_batch_verify(params, comm.commitment, point, bad, proof, t_v2)
+
+
+def test_batch_open_verify_multi_size(rng):
+    params = small_params(7)
+    n_big, n_small = 6, 5
+    p0 = gf.from_u64(rng.integers(0, P, size=1 << n_big, dtype=np.uint64))
+    p1 = gf.from_u64(rng.integers(0, P, size=1 << n_small, dtype=np.uint64))
+    p2 = gf.from_u64(rng.integers(0, P, size=1 << n_big, dtype=np.uint64))
+    polys = [p0, p1, p2]
+    comms = basefold.batch_commit(params, polys)
+    pt_big = rand_point(rng, n_big)
+    pt_small = rand_point(rng, n_small)
+    points = [pt_big, pt_small]
+    evals = []
+    for poly_i, pt_i in [(0, 0), (1, 1), (2, 0)]:
+        ev = mle.evaluate(polys[poly_i], dev_point(points[pt_i]))
+        evals.append(
+            basefold.BatchEvaluation(
+                poly=poly_i, point=pt_i,
+                value=basefold._pairs_host(ev.reshape((1,)))[0],
+            )
+        )
+    t_p = BasicTranscript(b"bo")
+    for c in comms:
+        basefold.write_commitment(c.commitment, t_p)
+    proof = basefold.batch_open(params, polys, comms, points, evals, t_p)
+
+    t_v = BasicTranscript(b"bo")
+    cms = [c.commitment for c in comms]
+    for c in cms:
+        basefold.write_commitment(c, t_v)
+    basefold.batch_verify(params, cms, points, evals, proof, t_v)
+
+    # wrong eval rejected
+    bad = [basefold.BatchEvaluation(e.poly, e.point, e.value) for e in evals]
+    bad[2] = basefold.BatchEvaluation(2, 0, ((bad[2].value[0] + 1) % P, bad[2].value[1]))
+    t_v2 = BasicTranscript(b"bo")
+    for c in cms:
+        basefold.write_commitment(c, t_v2)
+    with pytest.raises(AssertionError):
+        basefold.batch_verify(params, cms, points, bad, proof, t_v2)

@@ -1,0 +1,56 @@
+"""Devirgo-equivalence: sharded sumcheck must produce the IDENTICAL
+transcript/proof as the single-chip prover (SURVEY.md §4 "the devirgo-
+equivalence test is the model"). Runs on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.parallel.sumcheck import prove_sharded
+from deepprove_tpu.sumcheck import VirtualPolynomial, prove, verify
+from deepprove_tpu.transcript import BasicTranscript
+
+P = host.P
+
+
+def build_vp(rng, n):
+    a = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    b = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    e0 = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    e1 = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    vp = VirtualPolynomial.new(n)
+    ia = vp.add_mle(gf.from_u64(a))
+    ib = vp.add_mle(gf.from_u64(b))
+    ie = vp.add_mle(gf.ext_from_u64(e0, e1))
+    vp.add_product((3, 1), [ie, ia, ib])
+    vp.add_product((5, 0), [ia, ib])
+    return vp
+
+
+def test_sharded_sumcheck_transcript_identical(rng):
+    n = 7
+    devices = np.array(jax.devices()[:8])
+    assert devices.size == 8, "expected 8 virtual devices (conftest)"
+    mesh = Mesh(devices, axis_names=("x",))
+
+    vp1 = build_vp(rng, n)
+    # rebuild the identical vp for the second prover (arrays are reusable)
+    vp2 = VirtualPolynomial(num_vars=n, mles=list(vp1.mles), products=list(vp1.products))
+
+    out_single = prove(vp1, BasicTranscript(b"devirgo"))
+    out_sharded = prove_sharded(vp2, BasicTranscript(b"devirgo"), mesh)
+
+    assert out_single.proof.point == out_sharded.proof.point
+    assert out_single.proof.round_messages == out_sharded.proof.round_messages
+    assert out_single.final_evals == out_sharded.final_evals
+
+    # and the proof still verifies
+    claimed = (
+        out_single.proof.round_messages[0][0],
+    )
+    s = host.ext_add(
+        out_single.proof.round_messages[0][0], out_single.proof.round_messages[0][1]
+    )
+    sub = verify(s, out_sharded.proof.round_messages, n, 3, BasicTranscript(b"devirgo"))
+    assert sub.point == out_sharded.proof.point

@@ -1,0 +1,56 @@
+"""End-to-end: dense-chain model quantize → run → prove → verify."""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.dense import Dense
+from deepprove_tpu.zkml.model import Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def build_dense_chain(rng, dims):
+    model = Model()
+    for i in range(len(dims) - 1):
+        w = rng.integers(Q.MIN, Q.MAX + 1, size=(dims[i + 1], dims[i])).astype(np.int64)
+        b = rng.integers(Q.MIN, Q.MAX + 1, size=dims[i + 1]).astype(np.int64)
+        model.add_chain(Dense(matrix=w, bias=b))
+    return model
+
+
+def test_dense_single_e2e(rng):
+    model = build_dense_chain(rng, [16, 8])
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=16).astype(np.int64))
+    trace = model.run([x])
+    # ground truth
+    d = model.nodes[0].op
+    np.testing.assert_array_equal(trace.outputs[0].data, d.matrix @ x.data + d.bias)
+
+    ctx = Context.generate(model, num_queries=11, basecode_msg_size_log=2)
+    prover = Prover(ctx, BasicTranscript(b"m2vec"))
+    proof = prover.prove(trace)
+    io = IO(inputs=[x], outputs=trace.outputs)
+    verify(ctx, proof, io, BasicTranscript(b"m2vec"))
+
+
+def test_dense_chain_e2e(rng):
+    model = build_dense_chain(rng, [16, 32, 8])
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=16).astype(np.int64))
+    trace = model.run([x])
+    ctx = Context.generate(model, num_queries=11, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_dense_rejects_wrong_output(rng):
+    model = build_dense_chain(rng, [8, 8])
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=8).astype(np.int64))
+    trace = model.run([x])
+    ctx = Context.generate(model, num_queries=11, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    bad_out = Tensor(trace.outputs[0].data + 1)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([x], [bad_out]), BasicTranscript(b"m2vec"))
