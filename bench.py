@@ -1,0 +1,84 @@
+"""Benchmark entry point (driver-run, real TPU).
+
+Proves a quantized MLP end-to-end (Dense → Requant → Relu), measures the
+second (warm) prove wall time, and prints ONE JSON line. Baseline:
+reference Dense-4M CPU prove = 2335 ms (BASELINE.md); vs_baseline
+extrapolates our per-parameter prove cost to 4M parameters (sumcheck +
+commit cost is linear in parameter count), so >1 means faster than the
+reference at equal size.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/deepprove_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from deepprove_tpu.transcript import BasicTranscript
+    from deepprove_tpu.zkml import quantization as Q
+    from deepprove_tpu.zkml.iop import Context, Prover, verify
+    from deepprove_tpu.zkml.iop.verifier import IO
+    from deepprove_tpu.zkml.layers.activation import Relu
+    from deepprove_tpu.zkml.layers.dense import Dense
+    from deepprove_tpu.zkml.layers.requant import Requant
+    from deepprove_tpu.zkml.model import Model
+    from deepprove_tpu.zkml.quantization import RequantSpec
+    from deepprove_tpu.zkml.tensor import Tensor
+
+    dim = int(os.environ.get("BENCH_DIM", "64"))
+    rng = np.random.default_rng(0)
+
+    model = Model()
+    d = Dense(
+        matrix=rng.integers(Q.MIN, Q.MAX + 1, size=(dim, dim)).astype(np.int64),
+        bias=rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64),
+    )
+    model.add_chain(d)
+    spec = RequantSpec.from_multiplier(
+        1.0 / (1 << (Q.BIT_LEN - 1)) / dim, d.output_bitsize()
+    )
+    model.add_chain(Requant(spec=spec))
+    model.add_chain(Relu())
+
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64))
+    trace = model.run([x])
+    ctx = Context.generate(model, num_queries=200, basecode_msg_size_log=4)
+
+    def prove_once():
+        t0 = time.time()
+        proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+        return time.time() - t0, proof
+
+    _, proof = prove_once()  # warmup (compiles)
+    prove_s, proof = prove_once()
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+    prove_ms = prove_s * 1000.0
+    params = dim * dim + dim
+    extrapolated_4m_ms = prove_ms * (4_000_000 / params)
+    baseline_ms = 2335.0
+    print(
+        json.dumps(
+            {
+                "metric": f"mlp_{dim}x{dim}_prove_ms",
+                "value": round(prove_ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / extrapolated_4m_ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

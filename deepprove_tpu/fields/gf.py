@@ -239,7 +239,56 @@ def _reduce128(d):
     return GF(lo, hi)
 
 
+_USE_U64 = None
+
+
+def _use_u64() -> bool:
+    """Native-u64 fast path: CPU backend with x64 enabled (tests). TPU has
+    no 64-bit multiplier and keeps the 16-bit digit path. The u64 path
+    cuts the mul graph ~4x, which matters for XLA CPU compile times."""
+    global _USE_U64
+    if _USE_U64 is None:
+        import jax
+
+        _USE_U64 = bool(jax.config.jax_enable_x64) and jax.default_backend() == "cpu"
+    return _USE_U64
+
+
+def _mul_u64(a: GF, b: GF) -> GF:
+    """64×64→128 via u32 halves in native uint64 lanes + reduce128."""
+    u64 = jnp.uint64
+    a64 = a.lo.astype(u64) | (a.hi.astype(u64) << u64(32))
+    b64 = b.lo.astype(u64) | (b.hi.astype(u64) << u64(32))
+    mask32 = u64(0xFFFFFFFF)
+    a_lo, a_hi = a64 & mask32, a64 >> u64(32)
+    b_lo, b_hi = b64 & mask32, b64 >> u64(32)
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = lh + hl
+    mid_carry = (mid < lh).astype(u64)
+    t = ll + ((mid & mask32) << u64(32))
+    c1 = (t < ll).astype(u64)
+    lo = t
+    hi = hh + (mid >> u64(32)) + (mid_carry << u64(32)) + c1
+    # reduce128 (host.py:89): n0 − hi_hi + hi_lo·EPSILON, canonicalized
+    eps = u64(EPSILON)
+    p64 = u64(P)
+    hi_hi = hi >> u64(32)
+    hi_lo = hi & mask32
+    t0 = lo - hi_hi
+    t0 = jnp.where(lo < hi_hi, t0 - eps, t0)
+    t1 = hi_lo * eps
+    t2 = t0 + t1
+    t2 = jnp.where(t2 < t1, t2 + eps, t2)
+    t2 = jnp.where(t2 >= p64, t2 - p64, t2)
+    return GF((t2 & mask32).astype(_u32), (t2 >> u64(32)).astype(_u32))
+
+
 def mul(a: GF, b: GF) -> GF:
+    if _use_u64():
+        return _mul_u64(a, b)
     ad = _digits16(a.lo, a.hi)
     bd = _digits16(b.lo, b.hi)
     return _reduce128(_mul_wide_digits(ad, bd))
@@ -252,6 +301,8 @@ def mul_small(a: GF, c: int) -> GF:
         return zeros(a.shape)
     if c == 1:
         return a
+    if _use_u64():
+        return _mul_u64(a, GF(jnp.full(a.shape, c, dtype=_u32), jnp.zeros_like(a.lo)))
     ad = _digits16(a.lo, a.hi)
     c_lo = np.uint32(c & 0xFFFF)
     c_hi = np.uint32(c >> 16)

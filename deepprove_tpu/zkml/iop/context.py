@@ -47,8 +47,11 @@ class Context:
                 node_id=nid, op=node.op, ctx=layer_ctx, inputs=node.inputs
             )
         lookup = sorted(aux.tables)
+        max_len = max(1, aux.max_poly_len)
+        for tt in lookup:
+            max_len = max(max_len, 1 << tt.multiplicity_poly_vars())
         commitment_ctx = CommitmentContext(
-            max_poly_len=next_pow2(max(1, aux.max_poly_len)),
+            max_poly_len=next_pow2(max_len),
             model_polys=aux.model_polys,
             table_types=lookup,
             **pcs_kw,

@@ -1,0 +1,71 @@
+"""The minimum end-to-end slice (SURVEY.md §7): Dense → Requant → Relu.
+
+Exercises every layer of the stack at once: field, hash, transcript, MLE,
+sumcheck, logup (Range + Clamping + Relu tables), same-poly accumulation,
+PCS batched opening, orchestration.
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.activation import Relu
+from deepprove_tpu.zkml.layers.dense import Dense
+from deepprove_tpu.zkml.layers.requant import Requant
+from deepprove_tpu.zkml.model import Model
+from deepprove_tpu.zkml.quantization import RequantSpec
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def build_mlp(rng, dims, final_requant_relu=True):
+    model = Model()
+    n_layers = len(dims) - 1
+    for i in range(n_layers):
+        w = rng.integers(Q.MIN, Q.MAX + 1, size=(dims[i + 1], dims[i])).astype(np.int64)
+        b = rng.integers(Q.MIN, Q.MAX + 1, size=dims[i + 1]).astype(np.int64)
+        d = Dense(matrix=w, bias=b)
+        model.add_chain(d)
+        last = i == n_layers - 1
+        if not last or final_requant_relu:
+            spec = RequantSpec.from_multiplier(
+                1.0 / (1 << (Q.BIT_LEN - 1)) / dims[i], d.output_bitsize()
+            )
+            model.add_chain(Requant(spec=spec))
+            model.add_chain(Relu())
+    return model
+
+
+def test_minimum_slice_e2e(rng):
+    model = build_mlp(rng, [16, 8])
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=16).astype(np.int64))
+    trace = model.run([x])
+    # sanity: output within quantized range after requant+relu
+    assert (trace.outputs[0].data >= 0).all()
+    assert (trace.outputs[0].data <= Q.MAX).all()
+
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_two_layer_mlp_e2e(rng):
+    model = build_mlp(rng, [16, 16, 4], final_requant_relu=True)
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=16).astype(np.int64))
+    trace = model.run([x])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_slice_rejects_tampered_output(rng):
+    model = build_mlp(rng, [8, 8])
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=8).astype(np.int64))
+    trace = model.run([x])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    bad = Tensor(trace.outputs[0].data ^ 1)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([x], [bad]), BasicTranscript(b"m2vec"))
