@@ -71,7 +71,18 @@ def _external_linear_h(st):
 
 
 def permute_host(state: np.ndarray) -> np.ndarray:
-    """Poseidon2 permutation; state shape (..., 8) uint64 canonical."""
+    """Poseidon2 permutation; state shape (..., 8) uint64 canonical.
+
+    Uses the native C kernel when available (~1 µs/permutation vs ~10 ms
+    in numpy — the transcript is sequential, so this dominates verify)."""
+    from .. import native
+
+    if native.get_lib() is not None:
+        return native.permute_batch(np.asarray(state, dtype=np.uint64))
+    return _permute_host_numpy(state)
+
+
+def _permute_host_numpy(state: np.ndarray) -> np.ndarray:
     st = np.asarray(state, dtype=np.uint64).copy()
     st = _external_linear_h(st)
     for r in range(4):
@@ -197,4 +208,10 @@ def hash_or_noop_host(inputs: np.ndarray) -> np.ndarray:
 
 def compress_host(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     """Two-to-one Merkle compression (poseidon/src/poseidon_hash.rs:67)."""
+    from .. import native
+
+    if native.get_lib() is not None:
+        return native.compress_batch(
+            np.asarray(left, dtype=np.uint64), np.asarray(right, dtype=np.uint64)
+        ).reshape(np.shape(left))
     return hash_n_to_m_no_pad_host(np.concatenate([left, right]), DIGEST_WIDTH)

@@ -1,0 +1,114 @@
+"""Native (C) host kernels: Poseidon2 permutation for transcript/Merkle.
+
+Compiled lazily with gcc into a per-user cache dir and loaded via ctypes;
+falls back to the numpy implementation when no compiler is available.
+The round constants are emitted from hashing/constants.py into a header
+at build time — one source of truth.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _emit_constants_header(path: str):
+    from ..hashing import constants as C
+
+    def row(vals):
+        return "{" + ", ".join(f"{v}ULL" for v in vals) + "}"
+
+    with open(path, "w") as f:
+        f.write("/* generated from hashing/constants.py — do not edit */\n")
+        f.write(
+            "static const u64 INIT_RC[4][8] = {"
+            + ", ".join(row(r) for r in C.INITIAL_EXTERNAL_CONSTANTS)
+            + "};\n"
+        )
+        f.write(
+            "static const u64 TERM_RC[4][8] = {"
+            + ", ".join(row(r) for r in C.TERMINAL_EXTERNAL_CONSTANTS)
+            + "};\n"
+        )
+        f.write("static const u64 INT_RC[22] = " + row(C.INTERNAL_CONSTANTS) + ";\n")
+        f.write("static const u64 DIAG[8] = " + row(C.MATRIX_DIAG_8) + ";\n")
+
+
+def _build() -> str | None:
+    src = os.path.join(os.path.dirname(__file__), "poseidon2.c")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "deepprove_tpu",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"poseidon2_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    with tempfile.TemporaryDirectory() as tmp:
+        hdr = os.path.join(tmp, "poseidon2_constants.h")
+        _emit_constants_header(hdr)
+        tmp_so = os.path.join(tmp, "p2.so")
+        cmd = [
+            "gcc", "-O3", "-march=native", "-shared", "-fPIC",
+            "-I", tmp, "-o", tmp_so, src,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+        os.replace(tmp_so, so_path)
+    return so_path
+
+
+def get_lib():
+    """ctypes handle to the native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.poseidon2_permute_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+    ]
+    lib.poseidon2_compress_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def permute_batch(states: np.ndarray) -> np.ndarray:
+    """In-place-free batched permutation; states (..., 8) uint64."""
+    lib = get_lib()
+    assert lib is not None
+    out = np.ascontiguousarray(states, dtype=np.uint64).copy()
+    lib.poseidon2_permute_batch(_ptr(out), out.size // 8)
+    return out
+
+
+def compress_batch(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    assert lib is not None
+    l = np.ascontiguousarray(left, dtype=np.uint64)
+    r = np.ascontiguousarray(right, dtype=np.uint64)
+    out = np.empty_like(l)
+    lib.poseidon2_compress_batch(_ptr(l), _ptr(r), _ptr(out), l.size // 4)
+    return out

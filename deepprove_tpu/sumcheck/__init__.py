@@ -1,4 +1,5 @@
-from .prover import VirtualPolynomial, SumcheckProof, prove
+from .prover import VirtualPolynomial, SumcheckProof
+from .fused import prove_fused as prove  # fused kernel; falls back for big n
 from .verifier import verify, interpolate_uni_poly
 
 __all__ = ["VirtualPolynomial", "SumcheckProof", "prove", "verify", "interpolate_uni_poly"]

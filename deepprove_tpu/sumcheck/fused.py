@@ -1,0 +1,217 @@
+"""Fused whole-sumcheck kernel: all rounds + Fiat-Shamir in ONE compile.
+
+The per-round host↔device cadence (message out, challenge in) is the
+latency floor of a naive TPU sumcheck. Here the duplex challenger runs
+ON DEVICE (transcript/device.py), so the entire round loop — fold,
+message, absorb, squeeze — is a single `lax.while_loop` compiled once
+per (m_pad, pn_pad, degree, n_bucket) bucket and reused by EVERY
+sumcheck whose num_vars fits the bucket. MLE buffers are zero-padded to
+2^n_bucket: padded lanes contribute exact zeros to every round sum, and
+folds keep them zero, so messages are bit-identical to the unfused
+prover (asserted in tests).
+
+Cost: n_bucket·2^n_bucket element-ops instead of 2·2^n — the bucket
+granularity bounds the waste; large sumchecks run their top rounds
+through the per-round kernels and switch to this fused tail once the
+active size reaches the bucket.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gf
+from ..transcript import BasicTranscript, device as devt
+from .prover import (
+    ProverOutput,
+    SumcheckProof,
+    VirtualPolynomial,
+    _bucket,
+    _ext_scalar,
+    _round_kernel,
+    _stack_mles,
+)
+
+# b"Internal round" → two LE u64 chunks (transcript.append_message)
+_LABEL_CHUNKS = [
+    int.from_bytes(b"Internal", "little"),
+    int.from_bytes(b" round\x00\x00", "little"),
+]
+
+N_BUCKETS = (6, 10, 14)
+
+
+def _pick_bucket(n: int):
+    for b in N_BUCKETS:
+        if n <= b:
+            return b
+    return None
+
+
+def _pairs_view(stacked: gf.GF2):
+    m, l = stacked.shape
+    v = stacked.reshape(m, l // 2, 2)
+    return v[:, :, 0], v[:, :, 1]
+
+
+@partial(
+    jax.jit, static_argnames=("n_points", "degree", "n_bucket", "m_pad", "pn_pad")
+)
+def _fused_kernel(
+    stacked, coeffs, prod_idx, t_state, n, n_points, degree, n_bucket, m_pad, pn_pad
+):
+    """Run `n` sumcheck rounds entirely on device.
+
+    stacked: GF2 (m_pad, 2^n_bucket), data zero-padded beyond 2^n.
+    Returns (messages (n_bucket, n_points) ext, challenges (n_bucket,) ext,
+    final stacked, t_state').
+    """
+    l_buf = 1 << n_bucket
+
+    def take_rows(a: gf.GF2, idx) -> gf.GF2:
+        return gf.GF2(
+            gf.GF(jnp.take(a.a0.lo, idx, axis=0), jnp.take(a.a0.hi, idx, axis=0)),
+            gf.GF(jnp.take(a.a1.lo, idx, axis=0), jnp.take(a.a1.hi, idx, axis=0)),
+        )
+
+    idx_flat = prod_idx.reshape(-1)
+
+    def round_message(stacked):
+        lo, hi = _pairs_view(stacked)
+        diff = gf.ext_sub(hi, lo)
+        msgs = []
+        cur = lo
+        for t in range(n_points):
+            if t == 1:
+                cur = hi
+            elif t >= 2:
+                cur = gf.ext_add(cur, diff)
+            g = take_rows(cur, idx_flat).reshape(pn_pad, degree, l_buf // 2)
+            p = g[:, 0]
+            for d in range(1, degree):
+                p = gf.ext_mul(p, g[:, d])
+            s = gf.ext_sum_axis(p, axis=1)
+            term = gf.ext_mul(coeffs, s)
+            msgs.append(gf.ext_sum_axis(term, axis=0))
+        return gf.ext_stack(msgs)  # (n_points,)
+
+    def fold(stacked, r: gf.GF2):
+        lo, hi = _pairs_view(stacked)
+        rb = gf.ext_broadcast_to(r.reshape((1, 1)), lo.shape)
+        folded = gf.ext_add(lo, gf.ext_mul(rb, gf.ext_sub(hi, lo)))
+        # restore buffer width; the new active prefix is half the old one
+        return gf.ext_concatenate([folded, gf.ext_zeros(folded.shape)], axis=1)
+
+    def absorb_message(t_state, msg):
+        def body(i, ts):
+            m = gf.GF2(
+                gf.GF(msg.a0.lo[i], msg.a0.hi[i]), gf.GF(msg.a1.lo[i], msg.a1.hi[i])
+            )
+            return devt.observe_ext(ts, m)
+
+        return jax.lax.fori_loop(0, n_points, body, t_state)
+
+    def squeeze_challenge(t_state):
+        for chunk in _LABEL_CHUNKS:
+            t_state = devt.observe_u64_constant(t_state, chunk)
+        return devt.sample_ext(t_state)
+
+    msgs0 = gf.ext_zeros((n_bucket, n_points))
+    chals0 = gf.ext_zeros((n_bucket,))
+
+    def cond(carry):
+        rnd, *_ = carry
+        return rnd < n
+
+    def body(carry):
+        rnd, stacked, msgs, chals, t_state, r = carry
+        stacked = jax.lax.cond(rnd > 0, lambda s: fold(s, r), lambda s: s, stacked)
+        msg = round_message(stacked)
+        t_state = absorb_message(t_state, msg)
+        t_state, r_new = squeeze_challenge(t_state)
+
+        def upd(dst, src, i):
+            return jax.lax.dynamic_update_index_in_dim(dst, src, i, 0)
+
+        msgs = gf.GF2(
+            gf.GF(upd(msgs.a0.lo, msg.a0.lo, rnd), upd(msgs.a0.hi, msg.a0.hi, rnd)),
+            gf.GF(upd(msgs.a1.lo, msg.a1.lo, rnd), upd(msgs.a1.hi, msg.a1.hi, rnd)),
+        )
+        chals = gf.GF2(
+            gf.GF(
+                upd(chals.a0.lo, r_new.a0.lo, rnd), upd(chals.a0.hi, r_new.a0.hi, rnd)
+            ),
+            gf.GF(
+                upd(chals.a1.lo, r_new.a1.lo, rnd), upd(chals.a1.hi, r_new.a1.hi, rnd)
+            ),
+        )
+        return (rnd + 1, stacked, msgs, chals, t_state, r_new)
+
+    r0 = gf.ext_zeros(())
+    carry = (jnp.int32(0), stacked, msgs0, chals0, t_state, r0)
+    _, stacked, msgs, chals, t_state, r = jax.lax.while_loop(cond, body, carry)
+    # final fold of the last challenge; active value lands at index 0
+    stacked = fold(stacked, r)
+    finals = stacked[:, 0]
+    return msgs, chals, finals, t_state
+
+
+def prove_fused(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOutput:
+    """Drop-in replacement for prover.prove() for n ≤ max(N_BUCKETS)."""
+    n = vp.num_vars
+    n_bucket = _pick_bucket(n)
+    if n_bucket is None:
+        from .prover import prove as prove_unfused
+
+        return prove_unfused(vp, transcript)
+
+    max_degree = vp.max_degree
+    transcript.append_message(int(n).to_bytes(8, "little"))
+    transcript.append_message(int(max_degree).to_bytes(8, "little"))
+
+    stacked, m_pad = _stack_mles(vp)
+    # zero-pad the data region to 2^n_bucket; pad *rows* (ones) must stay
+    # ones only inside the active region? They already span the full width
+    # after padding below — but padded-lane ones only ever multiply padded
+    # -lane zeros of real rows, so sums stay exact.
+    l = 1 << n
+    l_buf = 1 << n_bucket
+    if l_buf > l:
+        pad = gf.ext_zeros((m_pad, l_buf - l))
+        stacked = gf.ext_concatenate([stacked, pad], axis=1)
+    ones_row = m_pad - 1
+    pn_pad = _bucket(len(vp.products))
+    coeff_list = [c for c, _ in vp.products] + [(0, 0)] * (pn_pad - len(vp.products))
+    coeffs = gf.ext_stack([_ext_scalar(c) for c in coeff_list])
+    idx = np.full((pn_pad, max_degree), ones_row, dtype=np.int32)
+    for i, (_, fs) in enumerate(vp.products):
+        idx[i, : len(fs)] = fs
+    idx = jnp.asarray(idx)
+
+    t_state = devt.export_state(transcript.challenger)
+    msgs, chals, finals, t_state = _fused_kernel(
+        stacked, coeffs, idx, t_state, jnp.int32(n),
+        n_points=max_degree + 1, degree=max_degree,
+        n_bucket=n_bucket, m_pad=m_pad, pn_pad=pn_pad,
+    )
+    devt.import_state(transcript.challenger, t_state)
+
+    m_a0, m_a1 = gf.ext_to_u64(msgs)
+    c_a0, c_a1 = gf.ext_to_u64(chals)
+    round_messages = [
+        [(int(m_a0[r, t]), int(m_a1[r, t])) for t in range(max_degree + 1)]
+        for r in range(n)
+    ]
+    point = [(int(c_a0[r]), int(c_a1[r])) for r in range(n)]
+    f_a0, f_a1 = gf.ext_to_u64(finals)
+    final_evals = [
+        (int(x), int(y)) for x, y in zip(f_a0[: len(vp.mles)], f_a1[: len(vp.mles)])
+    ]
+    return ProverOutput(
+        proof=SumcheckProof(point=point, round_messages=round_messages),
+        final_evals=final_evals,
+    )

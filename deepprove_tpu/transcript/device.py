@@ -1,0 +1,118 @@
+"""On-device duplex challenger — the Fiat-Shamir transcript as traced ops.
+
+Exactly mirrors the host `DuplexChallenger` (challenger.py / p3
+DuplexChallenger<F,P,8,4>), so a sumcheck can run ALL its rounds inside
+one compiled kernel: absorb round messages, squeeze challenges, fold —
+with zero host↔device synchronization (SURVEY.md §7 hard part 3
+"on-device challenge derivation"). The host transcript state is exported
+before the kernel and re-imported after; transcripts are bit-identical
+to the host-driven path (asserted in tests).
+
+State: (sponge GF(8,), ibuf GF(4,), ilen i32, obuf GF(4,), olen i32).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gf
+from ..hashing import poseidon2
+from .challenger import DuplexChallenger
+
+RATE = 4
+
+
+def export_state(ch: DuplexChallenger):
+    """Host challenger → device state tuple."""
+    sponge = gf.from_u64(np.asarray(ch.state, dtype=np.uint64))
+    ibuf = np.zeros(4, dtype=np.uint64)
+    ibuf[: len(ch.input_buffer)] = ch.input_buffer
+    obuf = np.zeros(4, dtype=np.uint64)
+    obuf[: len(ch.output_buffer)] = ch.output_buffer
+    return (
+        sponge,
+        gf.from_u64(ibuf),
+        jnp.int32(len(ch.input_buffer)),
+        gf.from_u64(obuf),
+        jnp.int32(len(ch.output_buffer)),
+    )
+
+
+def import_state(ch: DuplexChallenger, state):
+    """Device state tuple → host challenger (in place)."""
+    sponge, ibuf, ilen, obuf, olen = state
+    ch.state = np.asarray(gf.to_u64(sponge), dtype=np.uint64)
+    ilen = int(ilen)
+    olen = int(olen)
+    ch.input_buffer = [int(x) for x in gf.to_u64(ibuf)[:ilen]]
+    ch.output_buffer = [int(x) for x in gf.to_u64(obuf)[:olen]]
+
+
+def _set_at(arr: gf.GF, idx, val: gf.GF) -> gf.GF:
+    return gf.GF(
+        jax.lax.dynamic_update_index_in_dim(arr.lo, val.lo, idx, 0),
+        jax.lax.dynamic_update_index_in_dim(arr.hi, val.hi, idx, 0),
+    )
+
+
+def _duplex(state):
+    sponge, ibuf, ilen, obuf, olen = state
+    # overwrite sponge[0..ilen) with ibuf entries (mask-select per lane)
+    lane = jnp.arange(8)
+    take = lane < ilen
+    src_lo = jnp.concatenate([ibuf.lo, sponge.lo[4:]])  # ibuf padded view
+    src_hi = jnp.concatenate([ibuf.hi, sponge.hi[4:]])
+    new_sponge = gf.GF(
+        jnp.where(take, src_lo, sponge.lo), jnp.where(take, src_hi, sponge.hi)
+    )
+    new_sponge = poseidon2.permute_device(new_sponge)
+    new_obuf = new_sponge[:4]
+    return (new_sponge, ibuf, jnp.int32(0), new_obuf, jnp.int32(4))
+
+
+def observe(state, x: gf.GF):
+    """observe(x): clear obuf, push x; duplex when 4 inputs are queued."""
+    sponge, ibuf, ilen, obuf, olen = state
+    ibuf = _set_at(ibuf, ilen, x)
+    ilen = ilen + 1
+    state = (sponge, ibuf, ilen, obuf, jnp.int32(0))
+    return jax.lax.cond(ilen == RATE, _duplex, lambda s: s, state)
+
+
+def sample(state):
+    """sample(): duplex if inputs pending or outputs empty; pop obuf end."""
+    def need_duplex(s):
+        return _duplex(s)
+
+    sponge, ibuf, ilen, obuf, olen = state
+    state = jax.lax.cond(
+        (ilen > 0) | (olen == 0), need_duplex, lambda s: s, state
+    )
+    sponge, ibuf, ilen, obuf, olen = state
+    olen = olen - 1
+    out = gf.GF(
+        jax.lax.dynamic_index_in_dim(obuf.lo, olen, 0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(obuf.hi, olen, 0, keepdims=False),
+    )
+    return (sponge, ibuf, ilen, obuf, olen), out
+
+
+def observe_ext(state, x: gf.GF2):
+    state = observe(state, x.a0)
+    return observe(state, x.a1)
+
+
+def sample_ext(state):
+    state, a0 = sample(state)
+    state, a1 = sample(state)
+    return state, gf.GF2(a0, a1)
+
+
+def observe_u64_constant(state, value: int):
+    """Absorb a compile-time-known base element (e.g. a label chunk)."""
+    return observe(
+        state,
+        gf.GF(jnp.uint32(value & 0xFFFFFFFF), jnp.uint32(value >> 32)),
+    )

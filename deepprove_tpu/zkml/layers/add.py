@@ -1,0 +1,81 @@
+"""Element-wise Add (zkml/src/layers/add.rs).
+
+y = x₁ + x₂ needs no sumcheck: the output claim y~(r) splits into claims
+x₁~(r) (prover-evaluated) and x₂~(r) = y~(r) − x₁~(r); the verifier
+checks the sum (add.rs:81-148, :586). Same-scale quantized inputs only
+(the reference's rescaled variant carries per-side multipliers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ..tensor import Tensor
+
+ExtPair = tuple[int, int]
+
+
+def _dev(p: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+
+def _host_pair(e: gf.GF2) -> ExtPair:
+    a0, a1 = gf.ext_to_u64(e.reshape((1,)))
+    return (int(a0[0]), int(a1[0]))
+
+
+@dataclasses.dataclass
+class Add:
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        return [Tensor(inputs[0].data + inputs[1].data)]
+
+    def step_info(self, node_id: int, aux):
+        return AddCtx(node_id=node_id)
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        pt = [_dev(p) for p in last_claim.point]
+        left_eval = _host_pair(mle_mod.evaluate(step_data.inputs[0].to_gf(), pt))
+        right_eval = host.ext_sub(last_claim.eval, left_eval)
+        prover.push_proof(node_id, AddProof(left_eval=left_eval, right_eval=right_eval))
+        return [
+            Claim(point=list(last_claim.point), eval=left_eval),
+            Claim(point=list(last_claim.point), eval=right_eval),
+        ]
+
+
+@dataclasses.dataclass
+class AddProof:
+    left_eval: ExtPair
+    right_eval: ExtPair
+
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class AddCtx:
+    node_id: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: AddProof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        assert host.ext_add(proof.left_eval, proof.right_eval) == last_claim.eval, (
+            "add split mismatch"
+        )
+        return [
+            Claim(point=list(last_claim.point), eval=proof.left_eval),
+            Claim(point=list(last_claim.point), eval=proof.right_eval),
+        ]

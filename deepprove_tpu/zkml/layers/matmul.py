@@ -1,0 +1,122 @@
+"""MatMul: C = A·B with witness operands (zkml/src/layers/matrix_mul.rs).
+
+One degree-2 sumcheck over the contracted axis: the output claim
+C~(r_col, r_row) reduces to Σ_k A(r_row, k)·B(k, r_col). Little-endian
+2D MLEs put column variables LOW, so A fixes r_row into its HIGH vars
+and B fixes r_col into its LOW vars. The two final evals become claims
+on A at (k_pt ‖ r_row) and B at (r_col ‖ k_pt) passed to the producers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
+from .. import quantization as Q
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+
+def _dev(p: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+
+@dataclasses.dataclass
+class MatMul:
+    """C[m,n] = A[m,k] · B[k,n]; both operands are witness tensors."""
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        a, b = inputs[0].data, inputs[1].data
+        return [Tensor(a.astype(np.int64) @ b.astype(np.int64))]
+
+    def step_info(self, node_id: int, aux):
+        return MatMulCtx(node_id=node_id)
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        a = step_data.inputs[0].data
+        b = step_data.inputs[1].data
+        m, k = a.shape
+        k2, n = b.shape
+        assert k == k2
+        log_n, log_m, log_k = ceil_log2(next_pow2(n)), ceil_log2(next_pow2(m)), ceil_log2(next_pow2(k))
+        assert len(last_claim.point) == log_n + log_m
+
+        r_col = [_dev(p) for p in last_claim.point[:log_n]]
+        r_row = [_dev(p) for p in last_claim.point[log_n:]]
+
+        a_pad = np.zeros((next_pow2(m), next_pow2(k)), dtype=np.int64)
+        a_pad[:m, :k] = a
+        b_pad = np.zeros((next_pow2(k), next_pow2(n)), dtype=np.int64)
+        b_pad[:k, :n] = b
+        a_gf = gf.from_u64(Q.to_field(a_pad.reshape(-1)))
+        b_gf = gf.from_u64(Q.to_field(b_pad.reshape(-1)))
+
+        a_fixed = mle_mod.fix_high_variables(a_gf, r_row)  # over k (col) vars
+        b_fixed = mle_mod.fix_variables(b_gf, r_col)  # over k (row) vars
+
+        vp = VirtualPolynomial.new(log_k)
+        ia = vp.add_mle(a_fixed)
+        ib = vp.add_mle(b_fixed)
+        vp.add_product((1, 0), [ia, ib])
+        out = sumcheck_prove(vp, prover.transcript)
+
+        k_pt = list(out.proof.point)
+        a_claim = Claim(
+            point=k_pt + list(last_claim.point[log_n:]), eval=out.final_evals[0]
+        )
+        b_claim = Claim(
+            point=list(last_claim.point[:log_n]) + k_pt, eval=out.final_evals[1]
+        )
+        prover.push_proof(
+            node_id,
+            MatMulProof(sumcheck=out.proof, individual_claims=out.final_evals,
+                        dims=(log_m, log_k, log_n)),
+        )
+        return [a_claim, b_claim]
+
+
+@dataclasses.dataclass
+class MatMulProof:
+    sumcheck: object
+    individual_claims: list[ExtPair]
+    dims: tuple  # (log_m, log_k, log_n)
+
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class MatMulCtx:
+    node_id: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: MatMulProof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        log_m, log_k, log_n = proof.dims
+        sub = sumcheck_verify(
+            last_claim.eval, proof.sumcheck.round_messages, log_k, 2,
+            verifier.transcript,
+        )
+        got = host.ext_mul(proof.individual_claims[0], proof.individual_claims[1])
+        assert got == sub.expected_evaluation, "matmul sumcheck final mismatch"
+        k_pt = list(sub.point)
+        return [
+            Claim(point=k_pt + list(last_claim.point[log_n:]),
+                  eval=proof.individual_claims[0]),
+            Claim(point=list(last_claim.point[:log_n]) + k_pt,
+                  eval=proof.individual_claims[1]),
+        ]

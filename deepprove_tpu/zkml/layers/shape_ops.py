@@ -1,0 +1,46 @@
+"""Shape-only ops: Flatten / Reshape (zkml/src/layers/{flatten,reshape}.rs).
+
+Non-provable (is_provable = false): claims propagate unchanged since the
+flattened data is the same polynomial (reshape.rs:349, flatten.rs:77).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..tensor import Tensor
+
+
+@dataclasses.dataclass
+class Flatten:
+    @property
+    def is_provable(self) -> bool:
+        return False
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        return [Tensor(inputs[0].data.reshape(-1))]
+
+    def step_info(self, node_id: int, aux):
+        return FlattenCtx()
+
+
+@dataclasses.dataclass
+class FlattenCtx:
+    @property
+    def is_provable(self) -> bool:
+        return False
+
+
+@dataclasses.dataclass
+class Reshape:
+    shape: tuple
+
+    @property
+    def is_provable(self) -> bool:
+        return False
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        return [Tensor(inputs[0].data.reshape(self.shape))]
+
+    def step_info(self, node_id: int, aux):
+        return FlattenCtx()

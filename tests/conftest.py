@@ -23,11 +23,9 @@ jax.config.update("jax_platforms", "cpu")
 # cutting XLA CPU compile times ~4x. TPU runs keep the digit path.
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: sumcheck/logup/basefold round kernels are one
-# jit per (shape, structure); caching them across runs keeps the suite fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/deepprove_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent compile cache is intentionally NOT enabled here —
+# XLA:CPU AOT cache reads cost ~0.2 s/entry on this host (machine-feature
+# mismatch fallback), slower than recompiling the small u64-path graphs.
 
 import numpy as np
 import pytest

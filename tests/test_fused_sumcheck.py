@@ -1,0 +1,79 @@
+"""Fused on-device sumcheck must be transcript-identical to the host-driven
+per-round prover (and to the device challenger vs host challenger)."""
+
+import numpy as np
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.sumcheck.fused import prove_fused
+from deepprove_tpu.sumcheck.prover import VirtualPolynomial, prove as prove_unfused
+from deepprove_tpu.transcript import BasicTranscript, device as devt
+
+P = host.P
+
+
+def test_device_challenger_matches_host(rng):
+    import jax
+
+    host_ch = BasicTranscript(b"devchk").challenger
+    state = devt.export_state(host_ch)
+
+    @jax.jit
+    def run(state):
+        for v in [5, 6, 7]:
+            state = devt.observe(
+                state, gf.GF(np.uint32(v), np.uint32(0))
+            )
+        state, s1 = devt.sample(state)
+        state = devt.observe(state, gf.GF(np.uint32(9), np.uint32(1)))
+        state, s2 = devt.sample_ext(state)
+        return state, s1, s2
+
+    state, s1, s2 = run(state)
+
+    host_ch2 = BasicTranscript(b"devchk").challenger
+    for v in [5, 6, 7]:
+        host_ch2.observe(v)
+    h1 = host_ch2.sample()
+    host_ch2.observe(9 + ((1 << 32)))
+    h2 = host_ch2.sample_ext()
+
+    assert int(gf.to_u64(s1)) == h1
+    a0, a1 = gf.ext_to_u64(s2)
+    assert (int(a0), int(a1)) == h2
+    # final states agree
+    tmp = BasicTranscript(b"x").challenger
+    devt.import_state(tmp, state)
+    np.testing.assert_array_equal(tmp.state, host_ch2.state)
+    assert tmp.input_buffer == host_ch2.input_buffer
+    assert tmp.output_buffer == host_ch2.output_buffer
+
+
+def _vp(rng, n):
+    a = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    b = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    e = gf.ext_from_u64(
+        rng.integers(0, P, size=1 << n, dtype=np.uint64),
+        rng.integers(0, P, size=1 << n, dtype=np.uint64),
+    )
+    vp = VirtualPolynomial.new(n)
+    ia, ib, ie = vp.add_mle(gf.from_u64(a)), vp.add_mle(gf.from_u64(b)), vp.add_mle(e)
+    vp.add_product((3, 1), [ie, ia, ib])
+    vp.add_product((5, 0), [ia])
+    return vp
+
+
+def test_fused_matches_unfused(rng):
+    for n in [3, 5, 9]:
+        vp1 = _vp(rng, n)
+        vp2 = VirtualPolynomial(num_vars=n, mles=list(vp1.mles), products=list(vp1.products))
+        t1 = BasicTranscript(b"fusedchk")
+        t2 = BasicTranscript(b"fusedchk")
+        out1 = prove_unfused(vp1, t1)
+        out2 = prove_fused(vp2, t2)
+        assert out1.proof.point == out2.proof.point, n
+        assert out1.proof.round_messages == out2.proof.round_messages, n
+        assert out1.final_evals == out2.final_evals, n
+        # transcripts end in the same state
+        c1 = t1.read_challenge()
+        c2 = t2.read_challenge()
+        assert c1 == c2, n

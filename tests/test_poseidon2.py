@@ -108,3 +108,15 @@ def test_transcript_fork():
     forks = t.fork(3)
     cs = [f.read_challenge() for f in forks]
     assert len({c for c in cs}) == 3
+
+
+def test_native_matches_numpy(rng):
+    from deepprove_tpu import native
+    from deepprove_tpu.hashing.poseidon2 import _permute_host_numpy
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no C compiler")
+    st = rand_state(rng, (32,))
+    np.testing.assert_array_equal(native.permute_batch(st), _permute_host_numpy(st))

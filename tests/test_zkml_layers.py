@@ -1,0 +1,62 @@
+"""Per-layer roundtrips for Add / MatMul / Flatten in small DAG models."""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.add import Add
+from deepprove_tpu.zkml.layers.dense import Dense
+from deepprove_tpu.zkml.layers.matmul import MatMul
+from deepprove_tpu.zkml.layers.shape_ops import Flatten
+from deepprove_tpu.zkml.model import Edge, Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def rand_dense(rng, rows, cols):
+    return Dense(
+        matrix=rng.integers(Q.MIN, Q.MAX + 1, size=(rows, cols)).astype(np.int64),
+        bias=rng.integers(Q.MIN, Q.MAX + 1, size=rows).astype(np.int64),
+    )
+
+
+def test_add_of_two_dense_branches(rng):
+    model = Model()
+    d1 = model.add_node(rand_dense(rng, 8, 8), [Edge(node=None, index=0)])
+    d2 = model.add_node(rand_dense(rng, 8, 8), [Edge(node=None, index=0)])
+    model.add_node(Add(), [Edge(node=d1), Edge(node=d2)])
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=8).astype(np.int64))
+    trace = model.run([x])
+    want = (
+        model.nodes[d1].op.matrix @ x.data + model.nodes[d1].op.bias
+        + model.nodes[d2].op.matrix @ x.data + model.nodes[d2].op.bias
+    )
+    np.testing.assert_array_equal(trace.outputs[0].data, want)
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_matmul_two_witness_inputs(rng):
+    model = Model(num_inputs=2)
+    model.add_node(MatMul(), [Edge(node=None, index=0), Edge(node=None, index=1)])
+    a = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=(4, 8)).astype(np.int64))
+    b = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=(8, 4)).astype(np.int64))
+    trace = model.run([a, b])
+    np.testing.assert_array_equal(trace.outputs[0].data, a.data @ b.data)
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([a, b], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_flatten_passthrough(rng):
+    model = Model()
+    model.add_chain(Flatten())
+    model.add_chain(rand_dense(rng, 4, 16))
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=(4, 4)).astype(np.int64))
+    trace = model.run([x])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
