@@ -1,0 +1,253 @@
+"""Maxpool2D (kernel 2, stride 2) — zkml/src/layers/pooling.rs.
+
+Proof: the four per-kernel-position diffs output − input[2i+b, 2j+a] are
+(a) range-checked via logup (max ⇒ all diffs ≥ 0, < 2^BIT_LEN) and
+(b) zero-checked: Σ_x eq(x)·Π_k diff_k(x) = 0 (some diff is 0 ⇒ the max
+is attained), batched with diff/output claim-tying terms into one
+degree-5 sumcheck (pooling.rs:380-460). The input claim for the previous
+layer is reconstructed by substituting fresh (r1, r2) for the two kernel
+parity bits: point = [r1] ‖ zc[:logW−1] ‖ [r2] ‖ zc[logW−1:] and
+I~ = Σ_k mult_k(r1,r2)·(output_eval − diff_k_eval) (pooling.rs:462-520).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup import logup
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
+from .. import quantization as Q
+from ..lookup_context import LogUpWitness, TableType, count_elements
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+
+def _dev(p: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+
+def _pad3(x: np.ndarray) -> np.ndarray:
+    c, h, w = x.shape
+    out = np.zeros((next_pow2(c), next_pow2(h), next_pow2(w)), dtype=np.int64)
+    out[:c, :h, :w] = x
+    return out
+
+
+@dataclasses.dataclass
+class Maxpool2D:
+    """kernel = stride = 2 (MAXPOOL2D_KERNEL_SIZE, pooling.rs:44)."""
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        x = inputs[0].data
+        c, h, w = x.shape
+        v = x.reshape(c, h // 2, 2, w // 2, 2)
+        return [Tensor(v.max(axis=(2, 4)))]
+
+    def step_info(self, node_id: int, aux):
+        aux.tables.add(TableType("range"))
+        return PoolingCtx(node_id=node_id)
+
+    def _diffs(self, inp: np.ndarray, out: np.ndarray) -> list[np.ndarray]:
+        """columns[k] = O − I[row ≡ k&1, col ≡ k>>1], flattened in O layout."""
+        ip = _pad3(inp)
+        op = _pad3(out)
+        cols = []
+        for k in range(4):
+            a, b = k >> 1, k & 1  # (col parity, row parity)
+            cols.append((op - ip[:, b::2, a::2]).reshape(-1))
+        return cols
+
+    def gen_lookup_witness(self, node_id, ctx, step_data):
+        inp = step_data.inputs[0].data
+        out = step_data.outputs[0].data
+        cols = self._diffs(inp, out)
+        counts = count_elements(np.concatenate(cols))
+        col_gfs = [gf.from_u64(Q.to_field(c)) for c in cols]
+        out_gf = gf.from_u64(Q.to_field(_pad3(out).reshape(-1)))
+        commits = [(ctx.commitment_ctx.commit(c), c) for c in col_gfs]
+        commits.append((ctx.commitment_ctx.commit(out_gf), out_gf))
+        wit = LogUpWitness(
+            commits=commits,
+            column_evals=col_gfs,
+            columns_per_instance=1,
+            table_type=TableType("range"),
+        )
+        return [wit], {TableType("range"): counts}
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        (wit,) = prover.lookup_witnesses_for(node_id)
+        logup_input = wit.get_logup_input(prover.challenge_storage)
+        lookup_proof = logup.batch_prove(logup_input, prover.transcript)
+
+        diffs = wit.column_evals  # 4 GF arrays in O layout
+        out_gf = wit.commits[4][1]
+        num_vars = diffs[0].shape[0].bit_length() - 1
+
+        bc = prover.transcript.get_and_append_challenge(b"batch_pooling")
+        lookup_point = lookup_proof.output_claims[0].point
+        beta = mle_mod.eq_table([_dev(p) for p in lookup_point])
+        last_beta = mle_mod.eq_table([_dev(p) for p in last_claim.point])
+
+        vp = VirtualPolynomial.new(num_vars)
+        i_d = [vp.add_mle(d) for d in diffs]
+        i_beta = vp.add_mle(beta)
+        i_out = vp.add_mle(out_gf)
+        i_lb = vp.add_mle(last_beta)
+        # zerocheck: eq·Πdiffs (degree 5)
+        vp.add_product((1, 0), i_d + [i_beta])
+        comb = bc
+        for k in range(4):
+            vp.add_product(comb, [i_d[k], i_beta])
+            comb = host.ext_mul(comb, bc)
+        vp.add_product(comb, [i_out, i_lb])
+
+        out = sumcheck_prove(vp, prover.transcript)
+        zc_point = list(out.proof.point)
+        diff_evals = out.final_evals[:4]
+        output_eval = out.final_evals[5]
+        zerocheck_evals = diff_evals + [output_eval]
+
+        commitments = []
+        for (comm, poly), ev in zip(wit.commits, zerocheck_evals):
+            prover.commit_prover.add_witness_claim(
+                (comm, poly), Claim(point=list(zc_point), eval=ev)
+            )
+            commitments.append(comm.commitment)
+
+        # reconstruct the input claim with fresh kernel-parity challenges
+        r1 = prover.transcript.get_and_append_challenge(b"input_batching")
+        r2 = r1  # reference uses [chal; 2] — the SAME challenge twice
+        in_w = _pad3(step_data.inputs[0].data).shape[2]
+        gap = ceil_log2(in_w) - 1
+        mults = _parity_multiplicands(r1, r2)
+        in_eval = (0, 0)
+        for k in range(4):
+            in_eval = host.ext_add(
+                in_eval,
+                host.ext_mul(mults[k], host.ext_sub(output_eval, diff_evals[k])),
+            )
+        point = [r1] + zc_point[:gap] + [r2] + zc_point[gap:]
+
+        prover.push_proof(
+            node_id,
+            PoolingProof(
+                sumcheck=out.proof,
+                lookup=lookup_proof,
+                zerocheck_evals=zerocheck_evals,
+                variable_gap=gap,
+                commitments=commitments,
+            ),
+        )
+        return [Claim(point=point, eval=in_eval)]
+
+
+def _parity_multiplicands(r1: ExtPair, r2: ExtPair) -> list[ExtPair]:
+    one = (1, 0)
+    omr1 = host.ext_sub(one, r1)
+    omr2 = host.ext_sub(one, r2)
+    return [
+        host.ext_mul(omr1, omr2),
+        host.ext_mul(omr1, r2),
+        host.ext_mul(r1, omr2),
+        host.ext_mul(r1, r2),
+    ]
+
+
+@dataclasses.dataclass
+class PoolingProof:
+    sumcheck: object
+    lookup: object
+    zerocheck_evals: list[ExtPair]  # [diff_0..diff_3, output]
+    variable_gap: int
+    commitments: list
+
+    def get_lookup_data(self):
+        return logup.fractional_outputs(self.lookup)
+
+
+@dataclasses.dataclass
+class PoolingCtx:
+    node_id: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: PoolingProof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        const_c, sep_c = verifier.challenge_storage.get(TableType("range").name())
+        claims = logup.verify_logup_proof(
+            proof.lookup, 4, const_c, sep_c, verifier.transcript
+        )
+
+        bc = verifier.transcript.get_and_append_challenge(b"batch_pooling")
+        initial = (0, 0)
+        comb = bc
+        for cl in claims.claims:
+            initial = host.ext_add(initial, host.ext_mul(cl.eval, comb))
+            comb = host.ext_mul(comb, bc)
+        initial = host.ext_add(initial, host.ext_mul(comb, last_claim.eval))
+
+        num_vars = len(claims.claims[0].point)
+        sub = sumcheck_verify(
+            initial, proof.sumcheck.round_messages, num_vars, 5, verifier.transcript
+        )
+        zc_point = sub.point
+        beta_eval = _eq(claims.claims[0].point, zc_point)
+        last_beta_eval = _eq(last_claim.point, zc_point)
+
+        prod = beta_eval
+        s = (0, 0)
+        comb = bc
+        for ev in proof.zerocheck_evals[:4]:
+            prod = host.ext_mul(prod, ev)
+            s = host.ext_add(s, host.ext_mul(comb, ev))
+            comb = host.ext_mul(comb, bc)
+        output_eval = proof.zerocheck_evals[4]
+        expected = host.ext_add(
+            host.ext_add(prod, host.ext_mul(s, beta_eval)),
+            host.ext_mul(host.ext_mul(output_eval, last_beta_eval), comb),
+        )
+        assert expected == sub.expected_evaluation, "pooling zerocheck mismatch"
+
+        for ev, commit in zip(proof.zerocheck_evals, proof.commitments):
+            verifier.commit_verifier.add_witness_claim(
+                commit, Claim(point=list(zc_point), eval=ev)
+            )
+
+        r1 = verifier.transcript.get_and_append_challenge(b"input_batching")
+        r2 = r1
+        mults = _parity_multiplicands(r1, r2)
+        in_eval = (0, 0)
+        for k in range(4):
+            in_eval = host.ext_add(
+                in_eval,
+                host.ext_mul(
+                    mults[k], host.ext_sub(output_eval, proof.zerocheck_evals[k])
+                ),
+            )
+        gap = proof.variable_gap
+        point = [r1] + list(zc_point[:gap]) + [r2] + list(zc_point[gap:])
+        return [Claim(point=point, eval=in_eval)]
+
+
+def _eq(x, y) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc,
+            host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))),
+        )
+    return acc

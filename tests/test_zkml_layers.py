@@ -60,3 +60,32 @@ def test_flatten_passthrough(rng):
     ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
     proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
     verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_maxpool_cnn_e2e(rng):
+    from deepprove_tpu.zkml.layers.pooling import Maxpool2D
+
+    model = Model()
+    model.add_chain(Maxpool2D())
+    model.add_chain(Flatten())
+    model.add_chain(rand_dense(rng, 4, 4))
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=(1, 4, 4)).astype(np.int64))
+    trace = model.run([x])
+    # ground truth maxpool
+    want = x.data.reshape(1, 2, 2, 2, 2).max(axis=(2, 4))
+    np.testing.assert_array_equal(trace.steps[0].outputs[0].data, want)
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_maxpool_multichannel(rng):
+    from deepprove_tpu.zkml.layers.pooling import Maxpool2D
+
+    model = Model()
+    model.add_chain(Maxpool2D())
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=(2, 4, 4)).astype(np.int64))
+    trace = model.run([x])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
