@@ -44,8 +44,12 @@ def _compress_level(digests: gf.GF) -> gf.GF:
 
 @partial(jax.jit)
 def _leaf_digests_base(leaves: gf.GF) -> gf.GF:
-    """Base-field leaves (N,) -> (N/2, 4) pair digests [a, b, 0, 0]."""
+    """Base-field leaves (N,) -> (N/2, 4) pair digests [a, b, 0, 0].
+
+    A single leaf packs to one digest [a, 0, 0, 0] (hash_or_noop)."""
     n = leaves.shape[0]
+    if n == 1:
+        return gf.concatenate([leaves.reshape(1, 1), gf.zeros((1, 3))], axis=-1)
     pairs = leaves.reshape(n // 2, 2)
     z = gf.zeros((n // 2, 2))
     return gf.concatenate([pairs, z], axis=-1)

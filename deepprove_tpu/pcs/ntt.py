@@ -181,3 +181,40 @@ def encode_rs(coeffs, full_message_size_log: int, rate_log: int = 1):
         np.uint64(host.MULTIPLICATIVE_GENERATOR), 1 << (full_message_size_log - lg_m)
     )
     return coset_fft(padded, int(shift), rate_log)
+
+
+@lru_cache(maxsize=None)
+def _inv_root_rows_host(lg_n: int) -> tuple:
+    """Root rows for the INVERSE transform (powers of ω^{-1})."""
+    g = host.pow_const(
+        np.uint64(host.TWO_ADIC_GENERATOR), 1 << (host.TWO_ADICITY - lg_n)
+    )
+    g_inv = host.pow_const(g, host.P - 2)
+    bases = [g_inv]
+    for _ in range(1, lg_n):
+        bases.append(host.mul(bases[-1], bases[-1]))
+    rows = []
+    for lg_m in range(1, lg_n + 1):
+        half_m = 1 << (lg_m - 1)
+        rows.append(geom_powers(bases[lg_n - lg_m], max(half_m, 2)))
+    return tuple(rows)
+
+
+def ifft(values, lg_n: int | None = None):
+    """Inverse cyclic FFT: y[t] = (1/N)·Σ_k v[k]·ω^{−tk} (natural order)."""
+    if lg_n is None:
+        lg_n = values.shape[0].bit_length() - 1
+    rows = [gf.from_u64(r) for r in _inv_root_rows_host(lg_n)]
+    out = _fft_kernel(values, rows, lg_n)
+    n_inv = int(host.pow_const(np.uint64(1 << lg_n), host.P - 2))
+    if isinstance(out, gf.GF2):
+        c = gf.from_u64(np.full(out.shape, n_inv, dtype=np.uint64))
+        return gf.GF2(gf.mul(out.a0, c), gf.mul(out.a1, c))
+    return gf.mul(out, gf.from_u64(np.full(out.shape, n_inv, dtype=np.uint64)))
+
+
+def subgroup_gen(lg_n: int) -> int:
+    """Generator of the order-2^lg_n subgroup."""
+    return int(
+        host.pow_const(np.uint64(host.TWO_ADIC_GENERATOR), 1 << (host.TWO_ADICITY - lg_n))
+    )

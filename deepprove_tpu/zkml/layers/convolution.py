@@ -1,0 +1,456 @@
+"""Convolution via frequency-domain sumchecks (zkCNN-style; reference
+zkml/src/layers/convolution.rs + tensor.rs fft_conv + iop/prover.rs FFT
+protocol — redesigned TPU-first, see deviations below).
+
+Semantics (mirrors tensor.rs:458 fft_conv + index_u):
+  per input channel j: x̃_j = reverse(flatten(x_j)) zero-padded to N = 2n²;
+  X_j = FFT(x̃_j); per output channel i: prod_i = Σ_j X_j ∘ Ŵ_ij;
+  c_i = iFFT(prod_i); output O[i,p] = c_i[n²−1−p] + bias[i], garbage
+  positions (cross-correlation wrap) cleared by the public 0/1 mask.
+
+Proof = four chained sumchecks, claims flowing backwards:
+  1. clearing: Σ eq(·,ρ)·mask·B  (deg 3; B = uncleaned output)
+  2. iFFT:     c~(σ) = Σ_k φ_inv[k]·prod~(k, ρ_i)  (deg 2)
+  3. hadamard: prod~(s1,ρ_i) = Σ_{k,j,i} eq·X(j,k)·Ŵ(i,j,k)  (deg 3)
+  4. FFT:      X~(s2) = Σ_t φ_fft[t]·x̃~(t, s2_j)  (deg 2)
+with closed-form point rewrites for the reversal/slice/zero-padding.
+
+The FFT-matrix rows factor as φ_r[k] = Π_b ((1−r_b) + r_b·ω^{2^b k})
+(zkCNN; phi_g_init, iop/prover.rs:231-284) — both prover and verifier
+materialize them in O(N log N) device ops.
+
+DEVIATIONS from the reference (documented for parity review):
+  * weights are committed in the FREQUENCY domain (the reference commits
+    time-domain filters and adds prove_batch_fft_weights; it itself notes
+    "it is okay to ... commit to the FFT values", tensor.rs:436).
+  * the verifier evaluates φ-row MLEs directly on device (O(N)) instead
+    of the log-depth delegation protocol (iop/prover.rs:164-212) — same
+    soundness, linear verifier work for this step; delegation is a
+    planned optimization.
+  * garbage clearing happens inside this layer (the reference defers the
+    mask to the consumer boundary, padding.rs GarbagePad).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup.logup import Claim
+from ...pcs import ntt
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
+from .. import quantization as Q
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+WEIGHT_POLY_ID = "weight_freq"
+BIAS_POLY_ID = "bias"
+
+
+def _dev(p: ExtPair) -> gf.GF2:
+    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+
+def _host_pair(e: gf.GF2) -> ExtPair:
+    a0, a1 = gf.ext_to_u64(e.reshape((1,)))
+    return (int(a0[0]), int(a1[0]))
+
+
+def _one_minus(p: ExtPair) -> ExtPair:
+    return host.ext_sub((1, 0), p)
+
+
+def phi_row_ext(point: list[ExtPair], omega: int, n: int, scale: int = 1) -> gf.GF2:
+    """φ_point[k] = scale·Π_b ((1−r_b) + r_b·ω^{2^b·k}), k ∈ [0, n) — the
+    FFT-matrix row MLE in product form (zkCNN phi_g_init)."""
+    acc = gf.ext_broadcast_to(
+        _dev(((scale % host.P), 0)).reshape((1,)), (n,)
+    )
+    w_b = omega % host.P
+    for r in point:
+        pows = gf.from_u64(ntt.geom_powers(np.uint64(w_b), n))
+        rb = _dev(r)
+        term = gf.ext_add(
+            gf.ext_broadcast_to(_dev(_one_minus(r)).reshape((1,)), (n,)),
+            mle_mod.ext_mul_by_base(gf.ext_broadcast_to(rb.reshape((1,)), (n,)), pows),
+        )
+        acc = gf.ext_mul(acc, term)
+        w_b = int(host.mul(np.uint64(w_b), np.uint64(w_b)))
+    return acc
+
+
+@dataclasses.dataclass
+class Convolution:
+    """filter (kw, kx, kh, kh) int64, bias (kw,), for (kx, n, n) inputs."""
+
+    filter: np.ndarray
+    bias: np.ndarray
+    input_shape: tuple  # (kx, n, n); n power of two
+
+    def __post_init__(self):
+        self.filter = np.asarray(self.filter, dtype=np.int64)
+        self.bias = np.asarray(self.bias, dtype=np.int64)
+        kx, n, n2 = self.input_shape
+        assert n == n2 and n & (n - 1) == 0, "square pow2 inputs"
+        self.kw = next_pow2(self.filter.shape[0])
+        self.kx = next_pow2(kx)
+        self.k = self.filter.shape[2]
+        self.n = n
+        self.N = 2 * n * n
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    # -- data plumbing -------------------------------------------------------
+
+    def _w_tilde(self) -> np.ndarray:
+        """Embed each (k,k) filter into the n×n grid, flat len N (index_w)."""
+        out = np.zeros((self.kw, self.kx, self.N), dtype=np.int64)
+        kw_real, kx_real, k, _ = self.filter.shape
+        for i in range(kw_real):
+            for j in range(kx_real):
+                grid = np.zeros((self.n, self.n), dtype=np.int64)
+                grid[:k, :k] = self.filter[i, j]
+                out[i, j, : self.n * self.n] = grid.reshape(-1)
+        return out
+
+    def freq_weights(self) -> gf.GF:
+        """Ŵ(i,j,k) = FFT(w̃_ij)[k] — the committed weight polynomial."""
+        if getattr(self, "_freq_cache", None) is not None:
+            return self._freq_cache
+        wt = self._w_tilde().reshape(-1)
+        w_gf = gf.from_u64(Q.to_field(wt)).reshape(self.kw * self.kx, self.N)
+        rows = []
+        for r in range(self.kw * self.kx):
+            rows.append(ntt.fft(w_gf[r]))
+        out = gf.concatenate([r.reshape(1, self.N) for r in rows], axis=0).reshape(-1)
+        self._freq_cache = out
+        return out
+
+    def _x_tilde(self, x: np.ndarray) -> np.ndarray:
+        """(kx, N): per channel reverse(flatten) ++ zeros."""
+        out = np.zeros((self.kx, self.N), dtype=np.int64)
+        for j in range(x.shape[0]):
+            out[j, : self.n * self.n] = x[j].reshape(-1)[::-1]
+        return out
+
+    def mask(self) -> np.ndarray:
+        """Valid-position 0/1 mask over p ∈ [0, n²)."""
+        m = np.zeros((self.n, self.n), dtype=np.int64)
+        v = self.n - self.k + 1
+        m[:v, :v] = 1
+        return m.reshape(-1)
+
+    def _conv_field(self, x: np.ndarray):
+        """Device FFT conv; returns (c GF2? no — GF (kw, N), B int64 (kw, n²))."""
+        xt = self._x_tilde(x)
+        x_gf = gf.from_u64(Q.to_field(xt.reshape(-1))).reshape(self.kx, self.N)
+        x_fft = [ntt.fft(x_gf[j]) for j in range(self.kx)]
+        w_freq = self.freq_weights().reshape(self.kw * self.kx, self.N)
+        c_rows = []
+        for i in range(self.kw):
+            acc = gf.zeros((self.N,))
+            for j in range(self.kx):
+                acc = gf.add(acc, gf.mul(x_fft[j], w_freq[i * self.kx + j]))
+            c_rows.append(ntt.ifft(acc))
+        c = gf.concatenate([r.reshape(1, self.N) for r in c_rows], axis=0)
+        n2 = self.n * self.n
+        c_u64 = gf.to_u64(c)
+        bound = 1 << self.output_bitsize()
+        c_elem = Q.from_field_centered(c_u64, bound)
+        b_vals = c_elem[:, :n2][:, ::-1] + self.bias[: self.kw, None]
+        return c, b_vals
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        x = inputs[0].data
+        _, b_vals = self._conv_field(x)
+        out = b_vals * self.mask()[None, :]
+        return [Tensor(out.reshape(self.kw, self.n, self.n))]
+
+    def output_bitsize(self) -> int:
+        kxk2 = self.filter.shape[1] * self.k * self.k
+        return 2 * (Q.BIT_LEN - 1) + ceil_log2(max(2, kxk2)) + 2
+
+    # -- context -------------------------------------------------------------
+
+    def step_info(self, node_id: int, aux):
+        bias_pad = np.zeros(self.kw, dtype=np.int64)
+        bias_pad[: self.bias.size] = self.bias
+        aux.model_polys[node_id] = {
+            WEIGHT_POLY_ID: self.freq_weights(),
+            BIAS_POLY_ID: gf.from_u64(Q.to_field(bias_pad)),
+        }
+        return ConvCtx(
+            node_id=node_id, kw=self.kw, kx=self.kx, n=self.n, k=self.k
+        )
+
+    # -- proving -------------------------------------------------------------
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        x = step_data.inputs[0].data
+        n2 = self.n * self.n
+        log_p = ceil_log2(n2)
+        log_i = ceil_log2(self.kw)
+        log_j = ceil_log2(self.kx)
+        log_t = ceil_log2(self.N)
+        rho_p = last_claim.point[:log_p]
+        rho_i = last_claim.point[log_p:]
+
+        c, b_vals = self._conv_field(x)
+        mask = self.mask()
+
+        # 1. clearing sumcheck: Σ eq·mask·B over (p, i)
+        eq = mle_mod.eq_table([_dev(pp) for pp in last_claim.point])
+        mask_tiled = np.tile(mask, self.kw)
+        b_gf = gf.from_u64(Q.to_field(b_vals.reshape(-1)))
+        vp = VirtualPolynomial.new(log_p + log_i)
+        i_eq = vp.add_mle(eq)
+        i_m = vp.add_mle(gf.from_u64(Q.to_field(mask_tiled)))
+        i_b = vp.add_mle(b_gf)
+        vp.add_product((1, 0), [i_eq, i_m, i_b])
+        sc1 = sumcheck_prove(vp, prover.transcript)
+        s0 = list(sc1.proof.point)
+        s0_p, s0_i = s0[:log_p], s0[log_p:]
+        b_eval = sc1.final_evals[2]
+
+        # 2. bias subtraction + reversal/slice point rewrite
+        bias_pad = np.zeros(self.kw, dtype=np.int64)
+        bias_pad[: self.bias.size] = self.bias
+        bias_eval = _host_pair(
+            mle_mod.evaluate(gf.from_u64(Q.to_field(bias_pad)), [_dev(pq) for pq in s0_i])
+        )
+        c_rev_eval = host.ext_sub(b_eval, bias_eval)
+        sigma_t = [_one_minus(pq) for pq in s0_p] + [(0, 0)]
+
+        # 3. iFFT sumcheck over k: c~(σ, s0_i) = Σ_k φ_inv[k]·prod~(k, s0_i)
+        omega = ntt.subgroup_gen(log_t)
+        n_inv = int(host.pow_const(np.uint64(self.N), host.P - 2))
+        # φ_inv for point σ_t with ω^{-1}
+        omega_inv = int(host.pow_const(np.uint64(omega), host.P - 2))
+        phi_inv = phi_row_ext(sigma_t, omega_inv, self.N, scale=n_inv)
+        # prod(k, i) with i fixed: prod rows = Σ_j X_j ∘ Ŵ_ij  (recompute)
+        xt = self._x_tilde(x)
+        x_gf = gf.from_u64(Q.to_field(xt.reshape(-1))).reshape(self.kx, self.N)
+        x_fft_rows = [ntt.fft(x_gf[j]) for j in range(self.kx)]
+        w_freq = self.freq_weights().reshape(self.kw * self.kx, self.N)
+        prod_rows = []
+        for i in range(self.kw):
+            acc = gf.zeros((self.N,))
+            for j in range(self.kx):
+                acc = gf.add(acc, gf.mul(x_fft_rows[j], w_freq[i * self.kx + j]))
+            prod_rows.append(acc)
+        prod_flat = gf.concatenate(
+            [r.reshape(1, self.N) for r in prod_rows], axis=0
+        ).reshape(-1)  # (i high, k low)
+        prod_fixed = mle_mod.fix_high_variables(prod_flat, [_dev(pq) for pq in s0_i])
+
+        vp2 = VirtualPolynomial.new(log_t)
+        i_phi = vp2.add_mle(phi_inv)
+        i_pr = vp2.add_mle(prod_fixed)
+        vp2.add_product((1, 0), [i_phi, i_pr])
+        sc2 = sumcheck_prove(vp2, prover.transcript)
+        s1 = list(sc2.proof.point)
+        prod_eval = sc2.final_evals[1]
+
+        # 4. hadamard sumcheck over (k, j, i): eq_ki · X(j,k) · Ŵ(i,j,k)
+        eq_k = mle_mod.eq_table([_dev(pq) for pq in s1])
+        eq_i = mle_mod.eq_table([_dev(pq) for pq in s0_i])
+        # eq_full (i, j, k) flat with k low: eq_i[i]·eq_k[k] tiled over j
+        ej = gf.ext_broadcast_to(
+            eq_k.reshape(1, 1, self.N), (self.kw, self.kx, self.N)
+        )
+        ei = gf.ext_broadcast_to(
+            eq_i.reshape(self.kw, 1, 1), (self.kw, self.kx, self.N)
+        )
+        eq_full = gf.ext_mul(ej, ei).reshape(-1)
+        x_full = gf.broadcast_to(
+            gf.concatenate([x_fft_rows[j].reshape(1, self.N) for j in range(self.kx)], axis=0)
+            .reshape(1, self.kx, self.N),
+            (self.kw, self.kx, self.N),
+        ).reshape(-1)
+        w_full = self.freq_weights()
+
+        vp3 = VirtualPolynomial.new(log_t + log_j + log_i)
+        i_e = vp3.add_mle(eq_full)
+        i_x = vp3.add_mle(x_full)
+        i_w = vp3.add_mle(w_full)
+        vp3.add_product((1, 0), [i_e, i_x, i_w])
+        sc3 = sumcheck_prove(vp3, prover.transcript)
+        s2 = list(sc3.proof.point)
+        s2_k, s2_j, s2_i = s2[:log_t], s2[log_t : log_t + log_j], s2[log_t + log_j :]
+        x_eval = sc3.final_evals[1]
+        w_eval = sc3.final_evals[2]
+
+        prover.commit_prover.add_common_claims(
+            node_id,
+            {
+                WEIGHT_POLY_ID: Claim(point=list(s2), eval=w_eval),
+                BIAS_POLY_ID: Claim(point=list(s0_i), eval=bias_eval),
+            },
+        )
+
+        # 5. FFT sumcheck over t: X~(s2_k, s2_j) = Σ_t φ_fft[t]·x̃~(t, s2_j)
+        phi_fft = phi_row_ext(s2_k, omega, self.N, scale=1)
+        xt_flat = gf.from_u64(Q.to_field(xt.reshape(-1)))  # (j high, t low)
+        xt_fixed = mle_mod.fix_high_variables(xt_flat, [_dev(pq) for pq in s2_j])
+        vp4 = VirtualPolynomial.new(log_t)
+        i_pf = vp4.add_mle(phi_fft)
+        i_xt = vp4.add_mle(xt_fixed)
+        vp4.add_product((1, 0), [i_pf, i_xt])
+        sc4 = sumcheck_prove(vp4, prover.transcript)
+        s3 = list(sc4.proof.point)
+        xt_eval = sc4.final_evals[1]
+
+        # 6. x̃ → x closed form: x̃~(s3_p, s3_top, r_j) = (1−s3_top)·x~(1−s3_p, r_j)
+        s3_p, s3_top = s3[:-1], s3[-1]
+        inv_top = host.ext_inv(_one_minus(s3_top))
+        x_eval_final = host.ext_mul(xt_eval, inv_top)
+        x_point = [_one_minus(pq) for pq in s3_p] + list(s2_j)
+
+        prover.push_proof(
+            node_id,
+            ConvProof(
+                clearing=sc1.proof, clearing_evals=sc1.final_evals,
+                ifft=sc2.proof, ifft_evals=sc2.final_evals,
+                hadamard=sc3.proof, hadamard_evals=sc3.final_evals,
+                fft=sc4.proof, fft_evals=sc4.final_evals,
+                bias_eval=bias_eval,
+            ),
+        )
+        return [Claim(point=x_point, eval=x_eval_final)]
+
+
+@dataclasses.dataclass
+class ConvProof:
+    clearing: object
+    clearing_evals: list[ExtPair]
+    ifft: object
+    ifft_evals: list[ExtPair]
+    hadamard: object
+    hadamard_evals: list[ExtPair]
+    fft: object
+    fft_evals: list[ExtPair]
+    bias_eval: ExtPair
+
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class ConvCtx:
+    node_id: int
+    kw: int
+    kx: int
+    n: int
+    k: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: ConvProof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        n2 = self.n * self.n
+        N = 2 * n2
+        log_p, log_i = ceil_log2(n2), ceil_log2(self.kw)
+        log_j, log_t = ceil_log2(self.kx), ceil_log2(N)
+
+        # 1. clearing
+        sub1 = sumcheck_verify(
+            last_claim.eval, proof.clearing.round_messages, log_p + log_i, 3,
+            verifier.transcript,
+        )
+        s0 = sub1.point
+        s0_p, s0_i = s0[:log_p], s0[log_p:]
+        # verifier recomputes eq and mask evals
+        eq_eval = _eq(last_claim.point, s0)
+        m = np.zeros((self.n, self.n), dtype=np.int64)
+        v = self.n - self.k + 1
+        m[:v, :v] = 1
+        mask_tiled = np.tile(m.reshape(-1), self.kw)
+        mask_eval = _host_pair(
+            mle_mod.evaluate(gf.from_u64(Q.to_field(mask_tiled)), [_dev(pq) for pq in s0])
+        )
+        b_eval = proof.clearing_evals[2]
+        got = host.ext_mul(host.ext_mul(eq_eval, mask_eval), b_eval)
+        assert got == sub1.expected_evaluation, "conv clearing mismatch"
+
+        # 2. bias + reversal rewrite
+        c_rev_eval = host.ext_sub(b_eval, proof.bias_eval)
+        sigma_t = [_one_minus(pq) for pq in s0_p] + [(0, 0)]
+
+        # 3. iFFT sumcheck
+        sub2 = sumcheck_verify(
+            c_rev_eval, proof.ifft.round_messages, log_t, 2, verifier.transcript
+        )
+        s1 = sub2.point
+        omega = ntt.subgroup_gen(log_t)
+        omega_inv = int(host.pow_const(np.uint64(omega), host.P - 2))
+        n_inv = int(host.pow_const(np.uint64(N), host.P - 2))
+        phi_inv = phi_row_ext(sigma_t, omega_inv, N, scale=n_inv)
+        phi_inv_eval = _host_pair(
+            mle_mod.evaluate(phi_inv, [_dev(pq) for pq in s1])
+        )
+        prod_eval = proof.ifft_evals[1]
+        assert host.ext_mul(phi_inv_eval, prod_eval) == sub2.expected_evaluation, (
+            "conv ifft mismatch"
+        )
+        assert proof.ifft_evals[0] == phi_inv_eval, "conv phi_inv claim mismatch"
+
+        # 4. hadamard sumcheck
+        sub3 = sumcheck_verify(
+            prod_eval, proof.hadamard.round_messages, log_t + log_j + log_i, 3,
+            verifier.transcript,
+        )
+        s2 = sub3.point
+        s2_k, s2_j, s2_i = s2[:log_t], s2[log_t : log_t + log_j], s2[log_t + log_j :]
+        eq_full_eval = host.ext_mul(_eq(s1, s2_k), _eq(s0_i, s2_i))
+        x_eval = proof.hadamard_evals[1]
+        w_eval = proof.hadamard_evals[2]
+        got = host.ext_mul(host.ext_mul(eq_full_eval, x_eval), w_eval)
+        assert got == sub3.expected_evaluation, "conv hadamard mismatch"
+
+        verifier.commit_verifier.add_common_claims(
+            self.node_id,
+            {
+                WEIGHT_POLY_ID: Claim(point=list(s2), eval=w_eval),
+                BIAS_POLY_ID: Claim(point=list(s0_i), eval=proof.bias_eval),
+            },
+        )
+
+        # 5. FFT sumcheck
+        sub4 = sumcheck_verify(
+            x_eval, proof.fft.round_messages, log_t, 2, verifier.transcript
+        )
+        s3 = sub4.point
+        phi_fft = phi_row_ext(s2_k, omega, N, scale=1)
+        phi_fft_eval = _host_pair(mle_mod.evaluate(phi_fft, [_dev(pq) for pq in s3]))
+        xt_eval = proof.fft_evals[1]
+        assert host.ext_mul(phi_fft_eval, xt_eval) == sub4.expected_evaluation, (
+            "conv fft mismatch"
+        )
+        assert proof.fft_evals[0] == phi_fft_eval, "conv phi_fft claim mismatch"
+
+        # 6. closed-form input claim
+        s3_p, s3_top = s3[:-1], s3[-1]
+        inv_top = host.ext_inv(_one_minus(s3_top))
+        x_eval_final = host.ext_mul(xt_eval, inv_top)
+        x_point = [_one_minus(pq) for pq in s3_p] + list(s2_j)
+        return [Claim(point=x_point, eval=x_eval_final)]
+
+
+def _eq(x, y) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc,
+            host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))),
+        )
+    return acc

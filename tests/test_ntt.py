@@ -91,3 +91,10 @@ def test_bit_reverse_involution(rng):
     g = gf.from_u64(v)
     rr = ntt.bit_reverse(ntt.bit_reverse(g, lg_n), lg_n)
     np.testing.assert_array_equal(gf.to_u64(rr), v)
+
+
+def test_ifft_roundtrip(rng):
+    lg_n = 5
+    v = rng.integers(0, P, size=1 << lg_n, dtype=np.uint64)
+    got = gf.to_u64(ntt.ifft(ntt.fft(gf.from_u64(v))))
+    np.testing.assert_array_equal(got, v)

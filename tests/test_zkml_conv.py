@@ -1,0 +1,97 @@
+"""Convolution: FFT-path semantics vs naive cross-correlation + e2e proof."""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.convolution import Convolution
+from deepprove_tpu.zkml.model import Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def naive_corr(x, w, bias):
+    """O[i,y,cx] = Σ_{j,dy,dx} X[j,y+dy,cx+dx]·W[i,j,dy,dx] + bias[i], valid."""
+    kw, kx, k, _ = w.shape
+    _, n, _ = x.shape
+    v = n - k + 1
+    out = np.zeros((kw, n, n), dtype=np.int64)
+    for i in range(kw):
+        for y in range(v):
+            for cx in range(v):
+                acc = 0
+                for j in range(kx):
+                    acc += int((x[j, y : y + k, cx : cx + k] * w[i, j]).sum())
+                out[i, y, cx] = acc + bias[i]
+    return out
+
+
+def test_conv_semantics_match_naive(rng):
+    kx, n, k, kw = 2, 4, 2, 2
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(kx, n, n)).astype(np.int64)
+    w = rng.integers(Q.MIN, Q.MAX + 1, size=(kw, kx, k, k)).astype(np.int64)
+    b = rng.integers(Q.MIN, Q.MAX + 1, size=kw).astype(np.int64)
+    conv = Convolution(filter=w, bias=b, input_shape=(kx, n, n))
+    out = conv.evaluate([Tensor(x)])[0].data
+    np.testing.assert_array_equal(out, naive_corr(x, w, b))
+
+
+def test_conv_e2e_prove_verify(rng):
+    kx, n, k, kw = 1, 4, 2, 2
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(kx, n, n)).astype(np.int64)
+    w = rng.integers(Q.MIN, Q.MAX + 1, size=(kw, kx, k, k)).astype(np.int64)
+    b = rng.integers(Q.MIN, Q.MAX + 1, size=kw).astype(np.int64)
+    model = Model()
+    model.add_chain(Convolution(filter=w, bias=b, input_shape=(kx, n, n)))
+    xt = Tensor(x)
+    trace = model.run([xt])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([xt], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_conv_pool_dense_cnn(rng):
+    from deepprove_tpu.zkml.layers.pooling import Maxpool2D
+    from deepprove_tpu.zkml.layers.shape_ops import Flatten
+    from deepprove_tpu.zkml.layers.dense import Dense
+
+    kx, n, k, kw = 1, 4, 2, 2
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(kx, n, n)).astype(np.int64)
+    w = rng.integers(Q.MIN // 8, Q.MAX // 8, size=(kw, kx, k, k)).astype(np.int64)
+    b = rng.integers(Q.MIN, Q.MAX + 1, size=kw).astype(np.int64)
+    from deepprove_tpu.zkml.layers.requant import Requant
+    from deepprove_tpu.zkml.quantization import RequantSpec
+
+    model = Model()
+    conv = Convolution(filter=w, bias=b, input_shape=(kx, n, n))
+    model.add_chain(conv)
+    spec = RequantSpec.from_multiplier(1.0 / (1 << 10), conv.output_bitsize())
+    model.add_chain(Requant(spec=spec))
+    model.add_chain(Maxpool2D())
+    model.add_chain(Flatten())
+    dmat = rng.integers(Q.MIN, Q.MAX + 1, size=(4, kw * (n // 2) ** 2)).astype(np.int64)
+    dbias = rng.integers(Q.MIN, Q.MAX + 1, size=4).astype(np.int64)
+    model.add_chain(Dense(matrix=dmat, bias=dbias))
+    xt = Tensor(x)
+    trace = model.run([xt])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([xt], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_conv_rejects_tampered(rng):
+    kx, n, k, kw = 1, 4, 2, 1
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(kx, n, n)).astype(np.int64)
+    w = rng.integers(Q.MIN, Q.MAX + 1, size=(kw, kx, k, k)).astype(np.int64)
+    b = np.zeros(kw, dtype=np.int64)
+    model = Model()
+    model.add_chain(Convolution(filter=w, bias=b, input_shape=(kx, n, n)))
+    xt = Tensor(x)
+    trace = model.run([xt])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    bad = Tensor(trace.outputs[0].data + 1)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([xt], [bad]), BasicTranscript(b"m2vec"))
