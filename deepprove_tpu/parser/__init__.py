@@ -1,0 +1,3 @@
+from . import onnx, protobuf
+
+__all__ = ["onnx", "protobuf"]

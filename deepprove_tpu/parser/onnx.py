@@ -1,0 +1,165 @@
+"""ONNX model loader → FloatModel (reference: zkml/src/parser/onnx.rs,
+FloatOnnxLoader parser/mod.rs:22).
+
+Reads ModelProto directly off the protobuf wire (no onnx package in the
+image). Supported ops — the reference's MLP/CNN coverage (parser
+validates ModelType::{MLP, CNN}, parser/mod.rs:213): Gemm, MatMul+Add,
+Relu, Conv (square kernel, stride 1), MaxPool (2×2/2), Flatten, Reshape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..zkml.float_model import (
+    FConv,
+    FDense,
+    FFlatten,
+    FMaxpool,
+    FRelu,
+    FloatModel,
+)
+from .protobuf import get_ints, parse_message, read_varint
+
+# ONNX TensorProto data types
+FLOAT = 1
+INT64 = 7
+
+
+def _parse_tensor(buf: bytes):
+    msg = parse_message(buf)
+    dims = get_ints(msg, 1)
+    dtype = get_ints(msg, 2)
+    dtype = dtype[0] if dtype else FLOAT
+    name = msg.get(8, [b""])[0].decode()
+    raw = msg.get(9, [None])[0]
+    if raw is not None:
+        if dtype == FLOAT:
+            data = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif dtype == INT64:
+            data = np.frombuffer(raw, dtype="<i8").astype(np.int64)
+        else:
+            raise ValueError(f"unsupported tensor dtype {dtype}")
+    elif 4 in msg:  # packed float_data
+        floats = []
+        for v in msg[4]:
+            if isinstance(v, bytes) and len(v) == 4:
+                floats.append(np.frombuffer(v, dtype="<f4")[0])
+            else:
+                floats.extend(np.frombuffer(v, dtype="<f4"))
+        data = np.asarray(floats, dtype=np.float64)
+    elif 7 in msg:  # int64_data
+        data = np.asarray(get_ints(msg, 7), dtype=np.int64)
+    else:
+        data = np.zeros(0)
+    if dims:
+        data = data.reshape(dims)
+    return name, data
+
+
+def _parse_attributes(node_msg: dict) -> dict:
+    attrs = {}
+    for a in node_msg.get(5, []):
+        am = parse_message(a)
+        name = am.get(1, [b""])[0].decode()
+        if 3 in am:  # int
+            attrs[name] = get_ints(am, 3)[0]
+        elif 8 in am:  # ints
+            attrs[name] = get_ints(am, 8)
+        elif 2 in am:  # float (fixed32)
+            attrs[name] = float(np.frombuffer(am[2][0], dtype="<f4")[0])
+        elif 4 in am:  # string
+            attrs[name] = am[4][0]
+    return attrs
+
+
+def _input_shape(graph: dict) -> tuple:
+    """First graph input's tensor shape (batch dim dropped if 1/absent)."""
+    for vi in graph.get(11, []):
+        m = parse_message(vi)
+        tp = parse_message(m[2][0])
+        tt = parse_message(tp[1][0])
+        if 2 not in tt:
+            continue
+        shape_msg = parse_message(tt[2][0])
+        dims = []
+        for d in shape_msg.get(1, []):
+            dm = parse_message(d)
+            dims.append(get_ints(dm, 1)[0] if 1 in dm else 0)
+        if dims and dims[0] in (0, 1):
+            dims = dims[1:]
+        return tuple(dims)
+    raise ValueError("no model input shape found")
+
+
+def load_onnx(path: str) -> FloatModel:
+    """Parse an .onnx file into a FloatModel (linear-chain MLP/CNN)."""
+    with open(path, "rb") as f:
+        model_msg = parse_message(f.read())
+    graph = parse_message(model_msg[7][0])
+
+    inits = {}
+    for t in graph.get(5, []):
+        name, data = _parse_tensor(t)
+        inits[name] = data
+
+    in_shape = _input_shape(graph)
+    fm = FloatModel(input_shape=in_shape)
+
+    pending_matmul = None  # MatMul awaiting its Add(bias)
+    for nbuf in graph.get(1, []):
+        nm = parse_message(nbuf)
+        op_type = nm.get(4, [b""])[0].decode()
+        node_inputs = [b.decode() for b in nm.get(1, [])]
+        attrs = _parse_attributes(nm)
+
+        if op_type == "Gemm":
+            w = inits[node_inputs[1]]
+            b = (
+                inits[node_inputs[2]]
+                if len(node_inputs) > 2
+                else np.zeros(w.shape[0])
+            )
+            if attrs.get("transB", 0) == 0:
+                w = w.T
+            fm.add(FDense(weight=w, bias=b))
+        elif op_type == "MatMul":
+            w = inits[node_inputs[1]]
+            pending_matmul = w.T  # ONNX MatMul: x @ W
+        elif op_type == "Add":
+            if pending_matmul is not None:
+                b = inits[node_inputs[1]]
+                fm.add(FDense(weight=pending_matmul, bias=b.reshape(-1)))
+                pending_matmul = None
+            else:
+                raise NotImplementedError("standalone Add in ONNX chain")
+        elif op_type == "Relu":
+            if pending_matmul is not None:
+                fm.add(FDense(weight=pending_matmul, bias=np.zeros(pending_matmul.shape[0])))
+                pending_matmul = None
+            fm.add(FRelu())
+        elif op_type == "Conv":
+            w = inits[node_inputs[1]]
+            b = (
+                inits[node_inputs[2]]
+                if len(node_inputs) > 2
+                else np.zeros(w.shape[0])
+            )
+            strides = attrs.get("strides", [1, 1])
+            assert list(strides) == [1, 1], "conv stride 1 only"
+            pads = attrs.get("pads", [0, 0, 0, 0])
+            assert not any(pads), "conv padding 0 only"
+            fm.add(FConv(weight=w, bias=b))
+        elif op_type == "MaxPool":
+            ks = attrs.get("kernel_shape", [2, 2])
+            assert list(ks) == [2, 2], "2x2 maxpool only"
+            fm.add(FMaxpool())
+        elif op_type in ("Flatten", "Reshape"):
+            fm.add(FFlatten())
+        elif op_type in ("Identity", "Dropout", "Cast"):
+            continue
+        else:
+            raise NotImplementedError(f"ONNX op {op_type}")
+    if pending_matmul is not None:
+        fm.add(FDense(weight=pending_matmul, bias=np.zeros(pending_matmul.shape[0])))
+    return fm

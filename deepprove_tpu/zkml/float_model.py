@@ -1,0 +1,177 @@
+"""Float model + quantization pipeline (zkml parser/mod.rs + quantization
+strategies, model/mod.rs:170 add_requant_nodes).
+
+A `FloatModel` is a chain/DAG of float ops (dense, conv, relu, maxpool,
+flatten). `quantize()` converts it into a provable quantized `Model`:
+weights are quantized per-tensor (AbsoluteMax) or with observed
+activation ranges (InferenceObserver, quantization/strategy.rs:51), and
+a Requant node is inserted after every scaled op with the multiplier
+M = S_in·S_w / S_out (quantization/mod.rs:118).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import quantization as Q
+from .layers.activation import Relu
+from .layers.requant import Requant
+from .layers.convolution import Convolution
+from .layers.dense import Dense
+from .layers.pooling import Maxpool2D
+from .layers.shape_ops import Flatten, Reshape
+from .model import Model
+from .quantization import RequantSpec, ScalingFactor
+from .tensor import Tensor
+
+
+@dataclasses.dataclass
+class FDense:
+    weight: np.ndarray  # (rows, cols) f32
+    bias: np.ndarray
+
+    def forward(self, x):
+        return self.weight @ x.reshape(-1) + self.bias
+
+
+@dataclasses.dataclass
+class FConv:
+    weight: np.ndarray  # (kw, kx, k, k) f32
+    bias: np.ndarray
+
+    def forward(self, x):
+        kw, kx, k, _ = self.weight.shape
+        _, n, _ = x.shape
+        v = n - k + 1
+        out = np.zeros((kw, n, n), dtype=np.float64)
+        for i in range(kw):
+            for y in range(v):
+                for c in range(v):
+                    out[i, y, c] = (
+                        x[:, y : y + k, c : c + k] * self.weight[i]
+                    ).sum() + self.bias[i]
+        return out
+
+
+@dataclasses.dataclass
+class FRelu:
+    def forward(self, x):
+        return np.maximum(x, 0.0)
+
+
+@dataclasses.dataclass
+class FMaxpool:
+    def forward(self, x):
+        c, h, w = x.shape
+        return x.reshape(c, h // 2, 2, w // 2, 2).max(axis=(2, 4))
+
+
+@dataclasses.dataclass
+class FFlatten:
+    def forward(self, x):
+        return x.reshape(-1)
+
+
+class FloatModel:
+    def __init__(self, input_shape: tuple):
+        self.ops: list = []
+        self.input_shape = tuple(input_shape)
+
+    def add(self, op):
+        self.ops.append(op)
+        return self
+
+    def forward(self, x: np.ndarray, tracker=None) -> np.ndarray:
+        for i, op in enumerate(self.ops):
+            x = op.forward(x)
+            if tracker is not None:
+                tracker.observe(i, x)
+        return x
+
+
+class InferenceTracker:
+    """Per-op output max-abs observation (InferenceObserver strategy)."""
+
+    def __init__(self):
+        self.max_abs: dict[int, float] = {}
+
+    def observe(self, op_idx: int, out: np.ndarray):
+        m = float(np.max(np.abs(out))) if out.size else 0.0
+        self.max_abs[op_idx] = max(self.max_abs.get(op_idx, 0.0), m)
+
+
+def quantize(
+    model: FloatModel,
+    strategy: str = "absolute_max",
+    calibration_inputs: list | None = None,
+) -> tuple[Model, ScalingFactor, ScalingFactor]:
+    """FloatModel → provable quantized Model (+ input/output scales).
+
+    strategy: "absolute_max" (assumes activations in [−1,1] like the
+    reference's AbsoluteMax, strategy.rs:190) or "inference" (observes
+    per-layer output ranges on the calibration inputs, strategy.rs:51).
+    """
+    out_scales: dict[int, ScalingFactor] = {}
+    if strategy == "inference":
+        assert calibration_inputs, "inference observer needs calibration inputs"
+        tracker = InferenceTracker()
+        for x in calibration_inputs:
+            model.forward(np.asarray(x, dtype=np.float64), tracker)
+        for i in range(len(model.ops)):
+            out_scales[i] = ScalingFactor.from_absolute_max(
+                max(tracker.max_abs.get(i, 1.0), 1e-6)
+            )
+    else:
+        for i in range(len(model.ops)):
+            out_scales[i] = ScalingFactor.from_absolute_max(1.0)
+
+    input_scale = ScalingFactor.from_absolute_max(1.0)
+    q = Model()
+    s_in = input_scale
+    cur_shape = model.input_shape
+    last_scale = s_in
+    for i, op in enumerate(model.ops):
+        if isinstance(op, FDense):
+            s_w = ScalingFactor.from_tensor(op.weight)
+            s_out = out_scales[i]
+            w_q = s_w.quantize(op.weight)
+            # bias carries scale S_in·S_w so it adds directly to the accum
+            b_q = np.clip(
+                np.round(op.bias / (s_in.scale * s_w.scale)),
+                -(1 << 25), 1 << 25,
+            ).astype(np.int64)
+            d = Dense(matrix=w_q, bias=b_q)
+            q.add_chain(d)
+            m = s_in.m(s_w, s_out)
+            q.add_chain(Requant(spec=RequantSpec.from_multiplier(m, d.output_bitsize())))
+            s_in = s_out
+            cur_shape = (op.weight.shape[0],)
+        elif isinstance(op, FConv):
+            s_w = ScalingFactor.from_tensor(op.weight)
+            s_out = out_scales[i]
+            w_q = s_w.quantize(op.weight)
+            b_q = np.clip(
+                np.round(op.bias / (s_in.scale * s_w.scale)),
+                -(1 << 25), 1 << 25,
+            ).astype(np.int64)
+            conv = Convolution(filter=w_q, bias=b_q, input_shape=cur_shape)
+            q.add_chain(conv)
+            m = s_in.m(s_w, s_out)
+            q.add_chain(Requant(spec=RequantSpec.from_multiplier(m, conv.output_bitsize())))
+            s_in = s_out
+            cur_shape = (conv.kw, conv.n, conv.n)
+        elif isinstance(op, FRelu):
+            q.add_chain(Relu())
+        elif isinstance(op, FMaxpool):
+            q.add_chain(Maxpool2D())
+            c, h, w = cur_shape
+            cur_shape = (c, h // 2, w // 2)
+        elif isinstance(op, FFlatten):
+            q.add_chain(Flatten())
+            cur_shape = (int(np.prod(cur_shape)),)
+        else:
+            raise NotImplementedError(type(op))
+        last_scale = s_in
+    return q, input_scale, last_scale

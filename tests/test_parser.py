@@ -1,0 +1,143 @@
+"""ONNX parsing → quantization → prove/verify e2e (mirrors the reference's
+test_model_run on zkml/assets/model.onnx, zkml/src/lib.rs:243)."""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.parser.onnx import load_onnx
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml.float_model import FloatModel, FDense, FRelu, quantize
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def _varint(v):
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _field(num, wire, payload):
+    return _varint((num << 3) | wire) + payload
+
+
+def _ld(num, data):  # length-delimited
+    return _field(num, 2, _varint(len(data)) + data)
+
+
+def _tensor_proto(name, arr):
+    import numpy as _np
+
+    arr32 = _np.asarray(arr, dtype="<f4")
+    msg = b"".join(_field(1, 0, _varint(int(d))) for d in arr32.shape)
+    msg += _field(2, 0, _varint(1))  # FLOAT
+    msg += _ld(8, name.encode())
+    msg += _ld(9, arr32.tobytes())
+    return msg
+
+
+def _node(op, inputs, outputs):
+    msg = b"".join(_ld(1, i.encode()) for i in inputs)
+    msg += b"".join(_ld(2, o.encode()) for o in outputs)
+    msg += _ld(4, op.encode())
+    return msg
+
+
+def _value_info(name, shape):
+    dims = b"".join(_ld(1, _field(1, 0, _varint(int(d)))) for d in shape)
+    shape_msg = dims
+    tt = _field(1, 0, _varint(1)) + _ld(2, shape_msg)  # elem_type + shape
+    tp = _ld(1, tt)  # tensor_type
+    return _ld(1, name.encode()) + _ld(2, tp)
+
+
+def _export_mlp(tmp_path, dims, rng):
+    """Hand-encode an ONNX ModelProto for a Gemm/Relu MLP."""
+    import torch
+    import torch.nn as nn
+
+    layers = []
+    for i in range(len(dims) - 1):
+        layers.append(nn.Linear(dims[i], dims[i + 1]))
+        if i < len(dims) - 2:
+            layers.append(nn.ReLU())
+    net = nn.Sequential(*layers)
+
+    nodes = []
+    inits = []
+    cur = "input"
+    li = 0
+    for mod in net:
+        if isinstance(mod, nn.Linear):
+            w = mod.weight.detach().numpy()  # (out, in)
+            b = mod.bias.detach().numpy()
+            inits.append(_tensor_proto(f"w{li}", w))
+            inits.append(_tensor_proto(f"b{li}", b))
+            out_name = f"g{li}"
+            n = _node("Gemm", [cur, f"w{li}", f"b{li}"], [out_name])
+            # transB=1 attribute
+            attr = _ld(1, b"transB") + _field(3, 0, _varint(1)) + _field(20, 0, _varint(2))
+            n += _ld(5, attr)
+            nodes.append(n)
+            cur = out_name
+            li += 1
+        else:
+            out_name = f"r{li}"
+            nodes.append(_node("Relu", [cur], [out_name]))
+            cur = out_name
+    graph = b"".join(_ld(1, n) for n in nodes)
+    graph += b"".join(_ld(5, t) for t in inits)
+    graph += _ld(11, _value_info("input", (1, dims[0])))
+    graph += _ld(12, _value_info(cur, (1, dims[-1])))
+    model = _ld(7, graph)
+    path = str(tmp_path / "mlp.onnx")
+    with open(path, "wb") as f:
+        f.write(model)
+    return net, path
+
+
+def test_parse_torch_mlp(tmp_path, rng):
+    import torch
+
+    net, path = _export_mlp(tmp_path, [8, 12, 4], rng)
+    fm = load_onnx(path)
+    x = rng.uniform(-1, 1, size=8)
+    want = net(torch.tensor(x, dtype=torch.float32).unsqueeze(0)).detach().numpy()[0]
+    got = fm.forward(x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_onnx_mlp_prove_verify(tmp_path, rng):
+    net, path = _export_mlp(tmp_path, [8, 8, 4], rng)
+    fm = load_onnx(path)
+    calib = [rng.uniform(-1, 1, size=8) for _ in range(4)]
+    qmodel, s_in, s_out = quantize(fm, strategy="inference", calibration_inputs=calib)
+
+    x = rng.uniform(-1, 1, size=8)
+    xq = Tensor(s_in.quantize(x))
+    trace = qmodel.run([xq])
+    # quantized output approximates float output
+    import torch
+
+    want = net(torch.tensor(x, dtype=torch.float32).unsqueeze(0)).detach().numpy()[0]
+    got = s_out.dequantize(trace.outputs[0].data[: len(want)])
+    assert np.max(np.abs(got - want)) < 0.25, (got, want)
+
+    ctx = Context.generate(qmodel, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([xq], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_reference_asset_onnx():
+    """Parse the reference's own MLP asset (read-only)."""
+    fm = load_onnx("/root/reference/zkml/assets/model.onnx")
+    assert len(fm.ops) >= 1
+    x = np.zeros(int(np.prod(fm.input_shape)))
+    out = fm.forward(x.reshape(fm.input_shape))
+    assert out.size > 0
