@@ -1,0 +1,3 @@
+from . import store, worker
+
+__all__ = ["store", "worker"]

@@ -1,0 +1,78 @@
+"""deep-prove CLI (reference: deep-prove/src/bin/cli — Submit / Fetch /
+Status subcommands against the local API executor).
+
+Usage:
+  python -m deepprove_tpu.service.cli submit --url http://127.0.0.1:PORT \
+      --model model.onnx --input input.json
+  python -m deepprove_tpu.service.cli status --url ... --job ID
+  python -m deepprove_tpu.service.cli fetch  --url ... --job ID -o out.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import sys
+import urllib.request
+
+
+def _post(url: str, obj) -> dict:
+    data = json.dumps(obj).encode()
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def _get(url: str) -> dict:
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="deepprove-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("submit")
+    s.add_argument("--url", required=True)
+    s.add_argument("--model", required=True)
+    s.add_argument("--input", required=True, help="JSON: {\"input_data\": [[...]]}")
+    s.add_argument("--strategy", default="absolute_max")
+
+    st = sub.add_parser("status")
+    st.add_argument("--url", required=True)
+    st.add_argument("--job", required=True)
+
+    f = sub.add_parser("fetch")
+    f.add_argument("--url", required=True)
+    f.add_argument("--job", required=True)
+    f.add_argument("-o", "--output", default="-")
+
+    args = p.parse_args(argv)
+    if args.cmd == "submit":
+        with open(args.model, "rb") as fh:
+            model_b64 = base64.b64encode(fh.read()).decode()
+        with open(args.input) as fh:
+            inputs = json.load(fh)["input_data"]
+        out = _post(
+            f"{args.url}/proofs",
+            {"model": model_b64, "inputs": inputs, "scaling_strategy": args.strategy},
+        )
+        print(json.dumps(out))
+    elif args.cmd == "status":
+        print(json.dumps(_get(f"{args.url}/status/{args.job}")))
+    elif args.cmd == "fetch":
+        out = _get(f"{args.url}/proofs/{args.job}")
+        text = json.dumps(out)
+        if args.output == "-":
+            print(text)
+        else:
+            with open(args.output, "w") as fh:
+                fh.write(text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

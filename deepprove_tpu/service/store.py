@@ -1,0 +1,66 @@
+"""Artifact store: caches the expensive per-model setup (reference:
+deep-prove/src/store.rs — `Store` trait with S3Store/MemStore keyed by
+model-file sha256 + scaling strategy).
+
+The proving context (PCS params + committed weights + quantized model)
+is computed once per (model bytes, strategy) and reused across requests.
+`FileStore` persists pickled contexts on disk; `MemStore` is in-process.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+
+
+def model_key(model_bytes: bytes, strategy: str, extra: str = "") -> str:
+    h = hashlib.sha256()
+    h.update(model_bytes)
+    h.update(strategy.encode())
+    h.update(extra.encode())
+    return h.hexdigest()
+
+
+class MemStore:
+    def __init__(self):
+        self._data: dict[str, object] = {}
+
+    def get(self, key: str):
+        return self._data.get(key)
+
+    def put(self, key: str, value):
+        self._data[key] = value
+
+
+class FileStore:
+    """Disk-backed store (the S3Store analogue for a single host)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, f"{key}.pkl")
+
+    def get(self, key: str):
+        p = self._path(key)
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return pickle.load(f)
+
+    def put(self, key: str, value):
+        with open(self._path(key), "wb") as f:
+            pickle.dump(value, f)
+
+
+def get_or_init_model(store, model_bytes: bytes, strategy: str, init_fn):
+    """store.rs:57 get_or_init_model_with semantics."""
+    key = model_key(model_bytes, strategy)
+    cached = store.get(key)
+    if cached is not None:
+        return cached
+    value = init_fn()
+    store.put(key, value)
+    return value

@@ -1,0 +1,192 @@
+"""Prover worker: job queue + local HTTP API (reference:
+deep-prove/src/bin/worker — local API mode, worker/api.rs:30 with
+GET/POST /proofs, /status/<id>, /healthcheck; task core
+run_model_v1, bin/worker/main.rs:33).
+
+A request carries an ONNX model + input vectors; the worker caches the
+quantized model + proving context per model hash (store.py), proves each
+input, and returns serialized proofs. Errors are caught per-request and
+reported, never crash the worker (grpc.rs:55-66 semantics).
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import io
+import json
+import pickle
+import queue
+import tempfile
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..transcript import BasicTranscript
+from ..zkml.float_model import quantize
+from ..zkml.iop import Context, Prover, verify
+from ..zkml.iop.verifier import IO
+from ..zkml.tensor import Tensor
+from .store import MemStore, get_or_init_model
+
+
+@dataclasses.dataclass
+class ProofRequest:
+    """DeepProveRequest::V1 analogue (middleware/v1.rs:12)."""
+
+    model_bytes: bytes
+    inputs: list  # list of float vectors
+    scaling_strategy: str = "absolute_max"
+
+
+@dataclasses.dataclass
+class ProofResponse:
+    proofs: list  # serialized proof blobs (pickle+b64)
+    outputs: list
+    errors: list
+
+
+def run_model_v1(store, request: ProofRequest, pcs_kw=None) -> ProofResponse:
+    """Prove every input of the request against the (cached) model context."""
+    from ..parser.onnx import load_onnx
+
+    pcs_kw = pcs_kw or {}
+
+    def init():
+        with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+            f.write(request.model_bytes)
+            path = f.name
+        fm = load_onnx(path)
+        calib = [np.asarray(x, dtype=np.float64) for x in request.inputs]
+        strategy = (
+            "inference" if request.scaling_strategy == "inference" else "absolute_max"
+        )
+        qmodel, s_in, s_out = quantize(
+            fm, strategy=strategy,
+            calibration_inputs=calib if strategy == "inference" else None,
+        )
+        ctx = Context.generate(qmodel, **pcs_kw)
+        return (qmodel, s_in, s_out, ctx)
+
+    qmodel, s_in, s_out, ctx = get_or_init_model(
+        store, request.model_bytes, request.scaling_strategy, init
+    )
+
+    proofs, outputs, errors = [], [], []
+    for i, x in enumerate(request.inputs):
+        try:
+            xq = Tensor(s_in.quantize(np.asarray(x, dtype=np.float64)))
+            trace = qmodel.run([xq])
+            proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+            # sanity: verify before returning (cheap insurance, optional)
+            verify(ctx, proof, IO([xq], trace.outputs), BasicTranscript(b"m2vec"))
+            blob = base64.b64encode(pickle.dumps(proof)).decode()
+            proofs.append(blob)
+            outputs.append(s_out.dequantize(trace.outputs[0].data).tolist())
+        except Exception as e:  # worker must not crash (grpc.rs:55)
+            errors.append({"input": i, "error": str(e)})
+    return ProofResponse(proofs=proofs, outputs=outputs, errors=errors)
+
+
+class WorkerState:
+    def __init__(self, pcs_kw=None):
+        self.store = MemStore()
+        self.jobs: dict[str, dict] = {}
+        self.queue: queue.Queue = queue.Queue()
+        self.pcs_kw = pcs_kw or {}
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, request: ProofRequest) -> str:
+        job_id = uuid.uuid4().hex
+        self.jobs[job_id] = {"status": "queued", "submitted": time.time()}
+        self.queue.put((job_id, request))
+        return job_id
+
+    def _loop(self):
+        while True:
+            job_id, request = self.queue.get()
+            self.jobs[job_id]["status"] = "proving"
+            try:
+                resp = run_model_v1(self.store, request, self.pcs_kw)
+                self.jobs[job_id].update(
+                    status="done",
+                    proofs=resp.proofs,
+                    outputs=resp.outputs,
+                    errors=resp.errors,
+                )
+            except Exception as e:
+                self.jobs[job_id].update(status="failed", error=str(e))
+
+
+def make_handler(state: WorkerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthcheck":
+                self._json(200, {"status": "ok"})
+            elif self.path.startswith("/status/"):
+                job_id = self.path.rsplit("/", 1)[1]
+                job = state.jobs.get(job_id)
+                if job is None:
+                    self._json(404, {"error": "unknown job"})
+                else:
+                    self._json(200, {"status": job["status"]})
+            elif self.path.startswith("/proofs/"):
+                job_id = self.path.rsplit("/", 1)[1]
+                job = state.jobs.get(job_id)
+                if job is None:
+                    self._json(404, {"error": "unknown job"})
+                elif job["status"] != "done":
+                    self._json(202, {"status": job["status"]})
+                else:
+                    self._json(
+                        200,
+                        {
+                            "status": "done",
+                            "proofs": job["proofs"],
+                            "outputs": job["outputs"],
+                            "errors": job["errors"],
+                        },
+                    )
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/proofs":
+                self._json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(length))
+            request = ProofRequest(
+                model_bytes=base64.b64decode(payload["model"]),
+                inputs=payload["inputs"],
+                scaling_strategy=payload.get("scaling_strategy", "absolute_max"),
+            )
+            job_id = state.submit(request)
+            self._json(200, {"job_id": job_id})
+
+    return Handler
+
+
+def serve(port: int = 0, pcs_kw=None) -> tuple[ThreadingHTTPServer, WorkerState]:
+    """Start the local API server; returns (server, state). Caller owns
+    server.shutdown()."""
+    state = WorkerState(pcs_kw=pcs_kw)
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(state))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, state

@@ -1,0 +1,84 @@
+"""Worker service: submit → prove → fetch over the local HTTP API
+(mirrors deep-prove worker local API mode, worker/api.rs)."""
+
+import base64
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.service.store import FileStore, MemStore, get_or_init_model, model_key
+from deepprove_tpu.service.worker import ProofRequest, run_model_v1, serve
+
+
+def _mlp_onnx_bytes(rng):
+    # reuse the hand encoder from the parser test
+    from tests.test_parser import _export_mlp
+
+    import tempfile, pathlib
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    _, path = _export_mlp(tmp, [8, 4], rng)
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_store_caching(tmp_path):
+    store = FileStore(str(tmp_path))
+    calls = []
+
+    def init():
+        calls.append(1)
+        return {"v": 42}
+
+    a = get_or_init_model(store, b"model", "abs", init)
+    b = get_or_init_model(store, b"model", "abs", init)
+    assert a == b == {"v": 42}
+    assert len(calls) == 1
+    assert model_key(b"model", "abs") != model_key(b"model", "inference")
+
+
+def test_run_model_v1(rng):
+    store = MemStore()
+    req = ProofRequest(
+        model_bytes=_mlp_onnx_bytes(rng),
+        inputs=[list(rng.uniform(-1, 1, size=8)) for _ in range(2)],
+    )
+    resp = run_model_v1(store, req, pcs_kw={"num_queries": 7, "basecode_msg_size_log": 2})
+    assert resp.errors == []
+    assert len(resp.proofs) == 2
+    assert len(resp.outputs) == 2
+
+
+def test_http_api_roundtrip(rng):
+    server, state = serve(pcs_kw={"num_queries": 7, "basecode_msg_size_log": 2})
+    port = server.server_address[1]
+    url = f"http://127.0.0.1:{port}"
+
+    with urllib.request.urlopen(f"{url}/healthcheck") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+    payload = {
+        "model": base64.b64encode(_mlp_onnx_bytes(rng)).decode(),
+        "inputs": [list(rng.uniform(-1, 1, size=8))],
+    }
+    req = urllib.request.Request(
+        f"{url}/proofs", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        job_id = json.loads(r.read())["job_id"]
+
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        with urllib.request.urlopen(f"{url}/proofs/{job_id}") as r:
+            out = json.loads(r.read())
+        if out.get("status") == "done":
+            break
+        time.sleep(2)
+    server.shutdown()
+    assert out["status"] == "done", out
+    assert out["errors"] == []
+    assert len(out["proofs"]) == 1
