@@ -385,9 +385,13 @@ def from_u64(arr) -> GF:
 
 
 def to_u64(a: GF) -> np.ndarray:
-    lo = np.asarray(jax.device_get(a.lo), dtype=np.uint64)
-    hi = np.asarray(jax.device_get(a.hi), dtype=np.uint64)
-    return lo | (hi << np.uint64(32))
+    # ONE device→host transfer: remote devices (tunneled TPU) charge a
+    # full round trip per buffer pull, so stack limbs on device first.
+    packed = np.asarray(
+        jax.device_get(jnp.stack([a.lo.reshape(-1), a.hi.reshape(-1)]))
+    ).astype(np.uint64)
+    out = packed[0] | (packed[1] << np.uint64(32))
+    return out.reshape(a.lo.shape)
 
 
 def where(cond, a: GF, b: GF) -> GF:
@@ -540,7 +544,19 @@ def ext_from_u64(a0, a1) -> GF2:
 
 
 def ext_to_u64(a: GF2):
-    return to_u64(a.a0), to_u64(a.a1)
+    packed = np.asarray(
+        jax.device_get(
+            jnp.stack(
+                [
+                    a.a0.lo.reshape(-1), a.a0.hi.reshape(-1),
+                    a.a1.lo.reshape(-1), a.a1.hi.reshape(-1),
+                ]
+            )
+        )
+    ).astype(np.uint64)
+    a0 = (packed[0] | (packed[1] << np.uint64(32))).reshape(a.a0.lo.shape)
+    a1 = (packed[2] | (packed[3] << np.uint64(32))).reshape(a.a0.lo.shape)
+    return a0, a1
 
 
 def ext_square(a: GF2) -> GF2:
@@ -601,3 +617,20 @@ def ext_sum_axis(a: GF2, axis: int = -1) -> GF2:
 
 def ext_sum_all(a: GF2) -> GF2:
     return GF2(sum_all(a.a0), sum_all(a.a1))
+
+
+def pull_u32(arrays) -> list:
+    """ONE device→host transfer for many u32 arrays (concat + split).
+
+    Remote (tunneled) devices charge a full round trip per pulled buffer;
+    batching pulls is the difference between ms and minutes per proof.
+    """
+    flats = [a.reshape(-1) for a in arrays]
+    sizes = [int(f.shape[0]) for f in flats]
+    packed = np.asarray(jax.device_get(jnp.concatenate(flats)))
+    out = []
+    off = 0
+    for a, s in zip(arrays, sizes):
+        out.append(packed[off : off + s].reshape(a.shape))
+        off += s
+    return out

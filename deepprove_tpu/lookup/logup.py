@@ -246,7 +246,12 @@ def batch_prove(inp: LogUpInput, transcript: BasicTranscript) -> LogUpProof:
     circuits = make_circuits(inp)
     num_instances = len(circuits)
     total_layers = max(c.num_vars for c in circuits)
-    circuit_outputs = [c.outputs() for c in circuits]
+    # one device→host transfer for every circuit's output layer
+    out_ext = gf.ext_concatenate(
+        [gf.ext_concatenate([c.nums[-1], c.dens[-1]]) for c in circuits]
+    )
+    flat = _pairs(out_ext)
+    circuit_outputs = [flat[4 * i : 4 * (i + 1)] for i in range(num_instances)]
 
     transcript.append_field_element(num_instances)
     for evals in circuit_outputs:
@@ -330,11 +335,11 @@ def batch_prove(inp: LogUpInput, transcript: BasicTranscript) -> LogUpProof:
         alpha, lam = alpha_next, lam_next
         round_evaluations.append(evals)
 
-    output_claims = []
     pt_dev = [_ext_scalar(p) for p in sumcheck_point]
-    for m in inp.base_mles():
-        ev = mle_mod.evaluate(m, pt_dev)
-        output_claims.append(Claim(point=list(sumcheck_point), eval=_pairs(ev.reshape((1,)))[0]))
+    evals = _batch_evaluate(tuple(inp.base_mles()), pt_dev)
+    output_claims = [
+        Claim(point=list(sumcheck_point), eval=e) for e in evals
+    ]
 
     return LogUpProof(
         sumcheck_proofs=sumcheck_proofs,
@@ -365,6 +370,28 @@ def _final_round_claim(inp, evals, bc, alpha, lam) -> ExtPair:
             claim = host.ext_add(claim, host.ext_mul(alpha_comb, term))
             alpha_comb = host.ext_mul(alpha_comb, alpha)
     return claim
+
+
+@partial(jax.jit, static_argnames=("n_point",))
+def _batch_eval_kernel(stacked, pt, n_point: int):
+    out = stacked
+    for i in range(n_point):
+        r = gf.GF2(
+            gf.GF(pt.a0.lo[i], pt.a0.hi[i]), gf.GF(pt.a1.lo[i], pt.a1.hi[i])
+        )
+        m, l = out.shape
+        pairs = out.reshape(m, l // 2, 2)
+        lo, hi = pairs[:, :, 0], pairs[:, :, 1]
+        rb = gf.ext_broadcast_to(r.reshape((1, 1)), lo.shape)
+        out = gf.ext_add(lo, gf.ext_mul(rb, gf.ext_sub(hi, lo)))
+    return out.reshape(-1)
+
+
+def _batch_evaluate(mles: tuple, point) -> list[ExtPair]:
+    """Evaluate many same-size base MLEs at one point; ONE device pull."""
+    stacked = gf.ext_stack([mle_mod.to_ext(m) for m in mles], axis=0)
+    pt_stacked = gf.ext_stack(list(point))
+    return _pairs(_batch_eval_kernel(stacked, pt_stacked, len(point)))
 
 
 # ---------------------------------------------------------------------------

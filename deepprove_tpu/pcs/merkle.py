@@ -120,19 +120,24 @@ class MerkleTree:
         """Merkle paths for leaf-pair indices: (Q, depth, 4) uint64 host array.
 
         Path level ℓ holds the sibling digest of the node on the way up.
+        All levels are gathered on device and pulled in ONE transfer.
         """
         q = len(pair_indices)
-        out = np.empty((q, self.depth, 4), dtype=np.uint64)
         idx = np.asarray(pair_indices, dtype=np.int64)
+        per_level = []
         for lvl in range(self.depth):
-            sib = idx ^ 1
-            sibs = gf.GF(
-                jnp.take(self.levels[lvl].lo, jnp.asarray(sib), axis=0),
-                jnp.take(self.levels[lvl].hi, jnp.asarray(sib), axis=0),
+            sib = jnp.asarray(idx ^ 1)
+            per_level.append(
+                gf.GF(
+                    jnp.take(self.levels[lvl].lo, sib, axis=0),
+                    jnp.take(self.levels[lvl].hi, sib, axis=0),
+                )
             )
-            out[:, lvl, :] = gf.to_u64(sibs)
             idx = idx >> 1
-        return out
+        if not per_level:
+            return np.empty((q, 0, 4), dtype=np.uint64)
+        stacked = gf.stack(per_level, axis=1)  # (Q, depth, 4)
+        return gf.to_u64(stacked)
 
 
 # ---------------------------------------------------------------------------

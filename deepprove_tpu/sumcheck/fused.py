@@ -198,18 +198,44 @@ def prove_fused(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOut
         n_points=max_degree + 1, degree=max_degree,
         n_bucket=n_bucket, m_pad=m_pad, pn_pad=pn_pad,
     )
-    devt.import_state(transcript.challenger, t_state)
 
-    m_a0, m_a1 = gf.ext_to_u64(msgs)
-    c_a0, c_a1 = gf.ext_to_u64(chals)
+    # pull EVERYTHING in one device→host transfer (tunnel RTT ≈ 200 ms)
+    sponge, ibuf, ilen, obuf, olen = t_state
+    pulled = gf.pull_u32(
+        [
+            msgs.a0.lo, msgs.a0.hi, msgs.a1.lo, msgs.a1.hi,
+            chals.a0.lo, chals.a0.hi, chals.a1.lo, chals.a1.hi,
+            finals.a0.lo, finals.a0.hi, finals.a1.lo, finals.a1.hi,
+            sponge.lo, sponge.hi, ibuf.lo, ibuf.hi, obuf.lo, obuf.hi,
+            jnp.reshape(ilen, (1,)).astype(jnp.uint32),
+            jnp.reshape(olen, (1,)).astype(jnp.uint32),
+        ]
+    )
+
+    def u64(lo, hi):
+        return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+
+    m_v = u64(pulled[0], pulled[1]), u64(pulled[2], pulled[3])
+    c_v = u64(pulled[4], pulled[5]), u64(pulled[6], pulled[7])
+    f_v = u64(pulled[8], pulled[9]), u64(pulled[10], pulled[11])
+    sponge_v = u64(pulled[12], pulled[13])
+    ibuf_v = u64(pulled[14], pulled[15])
+    obuf_v = u64(pulled[16], pulled[17])
+    ilen_v = int(pulled[18][0])
+    olen_v = int(pulled[19][0])
+
+    ch = transcript.challenger
+    ch.state = np.asarray(sponge_v, dtype=np.uint64)
+    ch.input_buffer = [int(x) for x in ibuf_v[:ilen_v]]
+    ch.output_buffer = [int(x) for x in obuf_v[:olen_v]]
+
     round_messages = [
-        [(int(m_a0[r, t]), int(m_a1[r, t])) for t in range(max_degree + 1)]
+        [(int(m_v[0][r, t]), int(m_v[1][r, t])) for t in range(max_degree + 1)]
         for r in range(n)
     ]
-    point = [(int(c_a0[r]), int(c_a1[r])) for r in range(n)]
-    f_a0, f_a1 = gf.ext_to_u64(finals)
+    point = [(int(c_v[0][r]), int(c_v[1][r])) for r in range(n)]
     final_evals = [
-        (int(x), int(y)) for x, y in zip(f_a0[: len(vp.mles)], f_a1[: len(vp.mles)])
+        (int(x), int(y)) for x, y in zip(f_v[0][: len(vp.mles)], f_v[1][: len(vp.mles)])
     ]
     return ProverOutput(
         proof=SumcheckProof(point=point, round_messages=round_messages),

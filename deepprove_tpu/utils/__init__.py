@@ -1,0 +1,3 @@
+from .metrics import Metrics, MetricsSpan, stream_metrics
+
+__all__ = ["Metrics", "MetricsSpan", "stream_metrics"]

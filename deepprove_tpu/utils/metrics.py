@@ -1,0 +1,55 @@
+"""Observability: wall-clock + RSS metrics and CSV streaming (reference:
+utils/src/lib.rs:270 `Metrics`/`MetricsSpan`, :24 CSV recorder; enabled
+via the TIMED_OUTPUT env var like the reference's timed CSV).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import resource
+import time
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+@dataclasses.dataclass
+class MetricsSpan:
+    name: str
+    wall_s: float
+    rss_mb: float
+
+    def __str__(self):
+        return f"{self.name}: {self.wall_s * 1000:.1f} ms, rss {self.rss_mb:.0f} MB"
+
+
+class Metrics:
+    """Capture wall time + peak RSS around a phase."""
+
+    def __init__(self, name: str = ""):
+        self.name = name
+        self.t0 = time.time()
+        self.rss0 = _rss_mb()
+
+    def to_span(self) -> MetricsSpan:
+        return MetricsSpan(
+            name=self.name, wall_s=time.time() - self.t0, rss_mb=_rss_mb()
+        )
+
+
+_CSV_HEADER_WRITTEN: set[str] = set()
+
+
+def stream_metrics(phase: str, span: MetricsSpan, path: str | None = None):
+    """Append a CSV row (phase, wall_ms, rss_mb) to $TIMED_OUTPUT."""
+    path = path or os.environ.get("TIMED_OUTPUT")
+    if not path:
+        return
+    new = path not in _CSV_HEADER_WRITTEN and not os.path.exists(path)
+    with open(path, "a") as f:
+        if new:
+            f.write("phase,wall_ms,rss_mb\n")
+            _CSV_HEADER_WRITTEN.add(path)
+        f.write(f"{phase},{span.wall_s * 1000:.2f},{span.rss_mb:.1f}\n")

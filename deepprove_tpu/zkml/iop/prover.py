@@ -56,6 +56,9 @@ class Prover:
         return self.lookup_witness.pop(node_id)
 
     def prove(self, trace: InferenceTrace) -> Proof:
+        from ...utils import Metrics, stream_metrics
+
+        m = Metrics("witness_ctx")
         self.ctx.write_to_transcript(self.transcript)
         if self.ctx.lookup:
             storage, witnesses, table_witnesses = generate_lookup_witnesses(
@@ -64,6 +67,8 @@ class Prover:
             self.challenge_storage = storage
             self.lookup_witness = witnesses
             self.table_witness = table_witnesses
+        stream_metrics("witness_ctx", m.to_span())
+        m = Metrics("claims")
 
         # output claims from FS (iop/prover.rs:423-436)
         out_claims = []
@@ -91,6 +96,8 @@ class Prover:
                 claims = list(claims_for_prove)
             claims_by_layer[nid] = claims
 
+        stream_metrics("claims", m.to_span())
+        m = Metrics("tables_and_opening")
         # table proofs (iop/prover.rs:110)
         for tw in self.table_witness:
             logup_input = tw.get_logup_input(self.challenge_storage)
@@ -111,6 +118,7 @@ class Prover:
             )
 
         commit_proof = self.commit_prover.prove(self.transcript)
+        stream_metrics("tables_and_opening", m.to_span())
         return Proof(
             steps=self.proofs, table_proofs=self.table_proofs, commit=commit_proof
         )
