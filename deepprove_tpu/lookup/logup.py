@@ -278,7 +278,7 @@ def batch_prove(inp: LogUpInput, transcript: BasicTranscript) -> LogUpProof:
     for level in range(1, total_layers + 1):
         transcript.append_field_element_ext(current_claim)
 
-        eq = mle_mod.eq_table([_ext_scalar(p) for p in sumcheck_point])
+        eq = mle_mod.eq_table_pairs(sumcheck_point)
         vp = VirtualPolynomial.new(level)
         i_eq = vp.add_mle(eq)
 

@@ -278,6 +278,26 @@ def _ext_scalar(pair: ExtPair) -> gf.GF2:
     return gf.ext_from_u64(np.uint64(pair[0] % host.P), np.uint64(pair[1] % host.P))
 
 
+@jax.jit
+def _scale_base(poly, c: gf.GF2) -> gf.GF2:
+    """c·poly for a base or ext poly — one fused dispatch."""
+    cb = gf.ext_broadcast_to(c.reshape((1,)), (poly.shape[0],))
+    if isinstance(poly, gf.GF2):
+        return gf.ext_mul(cb, poly)
+    return mle_mod.ext_mul_by_base(cb, poly)
+
+
+_ext_add_j = jax.jit(gf.ext_add)
+
+
+@partial(jax.jit, static_argnames=("reps",))
+def _repeat_ext(term: gf.GF2, reps: int) -> gf.GF2:
+    return gf.GF2(
+        gf.GF(jnp.repeat(term.a0.lo, reps), jnp.repeat(term.a0.hi, reps)),
+        gf.GF(jnp.repeat(term.a1.lo, reps), jnp.repeat(term.a1.hi, reps)),
+    )
+
+
 def _pairs_host(e: gf.GF2) -> list[ExtPair]:
     a0, a1 = gf.ext_to_u64(e)
     return [(int(x), int(y)) for x, y in zip(np.atleast_1d(a0), np.atleast_1d(a1))]
@@ -329,7 +349,7 @@ def _commit_phase(
     `oracle_merger(i, oracle)` lets batch_open add newly-matching codewords
     after each fold. Returns (trees, messages, roots, final_message).
     """
-    eq = mle_mod.eq_table([_ext_scalar(p) for p in point])
+    eq = mle_mod.eq_table_pairs(point)
     eq = ntt.bit_reverse(eq, num_vars)
 
     msg_dev = _sumcheck_first_round(eq, running_evals)
@@ -563,9 +583,8 @@ def verify(
         evals = np.asarray(proof.trivial_evals[0], dtype=np.uint64)
         tree = MerkleTree.from_leaves(gf.from_u64(evals))
         assert tree.root == commitment.root, "trivial root mismatch"
-        pt = [_ext_scalar(p) for p in point]
-        got = mle_mod.evaluate(gf.from_u64(evals), pt)
-        assert _pairs_host(got.reshape((1,)))[0] == eval_, "trivial eval mismatch"
+        got = mle_mod.evaluate_pairs(gf.from_u64(evals), point)
+        assert got == eval_, "trivial eval mismatch"
         return
 
     num_vars = len(point)
@@ -710,12 +729,11 @@ def simple_batch_verify(
         ) if k > 1 else gf.from_u64(np.asarray(proof.trivial_evals[0], dtype=np.uint64))
         tree = MerkleTree.from_leaves(leaves)
         assert tree.root == commitment.root, "trivial root mismatch"
-        pt = [_ext_scalar(p) for p in point]
         for i in range(k):
-            got = mle_mod.evaluate(
-                gf.from_u64(np.asarray(proof.trivial_evals[i], dtype=np.uint64)), pt
+            got = mle_mod.evaluate_pairs(
+                gf.from_u64(np.asarray(proof.trivial_evals[i], dtype=np.uint64)), point
             )
-            assert _pairs_host(got.reshape((1,)))[0] == evals[i], f"trivial eval {i}"
+            assert got == evals[i], f"trivial eval {i}"
         return
     num_vars = len(point)
     batch_size_log = max(1, (k - 1).bit_length()) if k > 1 else 0
@@ -864,21 +882,19 @@ def batch_open(
     for i, ev in enumerate(evals):
         c = _ext_scalar(eq_t[i])
         poly = polys[ev.poly]
-        term = mle_mod.ext_mul_by_base(
-            gf.ext_broadcast_to(c.reshape((1,)), (poly.shape[0],)), poly
-        )
+        term = _scale_base(poly, c)
         if ev.point in merged:
             assert merged[ev.point].shape[0] == poly.shape[0], (
                 "polys opened at one point must share size"
             )
-            merged[ev.point] = gf.ext_add(merged[ev.point], term)
+            merged[ev.point] = _ext_add_j(merged[ev.point], term)
         else:
             merged[ev.point] = term
 
     vp = VirtualPolynomial.new(num_vars)
     for pt_idx, m in sorted(merged.items()):
         n_pt = len(points[pt_idx])
-        eq = mle_mod.eq_table([_ext_scalar(p) for p in points[pt_idx]])
+        eq = mle_mod.eq_table_pairs(points[pt_idx])
         reps = 1 << (num_vars - n_pt)
         m_full = _tile_ext(m, reps) if reps > 1 else m
         eq_full = _tile_ext(eq, reps) if reps > 1 else eq
@@ -902,29 +918,14 @@ def batch_open(
     for c, comm in zip(coeffs, comms):
         cd = _ext_scalar(c)
         if comm.codeword_size() == full_cw:
-            oracle = gf.ext_add(
-                oracle,
-                mle_mod.ext_mul_by_base(
-                    gf.ext_broadcast_to(cd.reshape((1,)), (full_cw,)), comm.codeword
-                ),
-            )
+            oracle = _ext_add_j(oracle, _scale_base(comm.codeword, cd))
         # bh_evals are bit-reversed; smaller polys broadcast over consecutive
         # chunks (commit_phase.rs:227-238)
         reps = 1 << (num_vars - comm.num_vars)
-        bh = comm.bh_evals[0]
-        term = mle_mod.ext_mul_by_base(
-            gf.ext_broadcast_to(cd.reshape((1,)), (bh.shape[0],)), bh
-        )
+        term = _scale_base(comm.bh_evals[0], cd)
         if reps > 1:
-            term = gf.GF2(
-                gf.GF(
-                    jnp.repeat(term.a0.lo, reps), jnp.repeat(term.a0.hi, reps)
-                ),
-                gf.GF(
-                    jnp.repeat(term.a1.lo, reps), jnp.repeat(term.a1.hi, reps)
-                ),
-            )
-        run_evals = gf.ext_add(run_evals, term)
+            term = _repeat_ext(term, reps)
+        run_evals = _ext_add_j(run_evals, term)
 
     num_rounds = num_vars - params.basecode_msg_size_log
 
@@ -933,13 +934,7 @@ def batch_open(
         out = oracle
         for c, comm in zip(coeffs, comms):
             if comm.codeword_size() == size:
-                cd = _ext_scalar(c)
-                out = gf.ext_add(
-                    out,
-                    mle_mod.ext_mul_by_base(
-                        gf.ext_broadcast_to(cd.reshape((1,)), (size,)), comm.codeword
-                    ),
-                )
+                out = _ext_add_j(out, _scale_base(comm.codeword, _ext_scalar(c)))
         return out
 
     trees, msgs, roots, final_message = _commit_phase(

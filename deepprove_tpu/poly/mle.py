@@ -129,3 +129,94 @@ def ext_mul_by_base(a: gf.GF2, b: gf.GF) -> gf.GF2:
 
 def to_ext(values) -> gf.GF2:
     return values if _is_ext(values) else gf.ext_from_base(values)
+
+
+# ---------------------------------------------------------------------------
+# Jitted helpers over host-side points (tunneled-device discipline: eager
+# ops cost ~5 ms and host→device puts ~30 ms each, so glue code must make
+# ONE put + ONE jitted call, never per-coordinate eager chains.)
+# ---------------------------------------------------------------------------
+
+from functools import partial as _partial
+
+import jax as _jax
+import numpy as _np
+
+from ..fields.host import P as _P
+
+
+def pairs_to_dev(pairs) -> gf.GF2:
+    """Host ext pairs → ONE stacked device GF2 (single put)."""
+    a0 = _np.asarray([p[0] % _P for p in pairs], dtype=_np.uint64)
+    a1 = _np.asarray([p[1] % _P for p in pairs], dtype=_np.uint64)
+    return gf.ext_from_u64(a0, a1)
+
+
+def _pt_at(pt: gf.GF2, i: int) -> gf.GF2:
+    return gf.GF2(
+        gf.GF(pt.a0.lo[i], pt.a0.hi[i]), gf.GF(pt.a1.lo[i], pt.a1.hi[i])
+    )
+
+
+@_partial(_jax.jit, static_argnames=("n",))
+def _eq_table_kernel(pt: gf.GF2, scale: gf.GF2, n: int) -> gf.GF2:
+    t = scale.reshape((1,))
+    for i in range(n):
+        r = _pt_at(pt, i)
+        rb = r_bcast(r, t.shape)
+        hi = gf.ext_mul(t, rb)
+        lo = gf.ext_sub(t, hi)
+        t = gf.ext_concatenate([lo, hi])
+    return t
+
+
+def eq_table_pairs(pairs, scale=None) -> gf.GF2:
+    s = gf.ext_ones(()) if scale is None else scale
+    return _eq_table_kernel(pairs_to_dev(pairs), s, len(pairs))
+
+
+@_partial(_jax.jit, static_argnames=("n",))
+def _evaluate_kernel(values, pt: gf.GF2, n: int) -> gf.GF2:
+    out = values
+    for i in range(n):
+        out = fix_variable(out, _pt_at(pt, i))
+    return to_ext(out).reshape(())
+
+
+def evaluate_pairs(values, pairs):
+    """MLE evaluation at a host point; one put + one pull. Returns ExtPair."""
+    if not pairs:
+        e = to_ext(values).reshape(())
+        a0, a1 = gf.ext_to_u64(e)
+        return (int(a0), int(a1))
+    e = _evaluate_kernel(values, pairs_to_dev(pairs), len(pairs))
+    a0, a1 = gf.ext_to_u64(e)
+    return (int(a0), int(a1))
+
+
+@_partial(_jax.jit, static_argnames=("n",))
+def _fix_high_kernel(values, pt: gf.GF2, n: int):
+    out = values
+    for i in range(n - 1, -1, -1):
+        out = fix_high_variable(out, _pt_at(pt, i))
+    return out
+
+
+def fix_high_pairs(values, pairs):
+    if not pairs:
+        return values
+    return _fix_high_kernel(values, pairs_to_dev(pairs), len(pairs))
+
+
+@_partial(_jax.jit, static_argnames=("n",))
+def _fix_low_kernel(values, pt: gf.GF2, n: int):
+    out = values
+    for i in range(n):
+        out = fix_variable(out, _pt_at(pt, i))
+    return out
+
+
+def fix_low_pairs(values, pairs):
+    if not pairs:
+        return to_ext(values)
+    return _fix_low_kernel(values, pairs_to_dev(pairs), len(pairs))

@@ -28,6 +28,11 @@ def _ext_scalar(p: ExtPair) -> gf.GF2:
     return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
 
 
+import jax as _jax
+
+_add_j = _jax.jit(gf.ext_add)
+
+
 def _pair(e: gf.GF2) -> ExtPair:
     a0, a1 = gf.ext_to_u64(e.reshape((1,)))
     return (int(a0[0]), int(a1[0]))
@@ -189,9 +194,8 @@ def same_poly_prove(poly, claims: list[Claim], transcript: BasicTranscript) -> S
     challenges = [transcript.read_challenge() for _ in range(len(claims))]
     beta = None
     for a, c in zip(challenges, claims):
-        pt = [_ext_scalar(p) for p in c.point]
-        t = mle_mod.eq_table(pt, scale=_ext_scalar(a))
-        beta = t if beta is None else gf.ext_add(beta, t)
+        t = mle_mod.eq_table_pairs(c.point, scale=_ext_scalar(a))
+        beta = t if beta is None else _add_j(beta, t)
     vp = VirtualPolynomial.new(n)
     i_b = vp.add_mle(beta)
     i_p = vp.add_mle(poly)

@@ -75,9 +75,9 @@ class Prover:
         for out in trace.outputs:
             n = out.num_vars()
             r = [self.transcript.read_challenge() for _ in range(n)]
-            out_gf = out.to_gf()
-            y = mle_mod.evaluate(out_gf, [_dev(p) for p in r])
-            out_claims.append(Claim(point=r, eval=_host(y)))
+            out_claims.append(
+                Claim(point=r, eval=mle_mod.evaluate_pairs(out.to_gf(), r))
+            )
 
         # backward claim loop
         claims_by_layer: dict[int, list[Claim]] = {}

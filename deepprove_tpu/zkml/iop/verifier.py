@@ -64,8 +64,7 @@ def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
     for out in io.outputs:
         n = out.num_vars()
         r = [transcript.read_challenge() for _ in range(n)]
-        y = mle_mod.evaluate(out.to_gf(), [_dev(p) for p in r])
-        out_claims.append(Claim(point=r, eval=_host(y)))
+        out_claims.append(Claim(point=r, eval=mle_mod.evaluate_pairs(out.to_gf(), r)))
 
     # backward verification loop
     claims_by_layer = {}
@@ -111,8 +110,8 @@ def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
             if edge.node is None:
                 claim = node_claims[slot]
                 inp = io.inputs[edge.index]
-                y = mle_mod.evaluate(inp.to_gf(), [_dev(p) for p in claim.point])
-                assert _host(y) == claim.eval, "input claim mismatch"
+                y = mle_mod.evaluate_pairs(inp.to_gf(), claim.point)
+                assert y == claim.eval, "input claim mismatch"
 
     # batched opening
     v.commit_verifier.verify(proof.commit, transcript)

@@ -43,8 +43,9 @@ class Add:
 
     def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
         last_claim = last_claims[0]
-        pt = [_dev(p) for p in last_claim.point]
-        left_eval = _host_pair(mle_mod.evaluate(step_data.inputs[0].to_gf(), pt))
+        left_eval = mle_mod.evaluate_pairs(
+            step_data.inputs[0].to_gf(), last_claim.point
+        )
         right_eval = host.ext_sub(last_claim.eval, left_eval)
         prover.push_proof(node_id, AddProof(left_eval=left_eval, right_eval=right_eval))
         return [

@@ -206,7 +206,7 @@ class Convolution:
         mask = self.mask()
 
         # 1. clearing sumcheck: Σ eq·mask·B over (p, i)
-        eq = mle_mod.eq_table([_dev(pp) for pp in last_claim.point])
+        eq = mle_mod.eq_table_pairs(last_claim.point)
         mask_tiled = np.tile(mask, self.kw)
         b_gf = gf.from_u64(Q.to_field(b_vals.reshape(-1)))
         vp = VirtualPolynomial.new(log_p + log_i)
@@ -222,9 +222,7 @@ class Convolution:
         # 2. bias subtraction + reversal/slice point rewrite
         bias_pad = np.zeros(self.kw, dtype=np.int64)
         bias_pad[: self.bias.size] = self.bias
-        bias_eval = _host_pair(
-            mle_mod.evaluate(gf.from_u64(Q.to_field(bias_pad)), [_dev(pq) for pq in s0_i])
-        )
+        bias_eval = mle_mod.evaluate_pairs(gf.from_u64(Q.to_field(bias_pad)), s0_i)
         c_rev_eval = host.ext_sub(b_eval, bias_eval)
         sigma_t = [_one_minus(pq) for pq in s0_p] + [(0, 0)]
 
@@ -248,7 +246,7 @@ class Convolution:
         prod_flat = gf.concatenate(
             [r.reshape(1, self.N) for r in prod_rows], axis=0
         ).reshape(-1)  # (i high, k low)
-        prod_fixed = mle_mod.fix_high_variables(prod_flat, [_dev(pq) for pq in s0_i])
+        prod_fixed = mle_mod.fix_high_pairs(prod_flat, s0_i)
 
         vp2 = VirtualPolynomial.new(log_t)
         i_phi = vp2.add_mle(phi_inv)
@@ -259,8 +257,8 @@ class Convolution:
         prod_eval = sc2.final_evals[1]
 
         # 4. hadamard sumcheck over (k, j, i): eq_ki · X(j,k) · Ŵ(i,j,k)
-        eq_k = mle_mod.eq_table([_dev(pq) for pq in s1])
-        eq_i = mle_mod.eq_table([_dev(pq) for pq in s0_i])
+        eq_k = mle_mod.eq_table_pairs(s1)
+        eq_i = mle_mod.eq_table_pairs(s0_i)
         # eq_full (i, j, k) flat with k low: eq_i[i]·eq_k[k] tiled over j
         ej = gf.ext_broadcast_to(
             eq_k.reshape(1, 1, self.N), (self.kw, self.kx, self.N)
@@ -298,7 +296,7 @@ class Convolution:
         # 5. FFT sumcheck over t: X~(s2_k, s2_j) = Σ_t φ_fft[t]·x̃~(t, s2_j)
         phi_fft = phi_row_ext(s2_k, omega, self.N, scale=1)
         xt_flat = gf.from_u64(Q.to_field(xt.reshape(-1)))  # (j high, t low)
-        xt_fixed = mle_mod.fix_high_variables(xt_flat, [_dev(pq) for pq in s2_j])
+        xt_fixed = mle_mod.fix_high_pairs(xt_flat, s2_j)
         vp4 = VirtualPolynomial.new(log_t)
         i_pf = vp4.add_mle(phi_fft)
         i_xt = vp4.add_mle(xt_fixed)
@@ -374,9 +372,7 @@ class ConvCtx:
         v = self.n - self.k + 1
         m[:v, :v] = 1
         mask_tiled = np.tile(m.reshape(-1), self.kw)
-        mask_eval = _host_pair(
-            mle_mod.evaluate(gf.from_u64(Q.to_field(mask_tiled)), [_dev(pq) for pq in s0])
-        )
+        mask_eval = mle_mod.evaluate_pairs(gf.from_u64(Q.to_field(mask_tiled)), s0)
         b_eval = proof.clearing_evals[2]
         got = host.ext_mul(host.ext_mul(eq_eval, mask_eval), b_eval)
         assert got == sub1.expected_evaluation, "conv clearing mismatch"
@@ -394,9 +390,7 @@ class ConvCtx:
         omega_inv = int(host.pow_const(np.uint64(omega), host.P - 2))
         n_inv = int(host.pow_const(np.uint64(N), host.P - 2))
         phi_inv = phi_row_ext(sigma_t, omega_inv, N, scale=n_inv)
-        phi_inv_eval = _host_pair(
-            mle_mod.evaluate(phi_inv, [_dev(pq) for pq in s1])
-        )
+        phi_inv_eval = mle_mod.evaluate_pairs(phi_inv, s1)
         prod_eval = proof.ifft_evals[1]
         assert host.ext_mul(phi_inv_eval, prod_eval) == sub2.expected_evaluation, (
             "conv ifft mismatch"
@@ -430,7 +424,7 @@ class ConvCtx:
         )
         s3 = sub4.point
         phi_fft = phi_row_ext(s2_k, omega, N, scale=1)
-        phi_fft_eval = _host_pair(mle_mod.evaluate(phi_fft, [_dev(pq) for pq in s3]))
+        phi_fft_eval = mle_mod.evaluate_pairs(phi_fft, s3)
         xt_eval = proof.fft_evals[1]
         assert host.ext_mul(phi_fft_eval, xt_eval) == sub4.expected_evaluation, (
             "conv fft mismatch"

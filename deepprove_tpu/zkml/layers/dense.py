@@ -79,12 +79,11 @@ class Dense:
     # -- proving ------------------------------------------------------------
     def prove(self, node_id: int, ctx, last_claims, step_data, prover) -> list[Claim]:
         last_claim = last_claims[0]
-        r = [_ext_scalar(p) for p in last_claim.point]
         bias_gf = gf.from_u64(Q.to_field(self.bias))
-        bias_eval = _pair(mle_mod.evaluate(bias_gf, r))
+        bias_eval = mle_mod.evaluate_pairs(bias_gf, last_claim.point)
 
         mat_gf = gf.from_u64(Q.to_field(self.matrix.reshape(-1)))
-        w_fixed = mle_mod.fix_high_variables(mat_gf, r)  # GF2 over col vars
+        w_fixed = mle_mod.fix_high_pairs(mat_gf, last_claim.point)  # GF2 over col vars
         x_gf = step_data.inputs[0].to_gf()
 
         n = x_gf.shape[0].bit_length() - 1

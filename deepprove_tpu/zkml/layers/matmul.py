@@ -52,8 +52,8 @@ class MatMul:
         log_n, log_m, log_k = ceil_log2(next_pow2(n)), ceil_log2(next_pow2(m)), ceil_log2(next_pow2(k))
         assert len(last_claim.point) == log_n + log_m
 
-        r_col = [_dev(p) for p in last_claim.point[:log_n]]
-        r_row = [_dev(p) for p in last_claim.point[log_n:]]
+        r_col = last_claim.point[:log_n]
+        r_row = last_claim.point[log_n:]
 
         a_pad = np.zeros((next_pow2(m), next_pow2(k)), dtype=np.int64)
         a_pad[:m, :k] = a
@@ -62,8 +62,8 @@ class MatMul:
         a_gf = gf.from_u64(Q.to_field(a_pad.reshape(-1)))
         b_gf = gf.from_u64(Q.to_field(b_pad.reshape(-1)))
 
-        a_fixed = mle_mod.fix_high_variables(a_gf, r_row)  # over k (col) vars
-        b_fixed = mle_mod.fix_variables(b_gf, r_col)  # over k (row) vars
+        a_fixed = mle_mod.fix_high_pairs(a_gf, r_row)  # over k (col) vars
+        b_fixed = mle_mod.fix_low_pairs(b_gf, r_col)  # over k (row) vars
 
         vp = VirtualPolynomial.new(log_k)
         ia = vp.add_mle(a_fixed)

@@ -96,8 +96,8 @@ class Maxpool2D:
 
         bc = prover.transcript.get_and_append_challenge(b"batch_pooling")
         lookup_point = lookup_proof.output_claims[0].point
-        beta = mle_mod.eq_table([_dev(p) for p in lookup_point])
-        last_beta = mle_mod.eq_table([_dev(p) for p in last_claim.point])
+        beta = mle_mod.eq_table_pairs(lookup_point)
+        last_beta = mle_mod.eq_table_pairs(last_claim.point)
 
         vp = VirtualPolynomial.new(num_vars)
         i_d = [vp.add_mle(d) for d in diffs]

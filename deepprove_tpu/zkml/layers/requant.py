@@ -109,13 +109,9 @@ class Requant:
         chunk_cols = shifted_wit.column_evals
         num_vars = clamp_cols[0].shape[0].bit_length() - 1
 
-        clamping_beta = mle_mod.eq_table(
-            [_ext_scalar(p) for p in clamping_proof.output_claims[0].point]
-        )
-        last_beta = mle_mod.eq_table([_ext_scalar(p) for p in last_claim.point])
-        shifted_beta = mle_mod.eq_table(
-            [_ext_scalar(p) for p in shifted_proof.output_claims[0].point]
-        )
+        clamping_beta = mle_mod.eq_table_pairs(clamping_proof.output_claims[0].point)
+        last_beta = mle_mod.eq_table_pairs(last_claim.point)
+        shifted_beta = mle_mod.eq_table_pairs(shifted_proof.output_claims[0].point)
 
         # storage order: [clamp_out, last_beta, clamping_beta, clamp_in,
         # shifted_beta, chunk_0, chunk_1, …] (requant.rs:612-627 dedup order)

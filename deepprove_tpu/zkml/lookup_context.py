@@ -137,13 +137,8 @@ class TableType:
             from ..poly import mle as mle_mod
 
             _, cols = self.table_columns()
-            out_col = gf.from_u64(cols[1])
-            pt_dev = [
-                gf.ext_from_u64(np.uint64(p[0]), np.uint64(p[1])) for p in point
-            ]
-            ev = mle_mod.evaluate(out_col, pt_dev)
-            a0, a1 = gf.ext_to_u64(ev.reshape((1,)))
-            return [first, (int(a0[0]), int(a1[0]))]
+            second = mle_mod.evaluate_pairs(gf.from_u64(cols[1]), point)
+            return [first, second]
         raise NotImplementedError(self.kind)
 
     def table_claims(self, claims: list) -> list:
