@@ -186,7 +186,9 @@ def prove_fused(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOut
     ones_row = m_pad - 1
     pn_pad = _bucket(len(vp.products))
     coeff_list = [c for c, _ in vp.products] + [(0, 0)] * (pn_pad - len(vp.products))
-    coeffs = gf.ext_stack([_ext_scalar(c) for c in coeff_list])
+    from ..poly import mle as mle_mod
+
+    coeffs = mle_mod.pairs_to_dev(coeff_list)  # ONE put
     idx = np.full((pn_pad, max_degree), ones_row, dtype=np.int32)
     for i, (_, fs) in enumerate(vp.products):
         idx[i, : len(fs)] = fs
