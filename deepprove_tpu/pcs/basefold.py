@@ -348,27 +348,30 @@ def _commit_phase(
 
     `oracle_merger(i, oracle)` lets batch_open add newly-matching codewords
     after each fold. Returns (trees, messages, roots, final_message).
+
+    The Fiat-Shamir transcript runs ON DEVICE across all rounds: every
+    dispatch is async, and the host pulls messages/roots/final state in
+    ONE transfer at the end — the per-round host sync was the dominant
+    cost on tunneled devices.
     """
+    from ..transcript import device as devt
+
     eq = mle_mod.eq_table_pairs(point)
     eq = ntt.bit_reverse(eq, num_vars)
 
+    t_state = devt.export_state(transcript.challenger)
     msg_dev = _sumcheck_first_round(eq, running_evals)
-    last_msg = _pairs_host(msg_dev)
-    # after interp, eq/evals carry (c0, c1) pair-coefficients; fold uses them
     trees = []
-    msgs: list[list[ExtPair]] = []
-    roots: list[Digest] = []
-    final_message: list[ExtPair] = []
+    msgs_dev = []
+    roots_dev = []
     oracle = codeword
-    pending_tree_leaves = None
+    pending_tree = None
     for i in range(num_rounds):
-        transcript.append_field_element_exts(last_msg)
-        msgs.append(last_msg)
-        r = transcript.get_and_append_challenge(b"commit round")
-        r_dev = _ext_scalar(r)
+        msgs_dev.append(msg_dev)
+        t_state, r_dev = _absorb_msg_and_sample(t_state, msg_dev)
 
-        if i > 0 and pending_tree_leaves is not None:
-            trees.append(pending_tree_leaves)
+        if i > 0 and pending_tree is not None:
+            trees.append(pending_tree)
         if oracle_merger is not None and i > 0:
             oracle = oracle_merger(i, oracle)
 
@@ -380,19 +383,110 @@ def _commit_phase(
             eq = _fold_pair_linear(eq, r_dev)
             running_evals = _fold_pair_linear(running_evals, r_dev)
             msg_dev = _sumcheck_first_round(eq, running_evals)
-            last_msg = _pairs_host(msg_dev)
             tree = MerkleTree.from_leaves(new_oracle)
-            roots.append(tree.root)
-            transcript.append_field_elements(np.asarray(tree.root, dtype=np.uint64))
-            pending_tree_leaves = tree
+            root_dev = tree.levels[-1][0]  # GF (4,) on device
+            roots_dev.append(root_dev)
+            t_state = _absorb_digest(t_state, root_dev)
+            pending_tree = tree
             oracle = new_oracle
         else:
             running_evals = _fold_pair_linear(running_evals, r_dev)
             k = running_evals.shape[0].bit_length() - 1
             fm = ntt.bit_reverse(running_evals, k) if k > 0 else running_evals
-            final_message = _pairs_host(fm)
-            transcript.append_field_element_exts(final_message)
+            fm_dev = mle_mod.to_ext(fm) if not isinstance(fm, gf.GF2) else fm
+            t_state = _absorb_exts(t_state, fm_dev)
+
+    # ONE pull: all round messages, roots, the final message, and the
+    # transcript state; then resync the host challenger.
+    sponge, ibuf, ilen, obuf, olen = t_state
+    arrays = []
+    for m in msgs_dev:
+        arrays += [m.a0.lo, m.a0.hi, m.a1.lo, m.a1.hi]
+    for rt in roots_dev:
+        arrays += [rt.lo, rt.hi]
+    arrays += [fm_dev.a0.lo, fm_dev.a0.hi, fm_dev.a1.lo, fm_dev.a1.hi]
+    arrays += [
+        sponge.lo, sponge.hi, ibuf.lo, ibuf.hi, obuf.lo, obuf.hi,
+        jnp.reshape(ilen, (1,)).astype(jnp.uint32),
+        jnp.reshape(olen, (1,)).astype(jnp.uint32),
+    ]
+    pulled = gf.pull_u32(arrays)
+
+    def u64(lo, hi):
+        return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+
+    off = 0
+    msgs = []
+    for _ in msgs_dev:
+        a0 = u64(pulled[off], pulled[off + 1])
+        a1 = u64(pulled[off + 2], pulled[off + 3])
+        msgs.append([(int(x), int(y)) for x, y in zip(a0, a1)])
+        off += 4
+    roots = []
+    for _ in roots_dev:
+        d = u64(pulled[off], pulled[off + 1])
+        roots.append(tuple(int(x) for x in d))
+        off += 2
+    fa0 = u64(pulled[off], pulled[off + 1])
+    fa1 = u64(pulled[off + 2], pulled[off + 3])
+    final_message = [(int(x), int(y)) for x, y in zip(fa0, fa1)]
+    off += 4
+    ch = transcript.challenger
+    ch.state = np.asarray(u64(pulled[off], pulled[off + 1]), dtype=np.uint64)
+    ibuf_v = u64(pulled[off + 2], pulled[off + 3])
+    obuf_v = u64(pulled[off + 4], pulled[off + 5])
+    ilen_v = int(pulled[off + 6][0])
+    olen_v = int(pulled[off + 7][0])
+    ch.input_buffer = [int(x) for x in ibuf_v[:ilen_v]]
+    ch.output_buffer = [int(x) for x in obuf_v[:olen_v]]
     return trees, msgs, roots, final_message
+
+
+# b"commit round" → LE u64 chunks ("commit r", "ound")
+_COMMIT_LABEL_CHUNKS = [
+    int.from_bytes(b"commit r", "little"),
+    int.from_bytes(b"ound\x00\x00\x00\x00", "little"),
+]
+
+
+@jax.jit
+def _absorb_msg_and_sample(t_state, msg: gf.GF2):
+    """Absorb a 3-coeff round message + b"commit round" label, sample r."""
+    from ..transcript import device as devt
+
+    def body(i, ts):
+        m = gf.GF2(
+            gf.GF(msg.a0.lo[i], msg.a0.hi[i]), gf.GF(msg.a1.lo[i], msg.a1.hi[i])
+        )
+        return devt.observe_ext(ts, m)
+
+    t_state = jax.lax.fori_loop(0, msg.shape[0], body, t_state)
+    for chunk in _COMMIT_LABEL_CHUNKS:
+        t_state = devt.observe_u64_constant(t_state, chunk)
+    return devt.sample_ext(t_state)
+
+
+@jax.jit
+def _absorb_digest(t_state, digest: gf.GF):
+    from ..transcript import device as devt
+
+    def body(i, ts):
+        return devt.observe(ts, gf.GF(digest.lo[i], digest.hi[i]))
+
+    return jax.lax.fori_loop(0, 4, body, t_state)
+
+
+@jax.jit
+def _absorb_exts(t_state, arr: gf.GF2):
+    from ..transcript import device as devt
+
+    def body(i, ts):
+        m = gf.GF2(
+            gf.GF(arr.a0.lo[i], arr.a0.hi[i]), gf.GF(arr.a1.lo[i], arr.a1.hi[i])
+        )
+        return devt.observe_ext(ts, m)
+
+    return jax.lax.fori_loop(0, arr.shape[0], body, t_state)
 
 
 def _sample_queries(params: BasefoldParams, transcript: BasicTranscript, size: int):
