@@ -35,10 +35,18 @@ class Verifier:
         self.transcript = transcript
         self.commit_verifier = CommitmentVerifier(ctx.commitment_ctx)
         self.challenge_storage = None
+        self.io = None
+
+    def public_inputs_for(self, node_id):
+        """The (public) model-input tensor feeding this node (flat)."""
+        edge = self.ctx.steps_info[node_id].inputs[0]
+        assert edge.node is None, "node input is not a model input"
+        return self.io.inputs[edge.index].data.reshape(-1)
 
 
 def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
     v = Verifier(ctx, transcript)
+    v.io = io
     ctx.write_to_transcript(transcript)
     if ctx.lookup:
         v.challenge_storage = ChallengeStorage.initialise(ctx.lookup, transcript)

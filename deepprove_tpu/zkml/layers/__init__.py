@@ -1,3 +1,3 @@
-from . import activation, add, convolution, dense, matmul, pooling, requant, shape_ops
+from . import activation, add, convolution, dense, embeddings, matmul, pooling, requant, shape_ops
 
 __all__ = ["activation", "add", "convolution", "dense", "matmul", "pooling", "requant", "shape_ops"]

@@ -1,0 +1,237 @@
+"""Embeddings + Positional layers (zkml/src/layers/transformer/
+{embeddings,positional}.rs).
+
+Embeddings: out[t, :] = E[token_t, :] proven as the matmul S·E where S is
+the PUBLIC one-hot token-selection matrix (embeddings.rs:44-45 — "wraps a
+MatMul with one-hot token selection proven as matmul sumcheck"). Token
+ids are model inputs, so the verifier evaluates S's MLE itself:
+S~(s_v, r_t) = Σ_t eq(r_t, t)·eq(s_v, bits(token_t)).
+
+Positional: out = in + P with a committed positional matrix P; the claim
+splits in closed form: in~(r) = out~(r) − P~(r) (Add-with-operand,
+add.rs:111-128 OPERAND_POLY_ID path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
+from .. import quantization as Q
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+EMB_POLY_ID = "embedding"
+POS_POLY_ID = "positional"
+
+
+@dataclasses.dataclass
+class Positional:
+    """out = in + P; P is a committed (T, D) positional matrix."""
+
+    table: np.ndarray  # (T, D) int64
+
+    def __post_init__(self):
+        t, d = self.table.shape
+        padded = np.zeros((next_pow2(t), next_pow2(d)), dtype=np.int64)
+        padded[:t, :d] = self.table
+        self.table = padded
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        return [Tensor(inputs[0].data + self.table[: inputs[0].data.shape[0]])]
+
+    def step_info(self, node_id: int, aux):
+        aux.model_polys[node_id] = {
+            POS_POLY_ID: gf.from_u64(Q.to_field(self.table.reshape(-1)))
+        }
+        return PositionalCtx(node_id=node_id)
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        p_gf = gf.from_u64(Q.to_field(self.table.reshape(-1)))
+        p_eval = mle_mod.evaluate_pairs(p_gf, last_claim.point)
+        prover.commit_prover.add_common_claims(
+            node_id, {POS_POLY_ID: Claim(point=list(last_claim.point), eval=p_eval)}
+        )
+        in_eval = host.ext_sub(last_claim.eval, p_eval)
+        prover.push_proof(node_id, PositionalProof(p_eval=p_eval))
+        return [Claim(point=list(last_claim.point), eval=in_eval)]
+
+
+@dataclasses.dataclass
+class PositionalProof:
+    p_eval: ExtPair
+
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class PositionalCtx:
+    node_id: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: PositionalProof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        verifier.commit_verifier.add_common_claims(
+            self.node_id,
+            {POS_POLY_ID: Claim(point=list(last_claim.point), eval=proof.p_eval)},
+        )
+        in_eval = host.ext_sub(last_claim.eval, proof.p_eval)
+        return [Claim(point=list(last_claim.point), eval=in_eval)]
+
+
+@dataclasses.dataclass
+class Embeddings:
+    """out[t] = E[token_t]; tokens are a PUBLIC model input."""
+
+    table: np.ndarray  # (V, D) int64
+
+    def __post_init__(self):
+        v, d = self.table.shape
+        padded = np.zeros((next_pow2(v), next_pow2(d)), dtype=np.int64)
+        padded[:v, :d] = self.table
+        self.table = padded
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        tokens = inputs[0].data.reshape(-1)
+        return [Tensor(self.table[tokens])]
+
+    def step_info(self, node_id: int, aux):
+        aux.model_polys[node_id] = {
+            EMB_POLY_ID: gf.from_u64(Q.to_field(self.table.reshape(-1)))
+        }
+        return EmbeddingsCtx(
+            node_id=node_id, log_v=ceil_log2(self.table.shape[0]),
+            log_d=ceil_log2(self.table.shape[1]),
+        )
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        tokens = step_data.inputs[0].data.reshape(-1)
+        v, d = self.table.shape
+        log_d, log_v = ceil_log2(d), ceil_log2(v)
+        t_padded = next_pow2(max(1, tokens.size))
+        log_t = ceil_log2(t_padded)
+        r_d = last_claim.point[:log_d]
+        r_t = last_claim.point[log_d:]
+        assert len(r_t) == log_t, (len(last_claim.point), log_d, log_t)
+
+        # S(r_t, ·): scatter eq(r_t) rows at token columns
+        eq_t = mle_mod.eq_table_pairs(r_t)  # (T,)
+        a0, a1 = gf.ext_to_u64(eq_t)
+        s_a0 = np.zeros(v, dtype=object)
+        s_a1 = np.zeros(v, dtype=object)
+        for t, tok in enumerate(tokens):
+            s_a0[int(tok)] = (int(s_a0[int(tok)]) + int(a0[t])) % host.P
+            s_a1[int(tok)] = (int(s_a1[int(tok)]) + int(a1[t])) % host.P
+        s_fixed = gf.ext_from_u64(
+            s_a0.astype(np.uint64), s_a1.astype(np.uint64)
+        )
+
+        e_gf = gf.from_u64(Q.to_field(self.table.reshape(-1)))
+        e_fixed = mle_mod.fix_low_pairs(e_gf, r_d)  # over v vars
+
+        vp = VirtualPolynomial.new(log_v)
+        i_s = vp.add_mle(s_fixed)
+        i_e = vp.add_mle(e_fixed)
+        vp.add_product((1, 0), [i_s, i_e])
+        out = sumcheck_prove(vp, prover.transcript)
+        s_v = list(out.proof.point)
+
+        e_claim_point = list(r_d) + s_v
+        prover.commit_prover.add_common_claims(
+            node_id,
+            {EMB_POLY_ID: Claim(point=e_claim_point, eval=out.final_evals[1])},
+        )
+        prover.push_proof(
+            node_id,
+            EmbeddingsProof(sumcheck=out.proof, individual_claims=out.final_evals),
+        )
+        # token input claim: verifier recomputes S~ itself from the public
+        # tokens — propagate the tokens claim as a pass-through zero-check:
+        # the tokens tensor is a model input, checked directly in verify().
+        return [Claim(point=list(r_t), eval=_tokens_eval(tokens, r_t))]
+
+
+def _tokens_eval(tokens: np.ndarray, r_t) -> ExtPair:
+    t_padded = next_pow2(max(1, tokens.size))
+    padded = np.zeros(t_padded, dtype=np.int64)
+    padded[: tokens.size] = tokens
+    return mle_mod.evaluate_pairs(gf.from_u64(Q.to_field(padded)), r_t)
+
+
+@dataclasses.dataclass
+class EmbeddingsProof:
+    sumcheck: object
+    individual_claims: list[ExtPair]
+
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class EmbeddingsCtx:
+    node_id: int
+    log_v: int
+    log_d: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: EmbeddingsProof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        r_d = last_claim.point[: self.log_d]
+        r_t = last_claim.point[self.log_d :]
+        sub = sumcheck_verify(
+            last_claim.eval, proof.sumcheck.round_messages, self.log_v, 2,
+            verifier.transcript,
+        )
+        s_v = list(sub.point)
+        got = host.ext_mul(proof.individual_claims[0], proof.individual_claims[1])
+        assert got == sub.expected_evaluation, "embeddings sumcheck mismatch"
+        # S~(s_v, r_t) recomputed from the PUBLIC token input
+        tokens = verifier.public_inputs_for(self.node_id)
+        s_eval = _selection_eval(tokens, r_t, s_v)
+        assert s_eval == proof.individual_claims[0], "one-hot selection mismatch"
+        verifier.commit_verifier.add_common_claims(
+            self.node_id,
+            {EMB_POLY_ID: Claim(point=list(r_d) + s_v, eval=proof.individual_claims[1])},
+        )
+        return [Claim(point=list(r_t), eval=_tokens_eval(tokens, r_t))]
+
+
+def _selection_eval(tokens: np.ndarray, r_t, s_v) -> ExtPair:
+    """Σ_t eq(r_t, t)·eq(s_v, bits(token_t)) (host, O(T·logV))."""
+    acc = (0, 0)
+    t_padded = next_pow2(max(1, tokens.size))
+    # eq(r_t, t) for integer t: product over bits
+    for t in range(tokens.size):
+        term = (1, 0)
+        for b, r in enumerate(r_t):
+            bit = (t >> b) & 1
+            term = host.ext_mul(term, r if bit else host.ext_sub((1, 0), r))
+        tok = int(tokens[t])
+        for b, s in enumerate(s_v):
+            bit = (tok >> b) & 1
+            term = host.ext_mul(term, s if bit else host.ext_sub((1, 0), s))
+        acc = host.ext_add(acc, term)
+    return acc

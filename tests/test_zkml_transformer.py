@@ -1,0 +1,43 @@
+"""Transformer building blocks: Embeddings + Positional (+ attention matmul)."""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.embeddings import Embeddings, Positional
+from deepprove_tpu.zkml.model import Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def test_embeddings_positional_e2e(rng):
+    V, D, T = 16, 8, 4
+    emb = rng.integers(Q.MIN, Q.MAX + 1, size=(V, D)).astype(np.int64)
+    pos = rng.integers(Q.MIN, Q.MAX + 1, size=(T, D)).astype(np.int64)
+    model = Model()
+    model.add_chain(Embeddings(table=emb))
+    model.add_chain(Positional(table=pos))
+    tokens = Tensor(rng.integers(0, V, size=T).astype(np.int64))
+    trace = model.run([tokens])
+    np.testing.assert_array_equal(
+        trace.outputs[0].data, emb[tokens.data] + pos[:T]
+    )
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([tokens], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_embeddings_rejects_wrong_tokens(rng):
+    V, D, T = 8, 4, 4
+    emb = rng.integers(Q.MIN, Q.MAX + 1, size=(V, D)).astype(np.int64)
+    model = Model()
+    model.add_chain(Embeddings(table=emb))
+    tokens = Tensor(rng.integers(0, V, size=T).astype(np.int64))
+    trace = model.run([tokens])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    bad_tokens = Tensor((tokens.data + 1) % V)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([bad_tokens], trace.outputs), BasicTranscript(b"m2vec"))
