@@ -89,6 +89,121 @@ class Relu:
 
 
 @dataclasses.dataclass
+class Gelu:
+    """Quantized GELU via a committed-output lookup table
+    (activation.rs:559 + GELUQuantData; table out column is PCS-committed,
+    its claim routed through add_table_claim)."""
+
+    s_in: float
+    s_out: float
+
+    @property
+    def table_type(self):
+        from ..lookup_context import gelu_table_type
+
+        return gelu_table_type(self.s_in, self.s_out)
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        from ..lookup_context import _gelu_rows
+
+        _, out = _gelu_rows(self.table_type.params)
+        idx = inputs[0].data - (Q.MIN - 1)
+        return [Tensor(out[idx])]
+
+    def step_info(self, node_id: int, aux):
+        aux.tables.add(self.table_type)
+        return GeluCtx(node_id=node_id, s_in=self.s_in, s_out=self.s_out)
+
+    def gen_lookup_witness(self, node_id, ctx, step_data):
+        inp = step_data.inputs[0].flat()
+        out = step_data.outputs[0].flat()
+        n = 1 << ceil_log2(inp.size)
+        inp_p = np.zeros(n, dtype=np.int64)
+        out_p = np.zeros(n, dtype=np.int64)
+        inp_p[: inp.size] = inp
+        out_p[: out.size] = out
+        # padded zeros look up (0 -> gelu(0)) which may not be (0,0); remap
+        # pads to the true table row for 0
+        from ..lookup_context import _gelu_rows
+
+        _, table_out = _gelu_rows(self.table_type.params)
+        zero_out = int(table_out[-(Q.MIN - 1)])
+        out_p[inp.size:] = zero_out
+        counts = count_elements(inp_p + out_p * COLUMN_SEPARATOR)
+        col_in = gf.from_u64(Q.to_field(inp_p))
+        col_out = gf.from_u64(Q.to_field(out_p))
+        commits = [
+            (ctx.commitment_ctx.commit(col_in), col_in),
+            (ctx.commitment_ctx.commit(col_out), col_out),
+        ]
+        wit = LogUpWitness(
+            commits=commits,
+            column_evals=[col_in, col_out],
+            columns_per_instance=2,
+            table_type=self.table_type,
+        )
+        return [wit], {self.table_type: counts}
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+        last_claim = last_claims[0]
+        (wit,) = prover.lookup_witnesses_for(node_id)
+        logup_input = wit.get_logup_input(prover.challenge_storage)
+        lookup_proof = logup.batch_prove(logup_input, prover.transcript)
+        input_claim = lookup_proof.output_claims[0]
+        output_claim = lookup_proof.output_claims[1]
+        acc_proof = same_poly_prove(
+            wit.column_evals[1], [last_claim, output_claim], prover.transcript
+        )
+        new_out_claim = acc_proof.extract_claim()
+        commits = []
+        for (comm, poly), claim in zip(wit.commits, [input_claim, new_out_claim]):
+            prover.commit_prover.add_witness_claim((comm, poly), claim)
+            commits.append(comm.commitment)
+        prover.push_proof(
+            node_id,
+            ActivationProof(
+                io_accumulation=acc_proof, lookup=lookup_proof, commits=commits
+            ),
+        )
+        return [input_claim]
+
+
+@dataclasses.dataclass
+class GeluCtx:
+    node_id: int
+    s_in: float
+    s_out: float
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof, last_claims, verifier) -> list[Claim]:
+        from ..lookup_context import gelu_table_type
+
+        tt = gelu_table_type(self.s_in, self.s_out)
+        last_claim = last_claims[0]
+        const_c, sep_c = verifier.challenge_storage.get(tt.name())
+        claims = logup.verify_logup_proof(
+            proof.lookup, 1, const_c, sep_c, verifier.transcript
+        )
+        num_vars = len(last_claim.point)
+        new_output_claim = same_poly_verify(
+            proof.io_accumulation,
+            [last_claim] + claims.claims[1:],
+            num_vars,
+            verifier.transcript,
+        )
+        for commit, claim in zip(proof.commits, [claims.claims[0], new_output_claim]):
+            verifier.commit_verifier.add_witness_claim(commit, claim)
+        return [claims.claims[0]]
+
+
+@dataclasses.dataclass
 class ActivationProof:
     io_accumulation: SamePolyProof
     lookup: object

@@ -81,23 +81,33 @@ class TableType:
             out = (i == 0).astype(np.int64)
             merged = i + out * COLUMN_SEPARATOR
             return merged, [Q.to_field(i), Q.to_field(out)]
+        if self.kind == "gelu":
+            i, out = _gelu_rows(self.params)
+            merged = i + out * COLUMN_SEPARATOR
+            return merged, [Q.to_field(i), Q.to_field(out)]
         raise NotImplementedError(self.kind)
 
     def multiplicity_poly_vars(self) -> int:
-        if self.kind in ("relu", "range"):
+        if self.kind in ("relu", "range", "gelu"):
             return Q.BIT_LEN
         if self.kind in ("clamping", "zero"):
             return self.params[0]
         raise NotImplementedError(self.kind)
 
     def committed_columns(self):
-        """Tables whose output column must be PCS-committed (GELU etc)."""
+        """Tables whose output column must be PCS-committed (GELU,
+        context.rs:495-501)."""
+        if self.kind == "gelu":
+            _, cols = self.table_columns()
+            return gf.from_u64(cols[1])
         return None
 
     def generate_challenge(self, transcript: BasicTranscript) -> ExtPair:
         """context.rs:464 — per-table column-separation challenge."""
         if self.kind == "relu":
             return transcript.get_and_append_challenge(b"Relu")
+        if self.kind == "gelu":
+            return transcript.get_and_append_challenge(b"GELU")
         if self.kind in ("range", "error"):
             return (1, 0)
         if self.kind == "clamping":
@@ -129,6 +139,10 @@ class TableType:
                     host.ext_mul(host.ext_mul(p, ((1 << i) % host.P, 0)), top),
                 )
             return [first, second]
+        if self.kind == "gelu":
+            assert len(point) == Q.BIT_LEN
+            first = host.ext_sub(ident(point), ((1 << (Q.BIT_LEN - 1)) % host.P, 0))
+            return [first]
         if self.kind == "clamping":
             size = self.params[0]
             assert len(point) == size
@@ -189,6 +203,31 @@ class LogUpWitness:
         return logup.LogUpInput.new_lookup(
             self.column_evals, const_c, sep_c, self.columns_per_instance
         )
+
+
+def _gelu_rows(params):
+    """GELU table rows: inputs MIN−1..MAX, out = quant(gelu(dequant(i)))."""
+    import math, struct as _struct
+
+    s_in = _struct.unpack("<f", _struct.pack("<I", params[0]))[0]
+    s_out = _struct.unpack("<f", _struct.pack("<I", params[1]))[0]
+    i = np.arange(Q.MIN - 1, Q.MAX + 1, dtype=np.int64)
+    x = i.astype(np.float64) * s_in
+    g = 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+    out = np.clip(np.round(g / s_out), Q.MIN, Q.MAX).astype(np.int64)
+    return i, out
+
+
+def gelu_table_type(s_in: float, s_out: float) -> TableType:
+    import struct as _struct
+
+    return TableType(
+        "gelu",
+        (
+            _struct.unpack("<I", _struct.pack("<f", s_in))[0],
+            _struct.unpack("<I", _struct.pack("<f", s_out))[0],
+        ),
+    )
 
 
 def count_elements(values) -> dict:

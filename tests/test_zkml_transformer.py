@@ -41,3 +41,27 @@ def test_embeddings_rejects_wrong_tokens(rng):
     bad_tokens = Tensor((tokens.data + 1) % V)
     with pytest.raises(AssertionError):
         verify(ctx, proof, IO([bad_tokens], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_gelu_e2e(rng):
+    from deepprove_tpu.zkml.layers.activation import Gelu
+    from deepprove_tpu.zkml.layers.dense import Dense
+
+    model = Model()
+    model.add_chain(
+        Dense(
+            matrix=np.eye(8, dtype=np.int64),
+            bias=np.zeros(8, dtype=np.int64),
+        )
+    )
+    # dense with identity keeps 8-bit range; then GELU lookup
+    from deepprove_tpu.zkml.layers.requant import Requant
+    from deepprove_tpu.zkml.quantization import RequantSpec
+
+    model.add_chain(Requant(spec=RequantSpec.from_multiplier(1.0 / 2, 20)))
+    model.add_chain(Gelu(s_in=1.0 / 64, s_out=1.0 / 64))
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=8).astype(np.int64))
+    trace = model.run([x])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
