@@ -1,3 +1,3 @@
-from .metrics import Metrics, MetricsSpan, stream_metrics
+from .metrics import Metrics, MetricsSpan, StatisticRecorder, proof_size_bytes, stream_metrics
 
-__all__ = ["Metrics", "MetricsSpan", "stream_metrics"]
+__all__ = ["Metrics", "MetricsSpan", "StatisticRecorder", "proof_size_bytes", "stream_metrics"]

@@ -53,3 +53,28 @@ def stream_metrics(phase: str, span: MetricsSpan, path: str | None = None):
             f.write("phase,wall_ms,rss_mb\n")
             _CSV_HEADER_WRITTEN.add(path)
         f.write(f"{phase},{span.wall_s * 1000:.2f},{span.rss_mb:.1f}\n")
+
+
+def proof_size_bytes(proof) -> int:
+    """Serialized proof size (the reference reports proof KB per run,
+    zkml/README.md:144-152)."""
+    import pickle
+
+    return len(pickle.dumps(proof))
+
+
+class StatisticRecorder:
+    """Transcript append counter (transcript/src/statistics.rs:13
+    BasicTranscriptWithStat) — wraps a BasicTranscript's challenger to
+    count absorbed base elements (a proxy for transcript size)."""
+
+    def __init__(self, transcript):
+        self.count = 0
+        ch = transcript.challenger
+        orig = ch.observe
+
+        def counting(value):
+            self.count += 1
+            return orig(value)
+
+        ch.observe = counting

@@ -82,3 +82,15 @@ def test_http_api_roundtrip(rng):
     assert out["status"] == "done", out
     assert out["errors"] == []
     assert len(out["proofs"]) == 1
+
+
+def test_proof_size_and_transcript_stats(rng):
+    from deepprove_tpu.transcript import BasicTranscript
+    from deepprove_tpu.utils import StatisticRecorder, proof_size_bytes
+
+    t = BasicTranscript(b"stat")
+    rec = StatisticRecorder(t)
+    t.append_field_elements([1, 2, 3])
+    t.get_and_append_challenge(b"x")
+    assert rec.count >= 3
+    assert proof_size_bytes({"a": [1, 2, 3]}) > 0
