@@ -22,8 +22,6 @@ from ..hashing.constants import RATE, WIDTH
 
 
 class DuplexChallenger:
-    __slots__ = ("state", "input_buffer", "output_buffer")
-
     def __init__(self):
         self.state = np.zeros(WIDTH, dtype=np.uint64)
         self.input_buffer: list[int] = []
