@@ -1,0 +1,70 @@
+"""High-level one-call API (mirrors the reference's public surface:
+FloatOnnxLoader → Context::generate → Prover::prove → verify,
+zkml/src/lib.rs:17-30 re-exports).
+
+    from deepprove_tpu.api import prove_onnx, verify_proof
+
+    result = prove_onnx("model.onnx", [x0, x1], strategy="inference")
+    verify_proof(result)            # raises on any failure
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .parser.onnx import load_onnx
+from .transcript import BasicTranscript, default_transcript
+from .zkml.float_model import quantize
+from .zkml.iop import Context, Prover, verify
+from .zkml.iop.verifier import IO
+from .zkml.tensor import Tensor
+
+
+@dataclasses.dataclass
+class ProofResult:
+    ctx: Context
+    proof: object
+    io: IO
+    outputs_dequantized: list
+
+
+def prove_model(model, quantized_inputs: list[Tensor], **pcs_kw) -> ProofResult:
+    """Prove inference of an already-quantized Model on given inputs."""
+    trace = model.run(quantized_inputs)
+    ctx = Context.generate(model, **pcs_kw)
+    proof = Prover(ctx, default_transcript()).prove(trace)
+    io = IO(inputs=quantized_inputs, outputs=trace.outputs)
+    return ProofResult(ctx=ctx, proof=proof, io=io, outputs_dequantized=[])
+
+
+def prove_onnx(
+    path: str,
+    inputs: list,
+    strategy: str = "absolute_max",
+    calibration_inputs: list | None = None,
+    **pcs_kw,
+) -> ProofResult:
+    """Load + quantize an ONNX model and prove inference on each input.
+
+    Returns one combined result whose io covers the FIRST input (one proof
+    per input is produced by the service layer; this convenience API proves
+    the first input).
+    """
+    fm = load_onnx(path)
+    calib = calibration_inputs or (inputs if strategy == "inference" else None)
+    model, s_in, s_out = quantize(
+        fm, strategy=strategy, calibration_inputs=calib
+    )
+    xq = Tensor(s_in.quantize(np.asarray(inputs[0], dtype=np.float64)))
+    result = prove_model(model, [xq], **pcs_kw)
+    result.outputs_dequantized = [
+        s_out.dequantize(t.data) for t in result.io.outputs
+    ]
+    return result
+
+
+def verify_proof(result: ProofResult) -> None:
+    """Re-run verification with a fresh transcript; raises on failure."""
+    verify(result.ctx, result.proof, result.io, default_transcript())

@@ -141,3 +141,15 @@ def test_reference_asset_onnx():
     x = np.zeros(int(np.prod(fm.input_shape)))
     out = fm.forward(x.reshape(fm.input_shape))
     assert out.size > 0
+
+
+def test_high_level_api(tmp_path, rng):
+    from deepprove_tpu.api import prove_onnx, verify_proof
+
+    _, path = _export_mlp(tmp_path, [8, 4], rng)
+    res = prove_onnx(
+        path, [rng.uniform(-1, 1, size=8)],
+        num_queries=7, basecode_msg_size_log=2,
+    )
+    verify_proof(res)
+    assert len(res.outputs_dequantized) == 1
