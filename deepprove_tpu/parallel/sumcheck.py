@@ -61,7 +61,14 @@ def _shard_kernel(mesh: Mesh, max_degree, fold):
         )
         return new_stacked, msg
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+
+        kwargs = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+        kwargs = {"check_rep": False}
 
     kern = shard_map(
         body,
@@ -73,7 +80,7 @@ def _shard_kernel(mesh: Mesh, max_degree, fold):
             _gf2_spec(P()),
         ),
         out_specs=(_gf2_spec(P(None, "x")), _gf2_spec(P(None))),
-        check_rep=False,
+        **kwargs,
     )
     _KERNEL_CACHE[key] = kern
     return kern
