@@ -1,3 +1,3 @@
-from . import onnx, protobuf
+from . import gguf, onnx, protobuf
 
-__all__ = ["onnx", "protobuf"]
+__all__ = ["gguf", "onnx", "protobuf"]

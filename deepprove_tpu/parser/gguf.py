@@ -1,0 +1,112 @@
+"""GGUF reader (reference: zkml/src/parser/gguf.rs:443 `from_reader`) —
+loads LLM weights (GPT-2-class checkpoints) for the transformer pipeline.
+
+Pure binary parsing of GGUF v2/v3: metadata key-values + tensor infos +
+aligned tensor data. F32/F16 tensors are materialized as float64 numpy
+arrays; quantized GGML types are rejected explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+_MAGIC = b"GGUF"
+
+# metadata value types
+_U8, _I8, _U16, _I16, _U32, _I32, _F32, _BOOL, _STR, _ARR, _U64, _I64, _F64 = range(13)
+
+_SCALAR_FMT = {
+    _U8: "<B", _I8: "<b", _U16: "<H", _I16: "<h", _U32: "<I", _I32: "<i",
+    _F32: "<f", _U64: "<Q", _I64: "<q", _F64: "<d",
+}
+
+# tensor dtypes (ggml)
+_GGML_F32 = 0
+_GGML_F16 = 1
+
+
+@dataclasses.dataclass
+class GGUFFile:
+    metadata: dict
+    tensors: dict  # name -> np.ndarray (float64)
+
+    def config(self, key: str, default=None):
+        return self.metadata.get(key, default)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, fmt: str):
+        size = struct.calcsize(fmt)
+        (v,) = struct.unpack_from(fmt, self.data, self.pos)
+        self.pos += size
+        return v
+
+    def read_string(self) -> str:
+        n = self.read("<Q")
+        s = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return s.decode("utf-8", errors="replace")
+
+    def read_value(self, vtype: int):
+        if vtype == _BOOL:
+            return bool(self.read("<B"))
+        if vtype == _STR:
+            return self.read_string()
+        if vtype == _ARR:
+            etype = self.read("<I")
+            count = self.read("<Q")
+            return [self.read_value(etype) for _ in range(count)]
+        return self.read(_SCALAR_FMT[vtype])
+
+
+def load_gguf(path: str) -> GGUFFile:
+    with open(path, "rb") as f:
+        data = f.read()
+    r = _Reader(data)
+    assert data[:4] == _MAGIC, "not a GGUF file"
+    r.pos = 4
+    version = r.read("<I")
+    assert version in (2, 3), f"unsupported GGUF version {version}"
+    tensor_count = r.read("<Q")
+    kv_count = r.read("<Q")
+
+    metadata = {}
+    for _ in range(kv_count):
+        key = r.read_string()
+        vtype = r.read("<I")
+        metadata[key] = r.read_value(vtype)
+
+    infos = []
+    for _ in range(tensor_count):
+        name = r.read_string()
+        n_dims = r.read("<I")
+        dims = [r.read("<Q") for _ in range(n_dims)]
+        dtype = r.read("<I")
+        offset = r.read("<Q")
+        infos.append((name, dims, dtype, offset))
+
+    alignment = int(metadata.get("general.alignment", 32))
+    base = (r.pos + alignment - 1) // alignment * alignment
+
+    tensors = {}
+    for name, dims, dtype, offset in infos:
+        count = 1
+        for d in dims:
+            count *= int(d)
+        start = base + offset
+        if dtype == _GGML_F32:
+            arr = np.frombuffer(data, dtype="<f4", count=count, offset=start)
+        elif dtype == _GGML_F16:
+            arr = np.frombuffer(data, dtype="<f2", count=count, offset=start)
+        else:
+            raise NotImplementedError(f"quantized GGML tensor type {dtype}")
+        # GGUF dims are innermost-first; numpy wants outermost-first
+        tensors[name] = arr.astype(np.float64).reshape(list(reversed(dims)))
+    return GGUFFile(metadata=metadata, tensors=tensors)

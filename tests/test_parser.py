@@ -153,3 +153,33 @@ def test_high_level_api(tmp_path, rng):
     )
     verify_proof(res)
     assert len(res.outputs_dequantized) == 1
+
+
+def test_gguf_roundtrip(tmp_path, rng):
+    """Write a synthetic GGUF v3 file and read it back."""
+    import struct
+
+    from deepprove_tpu.parser.gguf import load_gguf
+
+    def s(x):
+        b = x.encode()
+        return struct.pack("<Q", len(b)) + b
+
+    w = rng.standard_normal((3, 4)).astype("<f4")
+    meta = (
+        s("general.architecture") + struct.pack("<I", 8) + s("gpt2")
+        + s("gpt2.embedding_length") + struct.pack("<I", 4) + struct.pack("<I", 64)
+    )
+    tensor_info = s("wte.weight") + struct.pack("<I", 2) + struct.pack("<QQ", 4, 3) \
+        + struct.pack("<I", 0) + struct.pack("<Q", 0)
+    header = b"GGUF" + struct.pack("<I", 3) + struct.pack("<Q", 1) + struct.pack("<Q", 2)
+    body = header + meta + tensor_info
+    pad = (-len(body)) % 32
+    blob = body + b"\0" * pad + w.tobytes()
+    path = tmp_path / "test.gguf"
+    path.write_bytes(blob)
+
+    g = load_gguf(str(path))
+    assert g.metadata["general.architecture"] == "gpt2"
+    assert g.metadata["gpt2.embedding_length"] == 64
+    np.testing.assert_allclose(g.tensors["wte.weight"], w.astype(np.float64))
