@@ -1,0 +1,426 @@
+"""Device-resident claim plumbing: jitted scalar algebra + materializer.
+
+The prover's control flow is value-independent (layer order, sumcheck
+sizes and product structures are all static), so the ENTIRE backward
+proving pass can be dispatched asynchronously: claims and challenges
+stay on device as GF2 scalars, glue algebra runs as tiny jitted kernels
+(~0.5 ms dispatch each), and the host pulls everything in ONE transfer
+at the end (`materialize`). This is what turns the tunneled-TPU latency
+profile (~50-200 ms per blocking sync) from the dominant cost into a
+constant.
+
+Host pairs `(a0, a1)` and device `gf.GF2` scalars coexist: `scalar()`
+lifts host pairs to device constants (compile-time baked, no put);
+`materialize()` lowers any proof/claim tree back to host ints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+
+from .fields import gf
+from .fields.host import P
+
+ExtPair = tuple[int, int]
+
+
+# ---------------------------------------------------------------------------
+# host-pair → device-constant lifting (no host→device puts: values are
+# compile-time constants of a cached jitted kernel)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("a0", "a1"))
+def _const_scalar(a0: int, a1: int) -> gf.GF2:
+    return gf.GF2(
+        gf.GF(np.uint32(a0 & 0xFFFFFFFF), np.uint32(a0 >> 32)),
+        gf.GF(np.uint32(a1 & 0xFFFFFFFF), np.uint32(a1 >> 32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("pairs",))
+def _const_vec(pairs: tuple) -> gf.GF2:
+    a0 = np.asarray([p[0] for p in pairs], dtype=np.uint64)
+    a1 = np.asarray([p[1] for p in pairs], dtype=np.uint64)
+    return gf.GF2(
+        gf.GF((a0 & 0xFFFFFFFF).astype(np.uint32), (a0 >> 32).astype(np.uint32)),
+        gf.GF((a1 & 0xFFFFFFFF).astype(np.uint32), (a1 >> 32).astype(np.uint32)),
+    )
+
+
+def scalar(v) -> gf.GF2:
+    """Lift a host ExtPair (or int) to a device GF2 scalar; pass GF2 through."""
+    if isinstance(v, gf.GF2):
+        return v
+    if isinstance(v, int):
+        return _const_scalar(v % P, 0)
+    return _const_scalar(v[0] % P, v[1] % P)
+
+
+def vec(values) -> gf.GF2:
+    """Lift a list of host pairs / device scalars to a GF2 (k,) array."""
+    if all(not isinstance(v, gf.GF2) for v in values):
+        return _const_vec(tuple((v[0] % P, v[1] % P) for v in values))
+    return ext_stack_scalars([scalar(v) for v in values])
+
+
+# ---------------------------------------------------------------------------
+# jitted scalar ops (each call = one async dispatch)
+# ---------------------------------------------------------------------------
+
+add = jax.jit(gf.ext_add)
+sub = jax.jit(gf.ext_sub)
+mul = jax.jit(gf.ext_mul)
+neg = jax.jit(lambda a: gf.GF2(gf.neg(a.a0), gf.neg(a.a1)))
+ext_inv = jax.jit(gf.ext_inv)
+
+
+@jax.jit
+def mul_add(acc: gf.GF2, a: gf.GF2, b: gf.GF2) -> gf.GF2:
+    """acc + a·b in one dispatch."""
+    return gf.ext_add(acc, gf.ext_mul(a, b))
+
+
+@jax.jit
+def _stack_kernel(parts):
+    return gf.ext_stack(list(parts))
+
+
+def ext_stack_scalars(parts) -> gf.GF2:
+    return _stack_kernel(tuple(parts))
+
+
+@jax.jit
+def _stack_mles_kernel(mles):
+    rows = [m if isinstance(m, gf.GF2) else gf.ext_from_base(m) for m in mles]
+    return gf.ext_stack(rows, axis=0)
+
+
+def stack_mles(mles) -> gf.GF2:
+    """Stack same-length base/ext MLEs to GF2 (k, L) in one dispatch."""
+    return _stack_mles_kernel(tuple(mles))
+
+
+@partial(jax.jit, static_argnames=("i",))
+def at(arr, i: int):
+    """arr[i] as one dispatch (eager GF2 indexing costs ~4 dispatches)."""
+    return arr[i]
+
+
+@partial(jax.jit, static_argnames=("n",))
+def prefix(arr, n: int):
+    """arr[:n] as one dispatch."""
+    return arr[:n]
+
+
+@partial(jax.jit, static_argnames=("n",))
+def suffix(arr, n: int):
+    """arr[n:] as one dispatch."""
+    return arr[n:]
+
+
+@partial(jax.jit, static_argnames=("idxs",))
+def take(arr, idxs: tuple):
+    """Gather static indices from a GF2 (m,) array — one dispatch."""
+    import jax.numpy as jnp
+
+    ii = jnp.asarray(list(idxs), dtype=jnp.int32)
+    return gf.GF2(
+        gf.GF(jnp.take(arr.a0.lo, ii), jnp.take(arr.a0.hi, ii)),
+        gf.GF(jnp.take(arr.a1.lo, ii), jnp.take(arr.a1.hi, ii)),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "pad"))
+def powers_padded(a: gf.GF2, k: int, pad: int) -> gf.GF2:
+    """[1, a, …, a^{k-1}, 0…0] padded to length `pad`."""
+    outs = [gf.ext_ones(())]
+    for _ in range(1, k):
+        outs.append(gf.ext_mul(outs[-1], a))
+    outs += [gf.ext_zeros(())] * (pad - k)
+    return gf.ext_stack(outs)
+
+
+def one() -> gf.GF2:
+    return scalar((1, 0))
+
+
+def zero() -> gf.GF2:
+    return scalar((0, 0))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def powers(a: gf.GF2, k: int) -> gf.GF2:
+    """[1, a, a², …, a^{k-1}] as GF2 (k,)."""
+    outs = [gf.ext_ones(())]
+    for _ in range(1, k):
+        outs.append(gf.ext_mul(outs[-1], a))
+    return gf.ext_stack(outs)
+
+
+@jax.jit
+def rlc(coeffs: gf.GF2, vals: gf.GF2) -> gf.GF2:
+    """Σ coeffs[i]·vals[i] (both (k,)) → scalar."""
+    return gf.ext_sum_axis(gf.ext_mul(coeffs, vals), 0)
+
+
+@jax.jit
+def eq_eval(x: gf.GF2, y: gf.GF2) -> gf.GF2:
+    """eq(x, y) for two stacked points (n,) → scalar."""
+    xy = gf.ext_mul(x, y)
+    one = gf.ext_ones(x.shape)
+    term = gf.ext_add(gf.ext_add(xy, xy), gf.ext_sub(one, gf.ext_add(x, y)))
+    n = x.shape[0]
+    acc = term
+    while acc.shape[0] > 1:
+        h = acc.shape[0] // 2
+        rest = acc[2 * h :]
+        acc = gf.ext_mul(acc[:h], acc[h : 2 * h])
+        if rest.shape[0]:
+            acc = gf.ext_concatenate([acc, rest])
+    return acc.reshape(())
+
+
+@jax.jit
+def concat(parts):
+    return gf.ext_concatenate(list(parts))
+
+
+def concat_points(parts) -> gf.GF2:
+    """Concatenate device point arrays/scalars into one (n,) array."""
+    arrs = [p.reshape((1,)) if p.ndim == 0 else p for p in parts]
+    return concat(tuple(arrs))
+
+
+# ---------------------------------------------------------------------------
+# device claims
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DevClaim:
+    """Claim{point, eval} with device-resident values.
+
+    point: GF2 (n,) — stacked extension point, low variable first.
+    eval:  GF2 ()  — claimed evaluation.
+    """
+
+    point: gf.GF2
+    eval: gf.GF2
+
+    @property
+    def num_vars(self) -> int:
+        return self.point.shape[0]
+
+    @staticmethod
+    def from_host(claim) -> "DevClaim":
+        return DevClaim(point=vec(claim.point), eval=scalar(claim.eval))
+
+
+def as_dev(claim) -> "DevClaim":
+    """Lift a host Claim to a DevClaim; DevClaims pass through."""
+    return claim if isinstance(claim, DevClaim) else DevClaim.from_host(claim)
+
+
+def to_host_claim(c):
+    """DevClaim → host Claim (blocking pull; prefer materialize())."""
+    from .lookup.logup import Claim
+
+    a0, a1 = gf.ext_to_u64(c.point)
+    e0, e1 = gf.ext_to_u64(c.eval.reshape((1,)))
+    return Claim(
+        point=[(int(x), int(y)) for x, y in zip(np.atleast_1d(a0), np.atleast_1d(a1))],
+        eval=(int(e0[0]), int(e1[0])),
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-shot materializer: device proof tree → host ints
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TupleGF:
+    """Marker: materialize this GF (k,) as a host tuple (e.g. digests)."""
+
+    arr: gf.GF
+
+
+@dataclasses.dataclass
+class NpGF:
+    """Marker: materialize this GF (any ndim) as a numpy uint64 array
+    (e.g. Merkle path stacks consumed by verify_path)."""
+
+    arr: gf.GF
+
+
+class _Pending:
+    __slots__ = ("idx",)
+
+    def __init__(self, idx: int):
+        self.idx = idx
+
+
+def materialize(root):
+    """Pull every GF/GF2 leaf in `root` in ONE device→host transfer and
+    replace it with host ints: GF2 ()→pair, (n,)→[pairs], (n,m)→[[pairs]];
+    GF ()→int, (n,)→[ints]; TupleGF→tuple of ints. Dataclasses, lists and
+    dicts are mutated in place; tuples are rebuilt. Returns the new root.
+    """
+    leaves: list = []  # (kind, obj)
+
+    def claim_leaf(kind, obj) -> _Pending:
+        leaves.append((kind, obj))
+        return _Pending(len(leaves) - 1)
+
+    seen: dict[int, object] = {}
+
+    def walk(obj):
+        if isinstance(obj, TupleGF):
+            return claim_leaf("tuple", obj.arr)
+        if isinstance(obj, NpGF):
+            return claim_leaf("np", obj.arr)
+        if isinstance(obj, gf.GF2):
+            return claim_leaf("ext", obj)
+        if isinstance(obj, gf.GF):
+            return claim_leaf("base", obj)
+        if isinstance(obj, DevClaim):
+            obj = _HostClaimPending(walk(obj.point), walk(obj.eval))
+            return obj
+        oid = id(obj)
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            if obj.__dataclass_params__.frozen:
+                return obj  # e.g. TableType — never holds device leaves
+            if oid in seen:
+                return obj
+            seen[oid] = obj
+            for f in dataclasses.fields(obj):
+                setattr(obj, f.name, walk(getattr(obj, f.name)))
+            return obj
+        if isinstance(obj, list):
+            if oid in seen:
+                return obj
+            seen[oid] = obj
+            for i in range(len(obj)):
+                obj[i] = walk(obj[i])
+            return obj
+        if isinstance(obj, dict):
+            if oid in seen:
+                return obj
+            seen[oid] = obj
+            for k in list(obj.keys()):
+                obj[k] = walk(obj[k])
+            return obj
+        if isinstance(obj, tuple) and any(
+            isinstance(v, (gf.GF, gf.GF2, TupleGF, DevClaim, list, dict, tuple))
+            for v in obj
+        ):
+            return tuple(walk(v) for v in obj)
+        return obj
+
+    root = walk(root)
+    if not leaves:
+        return _resolve(root, [])
+
+    arrays = []
+    for kind, obj in leaves:
+        if kind == "ext":
+            arrays += [obj.a0.lo, obj.a0.hi, obj.a1.lo, obj.a1.hi]
+        else:
+            arrays += [obj.lo, obj.hi]
+    pulled = gf.pull_u32(arrays)
+
+    def u64(lo, hi):
+        return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+
+    values = []
+    off = 0
+    for kind, obj in leaves:
+        if kind == "ext":
+            a0 = u64(pulled[off], pulled[off + 1])
+            a1 = u64(pulled[off + 2], pulled[off + 3])
+            off += 4
+            if a0.ndim == 0:
+                values.append((int(a0), int(a1)))
+            elif a0.ndim == 1:
+                values.append([(int(x), int(y)) for x, y in zip(a0, a1)])
+            elif a0.ndim == 2:
+                values.append(
+                    [
+                        [(int(x), int(y)) for x, y in zip(r0, r1)]
+                        for r0, r1 in zip(a0, a1)
+                    ]
+                )
+            else:
+                raise AssertionError(f"GF2 ndim {a0.ndim} unsupported")
+        else:
+            v = u64(pulled[off], pulled[off + 1])
+            off += 2
+            if kind == "tuple":
+                values.append(tuple(int(x) for x in np.atleast_1d(v)))
+            elif kind == "np":
+                values.append(np.asarray(v, dtype=np.uint64))
+            elif v.ndim == 0:
+                values.append(int(v))
+            else:
+                values.append([int(x) for x in v])
+
+    return _resolve(root, values)
+
+
+class _HostClaimPending:
+    __slots__ = ("point", "eval")
+
+    def __init__(self, point, eval_):
+        self.point = point
+        self.eval = eval_
+
+
+def _resolve(obj, values):
+    from .lookup.logup import Claim
+
+    seen: set[int] = set()
+
+    def walk(obj):
+        if isinstance(obj, _Pending):
+            return values[obj.idx]
+        if isinstance(obj, _HostClaimPending):
+            return Claim(point=walk(obj.point), eval=walk(obj.eval))
+        oid = id(obj)
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            if obj.__dataclass_params__.frozen:
+                return obj
+            if oid in seen:
+                return obj
+            seen.add(oid)
+            for f in dataclasses.fields(obj):
+                setattr(obj, f.name, walk(getattr(obj, f.name)))
+            return obj
+        if isinstance(obj, list):
+            if oid in seen:
+                return obj
+            seen.add(oid)
+            for i in range(len(obj)):
+                obj[i] = walk(obj[i])
+            return obj
+        if isinstance(obj, dict):
+            if oid in seen:
+                return obj
+            seen.add(oid)
+            for k in list(obj.keys()):
+                obj[k] = walk(obj[k])
+            return obj
+        if isinstance(obj, tuple):
+            if any(
+                isinstance(v, (_Pending, _HostClaimPending, list, dict, tuple))
+                for v in obj
+            ):
+                return tuple(walk(v) for v in obj)
+            return obj
+        return obj
+
+    return walk(obj)

@@ -109,8 +109,12 @@ class VerifierClaim:
     denominators: list[ExtPair]
 
 
-def _ext_scalar(pair: ExtPair) -> gf.GF2:
-    return gf.ext_from_u64(np.uint64(pair[0] % host.P), np.uint64(pair[1] % host.P))
+def _ext_scalar(pair) -> gf.GF2:
+    if isinstance(pair, gf.GF2):
+        return pair
+    from .. import glue
+
+    return glue.scalar(pair)
 
 
 def _pairs(e: gf.GF2) -> list[ExtPair]:
@@ -238,138 +242,189 @@ def make_circuits(inp: LogUpInput) -> list[_Circuit]:
 
 
 # ---------------------------------------------------------------------------
-# prover (logup_gkr/prover.rs:24 batch_prove)
+# prover (logup_gkr/prover.rs:24 batch_prove) — device-session path
 # ---------------------------------------------------------------------------
 
 
-def batch_prove(inp: LogUpInput, transcript: BasicTranscript) -> LogUpProof:
+@partial(jax.jit, static_argnames=("num_instances",))
+def _initial_claim_kernel(out_ext: gf.GF2, bc, alpha, lam, num_instances: int):
+    """Σ_i αⁱ·(e0 + bc(e1−e0) + λ(e2 + bc(e3−e2))) over (4I,) outputs."""
+    e = out_ext.reshape(num_instances, 4)
+    e0, e1, e2, e3 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    bcb = gf.ext_broadcast_to(bc.reshape((1,)), e0.shape)
+    lamb = gf.ext_broadcast_to(lam.reshape((1,)), e0.shape)
+    term = gf.ext_add(
+        gf.ext_add(e0, gf.ext_mul(bcb, gf.ext_sub(e1, e0))),
+        gf.ext_mul(lamb, gf.ext_add(e2, gf.ext_mul(bcb, gf.ext_sub(e3, e2)))),
+    )
+    apow = [gf.ext_ones(())]
+    for _ in range(1, num_instances):
+        apow.append(gf.ext_mul(apow[-1], alpha))
+    return gf.ext_sum_axis(gf.ext_mul(gf.ext_stack(apow), term), 0)
+
+
+@partial(jax.jit, static_argnames=("num_instances",))
+def _next_claim_kernel(evals: gf.GF2, bc, alpha, lam, num_instances: int):
+    """Per instance evals [n_lo, d_hi, n_hi, d_lo] (vp dedup order):
+    term = e0 + bc(e2−e0) + λ(e3 + bc(e1−e3)); claim = Σ αⁱ·term."""
+    e = evals.reshape(num_instances, 4)
+    e0, e1, e2, e3 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    bcb = gf.ext_broadcast_to(bc.reshape((1,)), e0.shape)
+    lamb = gf.ext_broadcast_to(lam.reshape((1,)), e0.shape)
+    term = gf.ext_add(
+        gf.ext_add(e0, gf.ext_mul(bcb, gf.ext_sub(e2, e0))),
+        gf.ext_mul(lamb, gf.ext_add(e3, gf.ext_mul(bcb, gf.ext_sub(e1, e3)))),
+    )
+    apow = [gf.ext_ones(())]
+    for _ in range(1, num_instances):
+        apow.append(gf.ext_mul(apow[-1], alpha))
+    return gf.ext_sum_axis(gf.ext_mul(gf.ext_stack(apow), term), 0)
+
+
+@partial(jax.jit, static_argnames=("num_instances",))
+def _final_lookup_claim_kernel(evals: gf.GF2, bc, alpha, num_instances: int):
+    """Per instance [d_hi, d_lo]: term = e1 + bc(e0−e1); claim = Σ αⁱ·term."""
+    e = evals.reshape(num_instances, 2)
+    e0, e1 = e[:, 0], e[:, 1]
+    bcb = gf.ext_broadcast_to(bc.reshape((1,)), e0.shape)
+    term = gf.ext_add(e1, gf.ext_mul(bcb, gf.ext_sub(e0, e1)))
+    apow = [gf.ext_ones(())]
+    for _ in range(1, num_instances):
+        apow.append(gf.ext_mul(apow[-1], alpha))
+    return gf.ext_sum_axis(gf.ext_mul(gf.ext_stack(apow), term), 0)
+
+
+@partial(jax.jit, static_argnames=("kinds", "pn_pad"))
+def _level_coeffs_kernel(alpha, lam, kinds: tuple, pn_pad: int) -> gf.GF2:
+    """Stacked vp product coefficients for one GKR level.
+
+    generic instance → [αⁱ, αⁱ, αⁱλ]; initial_lookup → [−αⁱ, −αⁱ, αⁱλ]."""
+    out = []
+    a = gf.ext_ones(())
+    for kind in kinds:
+        al = gf.ext_mul(a, lam)
+        if kind == "generic":
+            out += [a, a, al]
+        else:
+            na = gf.GF2(gf.neg(a.a0), gf.neg(a.a1))
+            out += [na, na, al]
+        a = gf.ext_mul(a, alpha)
+    out += [gf.ext_zeros(())] * (pn_pad - len(out))
+    return gf.ext_stack(out)
+
+
+def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
+    """batch_prove against a DeviceTranscript: zero host synchronization.
+
+    All level sumchecks, claim algebra and FS run as async device
+    dispatches; the returned LogUpProof holds device arrays (lower with
+    glue.materialize). Transcript-bit-identical to batch_prove.
+    """
+    from .. import glue
+    from ..sumcheck.fused import prove_device
+
     circuits = make_circuits(inp)
     num_instances = len(circuits)
     total_layers = max(c.num_vars for c in circuits)
-    # one device→host transfer for every circuit's output layer
     out_ext = gf.ext_concatenate(
         [gf.ext_concatenate([c.nums[-1], c.dens[-1]]) for c in circuits]
-    )
-    flat = _pairs(out_ext)
-    circuit_outputs = [flat[4 * i : 4 * (i + 1)] for i in range(num_instances)]
+    )  # (4I,) — per instance [n0, n1, d0, d1]
 
-    transcript.append_field_element(num_instances)
-    for evals in circuit_outputs:
-        transcript.append_field_element_exts(evals)
+    dt.append_constants([num_instances])
+    dt.append_exts(out_ext)
 
-    bc = transcript.get_and_append_challenge(b"initial_batching")
-    alpha = transcript.get_and_append_challenge(b"initial_alpha")
-    lam = transcript.get_and_append_challenge(b"initial_lambda")
+    bc = dt.get_and_append_challenge(b"initial_batching")
+    alpha = dt.get_and_append_challenge(b"initial_alpha")
+    lam = dt.get_and_append_challenge(b"initial_lambda")
 
-    current_claim = (0, 0)
-    alpha_comb = (1, 0)
-    for e in circuit_outputs:
-        term = host.ext_add(
-            host.ext_add(e[0], host.ext_mul(bc, host.ext_sub(e[1], e[0]))),
-            host.ext_mul(lam, host.ext_add(e[2], host.ext_mul(bc, host.ext_sub(e[3], e[2])))),
-        )
-        current_claim = host.ext_add(current_claim, host.ext_mul(alpha_comb, term))
-        alpha_comb = host.ext_mul(alpha_comb, alpha)
-
-    sumcheck_point: list[ExtPair] = [bc]
+    current_claim = _initial_claim_kernel(out_ext, bc, alpha, lam, num_instances)
+    sumcheck_point = bc.reshape((1,))
     sumcheck_proofs = []
-    round_evaluations: list[list[ExtPair]] = []
+    round_evaluations = []
 
     for level in range(1, total_layers + 1):
-        transcript.append_field_element_ext(current_claim)
-
-        eq = mle_mod.eq_table_pairs(sumcheck_point)
+        dt.append_field_element_ext(current_claim)
+        eq = mle_mod._eq_table_kernel(sumcheck_point, glue.one(), level)
         vp = VirtualPolynomial.new(level)
         i_eq = vp.add_mle(eq)
-
-        cur_alpha = (1, 0)
+        kinds = []
         for c in circuits:
             kind, mles = c.level_mles(level)
+            kinds.append(kind)
             if kind == "generic":
-                # storage order [eq, n_lo, d_hi, n_hi, d_lo] — matches the
-                # reference VP's raw-pointer dedup insertion order
-                # (prover.rs:104-117); the claim algebra depends on it.
                 n_lo = vp.add_mle(mles[0])
                 d_hi = vp.add_mle(mles[3])
                 n_hi = vp.add_mle(mles[1])
                 d_lo = vp.add_mle(mles[2])
-                vp.add_product(cur_alpha, [i_eq, n_lo, d_hi])
-                vp.add_product(cur_alpha, [i_eq, n_hi, d_lo])
-                vp.add_product(host.ext_mul(cur_alpha, lam), [i_eq, d_lo, d_hi])
+                vp.add_product((1, 0), [i_eq, n_lo, d_hi])
+                vp.add_product((1, 0), [i_eq, n_hi, d_lo])
+                vp.add_product((1, 0), [i_eq, d_lo, d_hi])
             else:
-                # storage order [eq, d_hi, d_lo] (prover.rs:119-124)
                 d_hi = vp.add_mle(mles[1])
                 d_lo = vp.add_mle(mles[0])
-                vp.add_product(host.ext_neg(cur_alpha), [i_eq, d_hi])
-                vp.add_product(host.ext_neg(cur_alpha), [i_eq, d_lo])
-                vp.add_product(host.ext_mul(cur_alpha, lam), [i_eq, d_lo, d_hi])
-            cur_alpha = host.ext_mul(cur_alpha, alpha)
+                vp.add_product((1, 0), [i_eq, d_hi])
+                vp.add_product((1, 0), [i_eq, d_lo])
+                vp.add_product((1, 0), [i_eq, d_lo, d_hi])
+        # coefficients are data-dependent (α, λ): computed on device and
+        # passed via vp.coeffs_dev (prove_device picks them up)
+        from ..sumcheck.prover import _bucket as _bkt
 
-        out = sumcheck_prove(vp, transcript)
-        sumcheck_point = list(out.proof.point)
-        evals = out.final_evals[1:]  # skip eq
+        vp.coeffs_dev = _level_coeffs_kernel(
+            alpha, lam, tuple(kinds), _bkt(len(vp.products))
+        )
+        out = prove_device(vp, dt)
+        evals = out.final_evals[1:]  # skip eq — GF2 (k,) device
 
-        bc = transcript.get_and_append_challenge(b"logup_batching")
-        alpha_next = transcript.get_and_append_challenge(b"logup_alpha")
-        lam_next = transcript.get_and_append_challenge(b"logup_lambda")
-        sumcheck_point.append(bc)
+        bc = dt.get_and_append_challenge(b"logup_batching")
+        alpha_next = dt.get_and_append_challenge(b"logup_alpha")
+        lam_next = dt.get_and_append_challenge(b"logup_lambda")
+        sumcheck_point = glue.concat_points([out.proof.point, bc])
         sumcheck_proofs.append(out.proof)
 
         if level != total_layers:
-            current_claim = (0, 0)
-            alpha_comb = (1, 0)
-            for i in range(0, len(evals), 4):
-                e = evals[i : i + 4]  # [n_lo, d_hi, n_hi, d_lo] (vp dedup order)
-                term = host.ext_add(
-                    host.ext_add(e[0], host.ext_mul(bc, host.ext_sub(e[2], e[0]))),
-                    host.ext_mul(
-                        lam_next,
-                        host.ext_add(e[3], host.ext_mul(bc, host.ext_sub(e[1], e[3]))),
-                    ),
-                )
-                current_claim = host.ext_add(current_claim, host.ext_mul(alpha_comb, term))
-                alpha_comb = host.ext_mul(alpha_comb, alpha_next)
+            current_claim = _next_claim_kernel(
+                evals, bc, alpha_next, lam_next, num_instances
+            )
+        elif inp.is_table:
+            current_claim = _next_claim_kernel(
+                evals, bc, alpha_next, lam_next, num_instances
+            )
         else:
-            current_claim = _final_round_claim(inp, evals, bc, alpha_next, lam_next)
+            current_claim = _final_lookup_claim_kernel(
+                evals, bc, alpha_next, num_instances
+            )
 
         alpha, lam = alpha_next, lam_next
         round_evaluations.append(evals)
 
-    pt_dev = [_ext_scalar(p) for p in sumcheck_point]
-    evals = _batch_evaluate(tuple(inp.base_mles()), pt_dev)
+    evals = _batch_eval_kernel(
+        glue.stack_mles(inp.base_mles()),
+        sumcheck_point,
+        int(sumcheck_point.shape[0]),
+    )  # GF2 (k,) device
     output_claims = [
-        Claim(point=list(sumcheck_point), eval=e) for e in evals
+        glue.DevClaim(point=sumcheck_point, eval=glue.at(evals, i))
+        for i in range(len(inp.base_mles()))
     ]
 
     return LogUpProof(
         sumcheck_proofs=sumcheck_proofs,
         round_evaluations=round_evaluations,
         output_claims=output_claims,
-        circuit_outputs=circuit_outputs,
+        circuit_outputs=out_ext.reshape(num_instances, 4),
         is_table=inp.is_table,
     )
 
 
-def _final_round_claim(inp, evals, bc, alpha, lam) -> ExtPair:
-    claim = (0, 0)
-    alpha_comb = (1, 0)
-    if not inp.is_table:
-        # per instance [d_hi, d_lo]: merged denom at (r, bc)
-        for i in range(0, len(evals), 2):
-            e = evals[i : i + 2]
-            term = host.ext_add(e[1], host.ext_mul(bc, host.ext_sub(e[0], e[1])))
-            claim = host.ext_add(claim, host.ext_mul(alpha_comb, term))
-            alpha_comb = host.ext_mul(alpha_comb, alpha)
-    else:
-        for i in range(0, len(evals), 4):
-            e = evals[i : i + 4]
-            term = host.ext_add(
-                host.ext_add(e[0], host.ext_mul(bc, host.ext_sub(e[2], e[0]))),
-                host.ext_mul(lam, host.ext_add(e[3], host.ext_mul(bc, host.ext_sub(e[1], e[3])))),
-            )
-            claim = host.ext_add(claim, host.ext_mul(alpha_comb, term))
-            alpha_comb = host.ext_mul(alpha_comb, alpha)
-    return claim
+def batch_prove(inp: LogUpInput, transcript: BasicTranscript) -> LogUpProof:
+    """Host-API batch_prove: device session + one sync + one pull."""
+    from .. import glue
+    from ..transcript.session import DeviceTranscript
+
+    dt = DeviceTranscript.from_host(transcript)
+    proof = batch_prove_device(inp, dt)
+    dt.sync_to_host(transcript)
+    return glue.materialize(proof)
 
 
 @partial(jax.jit, static_argnames=("n_point",))

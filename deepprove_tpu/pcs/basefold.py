@@ -116,8 +116,13 @@ class BasefoldParams:
         return x0, w
 
     def fold_coeffs_device(self, level: int):
-        x0, w = self.fold_coeffs_host(level)
-        return gf.from_u64(x0), gf.from_u64(w)
+        """Device (x0, w) for `level`, cached — ONE put per level ever."""
+        if not hasattr(self, "_fold_dev"):
+            self._fold_dev = {}
+        if level not in self._fold_dev:
+            x0, w = self.fold_coeffs_host(level)
+            self._fold_dev[level] = (gf.from_u64(x0), gf.from_u64(w))
+        return self._fold_dev[level]
 
 
 def setup(max_message_size_log: int, **kw) -> BasefoldParams:
@@ -170,18 +175,27 @@ def _encode(params: BasefoldParams, evals) -> tuple:
     return bh, codeword
 
 
-def commit(params: BasefoldParams, evals) -> CommitmentWithWitness:
-    """Commit to one polynomial given little-endian hypercube evals (GF)."""
+def commit(params: BasefoldParams, evals, lazy_root: bool = False) -> CommitmentWithWitness:
+    """Commit to one polynomial given little-endian hypercube evals (GF).
+
+    lazy_root=True keeps the root as a device TupleGF (no blocking pull);
+    used on the async prove path where roots are only needed in the final
+    materialized proof. Setup-time commits keep host roots.
+    """
+    from .. import glue
+
     lg_n = evals.shape[0].bit_length() - 1
     assert lg_n <= params.max_message_size_log
     if lg_n <= params.basecode_msg_size_log:
         # trivial commitment: Merkle over the raw evals (basefold.rs:100)
         tree = MerkleTree.from_leaves(evals)
-        cm = BasefoldCommitment(root=tree.root, num_vars=lg_n, is_trivial=True)
+        root = glue.TupleGF(tree.levels[-1][0]) if lazy_root else tree.root
+        cm = BasefoldCommitment(root=root, num_vars=lg_n, is_trivial=True)
         return CommitmentWithWitness(cm, codeword=evals, bh_evals=[evals], tree=tree)
     bh, codeword = _encode(params, evals)
     tree = MerkleTree.from_leaves(codeword)
-    cm = BasefoldCommitment(root=tree.root, num_vars=lg_n)
+    root = glue.TupleGF(tree.levels[-1][0]) if lazy_root else tree.root
+    cm = BasefoldCommitment(root=root, num_vars=lg_n)
     return CommitmentWithWitness(cm, codeword=codeword, bh_evals=[bh], tree=tree)
 
 
@@ -334,32 +348,32 @@ class BasefoldProof:
         return len(self.trivial_evals) > 0
 
 
-def _commit_phase(
+def _commit_phase_session(
     params: BasefoldParams,
-    point: list[ExtPair],
+    point,
     running_evals,
     codeword,
-    transcript: BasicTranscript,
+    dt,
     num_vars: int,
     num_rounds: int,
     oracle_merger=None,
 ):
-    """Shared commit phase (commit_phase.rs:30 / batch :190).
+    """Shared commit phase (commit_phase.rs:30 / batch :190), device session.
 
-    `oracle_merger(i, oracle)` lets batch_open add newly-matching codewords
-    after each fold. Returns (trees, messages, roots, final_message).
-
-    The Fiat-Shamir transcript runs ON DEVICE across all rounds: every
-    dispatch is async, and the host pulls messages/roots/final state in
-    ONE transfer at the end — the per-round host sync was the dominant
-    cost on tunneled devices.
+    `point` is a device GF2 (n,) or host pair list. The Fiat-Shamir
+    transcript runs ON DEVICE across all rounds through `dt`; returned
+    messages/roots/final_message are device-resident (lower with
+    glue.materialize). `oracle_merger(i, oracle)` lets batch_open add
+    newly-matching codewords after each fold.
+    Returns (trees, msgs_dev, roots_dev, fm_dev).
     """
-    from ..transcript import device as devt
+    from .. import glue
 
-    eq = mle_mod.eq_table_pairs(point)
+    pt = point if isinstance(point, gf.GF2) else mle_mod.pairs_to_dev(point)
+    eq = mle_mod._eq_table_kernel(pt, glue.one(), num_vars)
     eq = ntt.bit_reverse(eq, num_vars)
 
-    t_state = devt.export_state(transcript.challenger)
+    t_state = dt.state
     msg_dev = _sumcheck_first_round(eq, running_evals)
     trees = []
     msgs_dev = []
@@ -396,50 +410,8 @@ def _commit_phase(
             fm_dev = mle_mod.to_ext(fm) if not isinstance(fm, gf.GF2) else fm
             t_state = _absorb_exts(t_state, fm_dev)
 
-    # ONE pull: all round messages, roots, the final message, and the
-    # transcript state; then resync the host challenger.
-    sponge, ibuf, ilen, obuf, olen = t_state
-    arrays = []
-    for m in msgs_dev:
-        arrays += [m.a0.lo, m.a0.hi, m.a1.lo, m.a1.hi]
-    for rt in roots_dev:
-        arrays += [rt.lo, rt.hi]
-    arrays += [fm_dev.a0.lo, fm_dev.a0.hi, fm_dev.a1.lo, fm_dev.a1.hi]
-    arrays += [
-        sponge.lo, sponge.hi, ibuf.lo, ibuf.hi, obuf.lo, obuf.hi,
-        jnp.reshape(ilen, (1,)).astype(jnp.uint32),
-        jnp.reshape(olen, (1,)).astype(jnp.uint32),
-    ]
-    pulled = gf.pull_u32(arrays)
-
-    def u64(lo, hi):
-        return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
-
-    off = 0
-    msgs = []
-    for _ in msgs_dev:
-        a0 = u64(pulled[off], pulled[off + 1])
-        a1 = u64(pulled[off + 2], pulled[off + 3])
-        msgs.append([(int(x), int(y)) for x, y in zip(a0, a1)])
-        off += 4
-    roots = []
-    for _ in roots_dev:
-        d = u64(pulled[off], pulled[off + 1])
-        roots.append(tuple(int(x) for x in d))
-        off += 2
-    fa0 = u64(pulled[off], pulled[off + 1])
-    fa1 = u64(pulled[off + 2], pulled[off + 3])
-    final_message = [(int(x), int(y)) for x, y in zip(fa0, fa1)]
-    off += 4
-    ch = transcript.challenger
-    ch.state = np.asarray(u64(pulled[off], pulled[off + 1]), dtype=np.uint64)
-    ibuf_v = u64(pulled[off + 2], pulled[off + 3])
-    obuf_v = u64(pulled[off + 4], pulled[off + 5])
-    ilen_v = int(pulled[off + 6][0])
-    olen_v = int(pulled[off + 7][0])
-    ch.input_buffer = [int(x) for x in ibuf_v[:ilen_v]]
-    ch.output_buffer = [int(x) for x in obuf_v[:olen_v]]
-    return trees, msgs, roots, final_message
+    dt.state = t_state
+    return trees, msgs_dev, roots_dev, fm_dev
 
 
 # b"commit round" → LE u64 chunks ("commit r", "ound")
@@ -497,9 +469,9 @@ def _sample_queries(params: BasefoldParams, transcript: BasicTranscript, size: i
     return idxs
 
 
-def _gather_pairs(arr, pair_idx: np.ndarray):
-    """Gather (lo, hi) of bit-reversed pairs; returns host values."""
-    take = jnp.asarray(pair_idx, dtype=jnp.int32)
+@jax.jit
+def _gather_pairs_kernel(arr, take):
+    """Gather bit-reversed (lo, hi) element pairs — device, one dispatch."""
     if isinstance(arr, gf.GF2):
         lo = gf.GF2(
             gf.GF(jnp.take(arr.a0.lo, 2 * take), jnp.take(arr.a0.hi, 2 * take)),
@@ -509,39 +481,92 @@ def _gather_pairs(arr, pair_idx: np.ndarray):
             gf.GF(jnp.take(arr.a0.lo, 2 * take + 1), jnp.take(arr.a0.hi, 2 * take + 1)),
             gf.GF(jnp.take(arr.a1.lo, 2 * take + 1), jnp.take(arr.a1.hi, 2 * take + 1)),
         )
-        return _pairs_host(lo), _pairs_host(hi)
+        return lo, hi
     lo = gf.GF(jnp.take(arr.lo, 2 * take), jnp.take(arr.hi, 2 * take))
     hi = gf.GF(jnp.take(arr.lo, 2 * take + 1), jnp.take(arr.hi, 2 * take + 1))
-    return (
-        [int(x) for x in gf.to_u64(lo)],
-        [int(x) for x in gf.to_u64(hi)],
-    )
+    return lo, hi
 
 
-def _prover_queries(
+def _gather_pairs_dev(arr, pair_idx: np.ndarray):
+    """Device (lo, hi) arrays of bit-reversed pairs (no pull)."""
+    return _gather_pairs_kernel(arr, jnp.asarray(pair_idx, dtype=jnp.int32))
+
+
+def _gather_pairs(arr, pair_idx: np.ndarray):
+    """Host values of bit-reversed pairs (one pull via materialize)."""
+    from .. import glue
+
+    lo, hi = _gather_pairs_dev(arr, pair_idx)
+    return glue.materialize([lo, hi])
+
+
+def _paths_entry(tree: MerkleTree, pair_idx: np.ndarray, q: int):
+    from .. import glue
+
+    p = tree.paths_dev(pair_idx)
+    if p is None:
+        return np.empty((q, 0, 4), dtype=np.uint64)
+    return glue.NpGF(p)
+
+
+def _prover_queries_dev(
     comm: CommitmentWithWitness, trees: list[MerkleTree], indices: list[int]
-) -> list[QueryOpening]:
-    """basefold_get_query (query_phase.rs:373) for all indices at once."""
+):
+    """basefold_get_query for all indices: device gathers, ONE pull."""
+    from .. import glue
+
+    q = len(indices)
     pair0 = np.asarray([i >> 1 for i in indices], dtype=np.int64)
-    lo0, hi0 = _gather_pairs(comm.codeword, pair0)
-    paths0 = comm.tree.paths(pair0)
+    lo0, hi0 = _gather_pairs_dev(comm.codeword, pair0)
+    entry0 = [lo0, hi0, _paths_entry(comm.tree, pair0, q)]
     per_tree = []
     idx = pair0
     for t in trees:
         idx = idx >> 1
-        lo, hi = _gather_pairs(t.leaves, idx)
-        per_tree.append((lo, hi, t.paths(idx)))
+        lo, hi = _gather_pairs_dev(t.leaves, idx)
+        per_tree.append([lo, hi, _paths_entry(t, idx, q)])
+    (lo0, hi0, paths0), per_tree_h = glue.materialize([entry0, per_tree])
     out = []
-    for q in range(len(indices)):
+    for i in range(q):
         out.append(
             QueryOpening(
-                commitment_pair=(lo0[q], hi0[q]),
-                commitment_path=paths0[q],
-                oracle_pairs=[(pt[0][q], pt[1][q]) for pt in per_tree],
-                oracle_paths=[pt[2][q] for pt in per_tree],
+                commitment_pair=(lo0[i], hi0[i]),
+                commitment_path=paths0[i],
+                oracle_pairs=[(pt[0][i], pt[1][i]) for pt in per_tree_h],
+                oracle_paths=[pt[2][i] for pt in per_tree_h],
             )
         )
     return out
+
+
+def open_session(
+    params: BasefoldParams,
+    comm: CommitmentWithWitness,
+    point,
+    transcript: BasicTranscript,
+    dt,
+) -> BasefoldProof:
+    """Single-poly opening in a device session (point: GF2 (n,) or host).
+
+    Two blocking pulls total: the query-index sync and the query gather.
+    The returned proof holds device arrays (glue.materialize to lower).
+    """
+    from .. import glue
+
+    num_vars = comm.num_vars
+    if comm.commitment.is_trivial:
+        return BasefoldProof([], [], [], trivial_evals=[comm.bh_evals[0]])
+    num_rounds = num_vars - params.basecode_msg_size_log
+    trees, msgs, roots_dev, fm_dev = _commit_phase_session(
+        params, point, comm.bh_evals[0], comm.codeword, dt, num_vars, num_rounds
+    )
+    dt.sync_to_host(transcript)
+    indices = _sample_queries(params, transcript, comm.codeword_size())
+    dt.resync_from_host(transcript)
+    queries = _prover_queries_dev(comm, trees, indices)
+    return BasefoldProof(
+        msgs, [glue.TupleGF(r) for r in roots_dev], fm_dev, indices, queries
+    )
 
 
 def open(
@@ -551,17 +576,14 @@ def open(
     transcript: BasicTranscript,
 ) -> BasefoldProof:
     """Single-poly opening (basefold.rs open → commit_phase + query phase)."""
-    num_vars = comm.num_vars
-    if comm.commitment.is_trivial:
-        evals = [int(x) for x in gf.to_u64(comm.bh_evals[0])]
-        return BasefoldProof([], [], [], trivial_evals=[evals])
-    num_rounds = num_vars - params.basecode_msg_size_log
-    trees, msgs, roots, final_message = _commit_phase(
-        params, point, comm.bh_evals[0], comm.codeword, transcript, num_vars, num_rounds
-    )
-    indices = _sample_queries(params, transcript, comm.codeword_size())
-    queries = _prover_queries(comm, trees, indices)
-    return BasefoldProof(msgs, roots, final_message, indices, queries)
+    from .. import glue
+    from ..transcript.session import DeviceTranscript
+
+    dt = DeviceTranscript.from_host(transcript)
+    proof = open_session(params, comm, point, transcript, dt)
+    if not proof.is_trivial:
+        dt.sync_to_host(transcript)
+    return glue.materialize(proof)
 
 
 def _deg2_eval(msg: list[ExtPair], x: ExtPair) -> ExtPair:
@@ -746,64 +768,88 @@ def _rlc_rows(rows, coeffs: gf.GF2, k: int):
     return acc
 
 
-def simple_batch_open(
+def simple_batch_open_session(
     params: BasefoldParams,
     comm: CommitmentWithWitness,
-    point: list[ExtPair],
+    point,
     transcript: BasicTranscript,
+    dt,
 ) -> BasefoldProof:
-    """Open K same-size polys of one commitment at one shared point."""
+    """Open K same-size polys of one commitment at one shared point
+    (basefold.rs:777), device session."""
+    from .. import glue
+
     num_vars = comm.num_vars
     k = comm.commitment.num_polys
     if comm.commitment.is_trivial:
-        evals = [[int(x) for x in gf.to_u64(bh)] for bh in comm.bh_evals]
-        return BasefoldProof([], [], [], trivial_evals=evals)
+        return BasefoldProof([], [], [], trivial_evals=list(comm.bh_evals))
     batch_size_log = max(1, (k - 1).bit_length()) if k > 1 else 0
-    ts = [transcript.get_and_append_challenge(b"batch coeffs") for _ in range(batch_size_log)]
-    eq_t = _eq_table_host(ts)  # 2^batch_size_log coeffs; first k used
-    coeffs_dev = gf.ext_from_u64(
-        np.asarray([eq_t[i][0] for i in range(k)], dtype=np.uint64),
-        np.asarray([eq_t[i][1] for i in range(k)], dtype=np.uint64),
+    ts = dt.get_and_append_challenges(b"batch coeffs", batch_size_log)
+    coeffs_dev = (
+        mle_mod._eq_table_kernel(ts, glue.one(), batch_size_log)
+        if batch_size_log
+        else glue.vec([(1, 0)])
     )
-    # RLC the bh_evals and the codewords
     bh_stack = gf.stack(comm.bh_evals, axis=0) if not isinstance(comm.bh_evals[0], gf.GF2) else None
     assert bh_stack is not None, "ext witness polys unsupported in simple batch"
     running_evals = _rlc_rows(bh_stack, coeffs_dev, k)
     running_oracle = _rlc_rows(comm.codeword, coeffs_dev, k)
 
     num_rounds = num_vars - params.basecode_msg_size_log
-    trees, msgs, roots, final_message = _commit_phase(
-        params, point, running_evals, running_oracle, transcript, num_vars, num_rounds
+    trees, msgs, roots_dev, fm_dev = _commit_phase_session(
+        params, point, running_evals, running_oracle, dt, num_vars, num_rounds
     )
+    dt.sync_to_host(transcript)
     indices = _sample_queries(params, transcript, comm.codeword_size())
-    # open the K-column pairs of the batch commitment + folded oracle pairs
+    dt.resync_from_host(transcript)
+
+    q = len(indices)
     pair0 = np.asarray([i >> 1 for i in indices], dtype=np.int64)
-    col_pairs = []
+    col_entries = []
     for i in range(k):
-        row = comm.codeword[i]
-        lo, hi = _gather_pairs(row, pair0)
-        col_pairs.append((lo, hi))
-    paths0 = comm.tree.paths(pair0)
+        lo, hi = _gather_pairs_dev(comm.codeword[i], pair0)
+        col_entries.append([lo, hi])
+    entry0 = _paths_entry(comm.tree, pair0, q)
     per_tree = []
     idx = pair0
     for t in trees:
         idx = idx >> 1
-        lo, hi = _gather_pairs(t.leaves, idx)
-        per_tree.append((lo, hi, t.paths(idx)))
+        lo, hi = _gather_pairs_dev(t.leaves, idx)
+        per_tree.append([lo, hi, _paths_entry(t, idx, q)])
+    col_h, paths0, per_tree_h = glue.materialize([col_entries, entry0, per_tree])
     queries = []
-    for q in range(len(indices)):
+    for qi in range(q):
         queries.append(
             QueryOpening(
                 commitment_pair=(
-                    [col_pairs[i][0][q] for i in range(k)],
-                    [col_pairs[i][1][q] for i in range(k)],
+                    [col_h[i][0][qi] for i in range(k)],
+                    [col_h[i][1][qi] for i in range(k)],
                 ),
-                commitment_path=paths0[q],
-                oracle_pairs=[(pt[0][q], pt[1][q]) for pt in per_tree],
-                oracle_paths=[pt[2][q] for pt in per_tree],
+                commitment_path=paths0[qi],
+                oracle_pairs=[(pt[0][qi], pt[1][qi]) for pt in per_tree_h],
+                oracle_paths=[pt[2][qi] for pt in per_tree_h],
             )
         )
-    return BasefoldProof(msgs, roots, final_message, indices, queries)
+    return BasefoldProof(
+        msgs, [glue.TupleGF(r) for r in roots_dev], fm_dev, indices, queries
+    )
+
+
+def simple_batch_open(
+    params: BasefoldParams,
+    comm: CommitmentWithWitness,
+    point: list[ExtPair],
+    transcript: BasicTranscript,
+) -> BasefoldProof:
+    """Host-API simple batch open (device session inside)."""
+    from .. import glue
+    from ..transcript.session import DeviceTranscript
+
+    dt = DeviceTranscript.from_host(transcript)
+    proof = simple_batch_open_session(params, comm, point, transcript, dt)
+    if not proof.is_trivial:
+        dt.sync_to_host(transcript)
+    return glue.materialize(proof)
 
 
 def simple_batch_verify(
@@ -937,44 +983,48 @@ def _tile_ext(values: gf.GF2, reps: int) -> gf.GF2:
     )
 
 
-def batch_open(
+def batch_open_session(
     params: BasefoldParams,
     polys: list,  # little-endian GF eval arrays
     comms: list[CommitmentWithWitness],
-    points: list[list[ExtPair]],
+    points: list,  # each GF2 (n,) device or host pair list
     evals: list[BatchEvaluation],
     transcript: BasicTranscript,
+    dt,
 ):
-    """Batched opening of many (poly, point, eval) triples.
+    """Batched opening of many (poly, point, eval) triples, device session.
 
-    Returns the proof (batch sumcheck embedded). Protocol (basefold.rs:546):
+    Protocol (basefold.rs:546):
       1. squeeze ⌈log₂ #evals⌉ b"batch coeffs" challenges t; eq_t table;
-      2. sumcheck Σ_x Σ_pt eq(x, point_pt)·merged_pt(x) = Σ eq_t·2^Δ·eval
-         (merged_pt = Σ eq_t[i]·poly_i, smaller polys on the LOW vars);
-      3. per-commitment RLC coeffs from eq(challenges, point)·eq_t;
+      2. sumcheck Σ_x Σ_pt eq(x, point_pt)·merged_pt(x) (merged_pt =
+         Σ eq_t[i]·poly_i, smaller polys tiled over the high vars);
+      3. per-commitment RLC coeffs eq(challenges[:n_pt], point)·eq_t;
       4. batched commit phase folding codewords in at matching sizes;
       5. shared query phase over all commitments + fold trees.
+    All FS and claim algebra on device; two blocking pulls (query sync +
+    query gather).
     """
-    from ..sumcheck import VirtualPolynomial, prove as sumcheck_prove
+    from .. import glue
+    from ..sumcheck.fused import prove_device
+    from ..sumcheck import VirtualPolynomial
 
     num_vars = max(c.num_vars for c in comms)
     batch_size_log = max(1, (len(evals) - 1).bit_length()) if len(evals) > 1 else 0
-    ts = [transcript.get_and_append_challenge(b"batch coeffs") for _ in range(batch_size_log)]
-    eq_t = _eq_table_host(ts)
+    ts = dt.get_and_append_challenges(b"batch coeffs", batch_size_log)
+    eq_t = (
+        mle_mod._eq_table_kernel(ts, glue.one(), batch_size_log)
+        if batch_size_log
+        else glue.vec([(1, 0)])
+    )
 
-    # target sum (for the verifier side; prover doesn't strictly need it)
-    target_sum = (0, 0)
-    for i, ev in enumerate(evals):
-        scale = (1 << (num_vars - len(points[ev.point]))) % host.P
-        target_sum = host.ext_add(
-            target_sum,
-            host.ext_mul(host.ext_mul(eq_t[i], (scale, 0)), ev.value),
-        )
+    pts_dev = [
+        p if isinstance(p, gf.GF2) else mle_mod.pairs_to_dev(p) for p in points
+    ]
 
     # merged poly per point: Σ eq_t[i]·poly_i (ext), tiled to full size
     merged = {}
     for i, ev in enumerate(evals):
-        c = _ext_scalar(eq_t[i])
+        c = glue.at(eq_t, i)
         poly = polys[ev.poly]
         term = _scale_base(poly, c)
         if ev.point in merged:
@@ -987,36 +1037,35 @@ def batch_open(
 
     vp = VirtualPolynomial.new(num_vars)
     for pt_idx, m in sorted(merged.items()):
-        n_pt = len(points[pt_idx])
-        eq = mle_mod.eq_table_pairs(points[pt_idx])
+        n_pt = pts_dev[pt_idx].shape[0]
+        eq = mle_mod._eq_table_kernel(pts_dev[pt_idx], glue.one(), n_pt)
         reps = 1 << (num_vars - n_pt)
         m_full = _tile_ext(m, reps) if reps > 1 else m
         eq_full = _tile_ext(eq, reps) if reps > 1 else eq
         i_eq = vp.add_mle(eq_full)
         i_m = vp.add_mle(m_full)
         vp.add_product((1, 0), [i_eq, i_m])
-    sc_out = sumcheck_prove(vp, transcript)
-    challenges = sc_out.proof.point
+    sc_out = prove_device(vp, dt)
+    challenges = sc_out.proof.point  # GF2 (num_vars,)
 
     # per-commitment RLC coefficients (verifier recomputes these)
-    coeffs = [(0, 0)] * len(comms)
+    coeffs = [glue.zero() for _ in comms]
     for i, ev in enumerate(evals):
-        n_pt = len(points[ev.point])
-        e = _eq_eval_host(challenges[:n_pt], points[ev.point])
-        coeffs[ev.poly] = host.ext_add(coeffs[ev.poly], host.ext_mul(e, eq_t[i]))
+        n_pt = pts_dev[ev.point].shape[0]
+        e = glue.eq_eval(glue.prefix(challenges, n_pt), pts_dev[ev.point])
+        coeffs[ev.poly] = glue.mul_add(coeffs[ev.poly], e, glue.at(eq_t, i))
 
     # initial oracle/evals from max-size commitments
     full_cw = 1 << (num_vars + params.rate_log)
     oracle = gf.ext_zeros((full_cw,))
     run_evals = gf.ext_zeros((1 << num_vars,))
     for c, comm in zip(coeffs, comms):
-        cd = _ext_scalar(c)
         if comm.codeword_size() == full_cw:
-            oracle = _ext_add_j(oracle, _scale_base(comm.codeword, cd))
+            oracle = _ext_add_j(oracle, _scale_base(comm.codeword, c))
         # bh_evals are bit-reversed; smaller polys broadcast over consecutive
         # chunks (commit_phase.rs:227-238)
         reps = 1 << (num_vars - comm.num_vars)
-        term = _scale_base(comm.bh_evals[0], cd)
+        term = _scale_base(comm.bh_evals[0], c)
         if reps > 1:
             term = _repeat_ext(term, reps)
         run_evals = _ext_add_j(run_evals, term)
@@ -1028,45 +1077,65 @@ def batch_open(
         out = oracle
         for c, comm in zip(coeffs, comms):
             if comm.codeword_size() == size:
-                out = _ext_add_j(out, _scale_base(comm.codeword, _ext_scalar(c)))
+                out = _ext_add_j(out, _scale_base(comm.codeword, c))
         return out
 
-    trees, msgs, roots, final_message = _commit_phase(
-        params, challenges, run_evals, oracle, transcript, num_vars, num_rounds,
+    trees, msgs, roots_dev, fm_dev = _commit_phase_session(
+        params, challenges, run_evals, oracle, dt, num_vars, num_rounds,
         oracle_merger=merger,
     )
+    dt.sync_to_host(transcript)
     indices = _sample_queries(params, transcript, full_cw)
+    dt.resync_from_host(transcript)
 
-    # queries: per commitment pairs at shifted indices + fold-tree pairs
-    comm_pairs = []
+    # queries: per commitment pairs at shifted indices + fold-tree pairs —
+    # all gathered on device, ONE pull
+    q = len(indices)
+    comm_entries = []
     for comm in comms:
         shift = num_vars - comm.num_vars
         pair_idx = np.asarray([(i >> shift) >> 1 for i in indices], dtype=np.int64)
-        lo, hi = _gather_pairs(comm.codeword, pair_idx)
-        paths = comm.tree.paths(pair_idx)
-        comm_pairs.append((lo, hi, paths, pair_idx))
+        lo, hi = _gather_pairs_dev(comm.codeword, pair_idx)
+        comm_entries.append([lo, hi, _paths_entry(comm.tree, pair_idx, q)])
     per_tree = []
     idx = np.asarray([i >> 1 for i in indices], dtype=np.int64)
     for t in trees:
         idx = idx >> 1
-        lo, hi = _gather_pairs(t.leaves, idx)
-        per_tree.append((lo, hi, t.paths(idx)))
+        lo, hi = _gather_pairs_dev(t.leaves, idx)
+        per_tree.append([lo, hi, _paths_entry(t, idx, q)])
+    comm_h, per_tree_h = glue.materialize([comm_entries, per_tree])
     queries = []
-    for q in range(len(indices)):
+    for qi in range(q):
         queries.append(
             QueryOpening(
-                commitment_pair=[
-                    (cp[0][q], cp[1][q]) for cp in comm_pairs
-                ],
-                commitment_path=[cp[2][q] for cp in comm_pairs],
-                oracle_pairs=[(pt[0][q], pt[1][q]) for pt in per_tree],
-                oracle_paths=[pt[2][q] for pt in per_tree],
+                commitment_pair=[(cp[0][qi], cp[1][qi]) for cp in comm_h],
+                commitment_path=[cp[2][qi] for cp in comm_h],
+                oracle_pairs=[(pt[0][qi], pt[1][qi]) for pt in per_tree_h],
+                oracle_paths=[pt[2][qi] for pt in per_tree_h],
             )
         )
-    proof = BasefoldProof(
-        msgs, roots, final_message, indices, queries, batch_sumcheck=sc_out.proof
+    return BasefoldProof(
+        msgs, [glue.TupleGF(r) for r in roots_dev], fm_dev, indices, queries,
+        batch_sumcheck=sc_out.proof,
     )
-    return proof
+
+
+def batch_open(
+    params: BasefoldParams,
+    polys: list,
+    comms: list[CommitmentWithWitness],
+    points: list[list[ExtPair]],
+    evals: list[BatchEvaluation],
+    transcript: BasicTranscript,
+):
+    """Host-API batched opening (device session inside)."""
+    from .. import glue
+    from ..transcript.session import DeviceTranscript
+
+    dt = DeviceTranscript.from_host(transcript)
+    proof = batch_open_session(params, polys, comms, points, evals, transcript, dt)
+    dt.sync_to_host(transcript)
+    return glue.materialize(proof)
 
 
 def batch_verify(

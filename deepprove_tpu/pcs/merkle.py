@@ -116,13 +116,11 @@ class MerkleTree:
     def depth(self) -> int:
         return len(self.levels) - 1
 
-    def paths(self, pair_indices: np.ndarray) -> np.ndarray:
-        """Merkle paths for leaf-pair indices: (Q, depth, 4) uint64 host array.
+    def paths_dev(self, pair_indices: np.ndarray) -> gf.GF | None:
+        """Merkle paths for leaf-pair indices, device-resident (Q, depth, 4).
 
-        Path level ℓ holds the sibling digest of the node on the way up.
-        All levels are gathered on device and pulled in ONE transfer.
-        """
-        q = len(pair_indices)
+        Path level ℓ holds the sibling digest of the node on the way up;
+        None when depth == 0."""
         idx = np.asarray(pair_indices, dtype=np.int64)
         per_level = []
         for lvl in range(self.depth):
@@ -135,8 +133,14 @@ class MerkleTree:
             )
             idx = idx >> 1
         if not per_level:
-            return np.empty((q, 0, 4), dtype=np.uint64)
-        stacked = gf.stack(per_level, axis=1)  # (Q, depth, 4)
+            return None
+        return gf.stack(per_level, axis=1)  # (Q, depth, 4)
+
+    def paths(self, pair_indices: np.ndarray) -> np.ndarray:
+        """Host (Q, depth, 4) uint64 paths — ONE pull."""
+        stacked = self.paths_dev(pair_indices)
+        if stacked is None:
+            return np.empty((len(pair_indices), 0, 4), dtype=np.uint64)
         return gf.to_u64(stacked)
 
 

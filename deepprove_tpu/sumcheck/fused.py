@@ -160,86 +160,156 @@ def _fused_kernel(
     return msgs, chals, finals, t_state
 
 
-def prove_fused(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOutput:
-    """Drop-in replacement for prover.prove() for n ≤ max(N_BUCKETS)."""
-    n = vp.num_vars
-    n_bucket = _pick_bucket(n)
-    if n_bucket is None:
-        from .prover import prove as prove_unfused
+@partial(
+    jax.jit, static_argnames=("n", "n_points", "degree", "m_pad", "pn_pad")
+)
+def _staircase_kernel(
+    stacked, coeffs, prod_idx, t_state, n: int, n_points: int, degree: int,
+    m_pad: int, pn_pad: int,
+):
+    """All-rounds fused sumcheck with STATICALLY halving buffers.
 
-        return prove_unfused(vp, transcript)
+    Unlike `_fused_kernel` (while_loop over a fixed-width bucket, total
+    work n·2^n_bucket), rounds are unrolled in Python so each fold truly
+    halves the array — total work 2·2^n, the same as the unfused path,
+    with ZERO host synchronization. Compiled once per exact n; used for
+    large sumchecks where bucket padding would dominate.
+    """
+    idx_flat = prod_idx.reshape(-1)
 
-    max_degree = vp.max_degree
-    transcript.append_message(int(n).to_bytes(8, "little"))
-    transcript.append_message(int(max_degree).to_bytes(8, "little"))
+    def take_rows(a: gf.GF2, idx) -> gf.GF2:
+        return gf.GF2(
+            gf.GF(jnp.take(a.a0.lo, idx, axis=0), jnp.take(a.a0.hi, idx, axis=0)),
+            gf.GF(jnp.take(a.a1.lo, idx, axis=0), jnp.take(a.a1.hi, idx, axis=0)),
+        )
+
+    def round_message(stacked):
+        lo, hi = _pairs_view(stacked)
+        diff = gf.ext_sub(hi, lo)
+        msgs = []
+        cur = lo
+        for t in range(n_points):
+            if t == 1:
+                cur = hi
+            elif t >= 2:
+                cur = gf.ext_add(cur, diff)
+            g = take_rows(cur, idx_flat).reshape(pn_pad, degree, lo.shape[1])
+            p = g[:, 0]
+            for d in range(1, degree):
+                p = gf.ext_mul(p, g[:, d])
+            s = gf.ext_sum_axis(p, axis=1)
+            msgs.append(gf.ext_sum_axis(gf.ext_mul(coeffs, s), axis=0))
+        return gf.ext_stack(msgs)
+
+    def fold(stacked, r: gf.GF2):
+        lo, hi = _pairs_view(stacked)
+        rb = gf.ext_broadcast_to(r.reshape((1, 1)), lo.shape)
+        return gf.ext_add(lo, gf.ext_mul(rb, gf.ext_sub(hi, lo)))
+
+    msgs, chals = [], []
+    for _ in range(n):
+        msg = round_message(stacked)
+        t_state = jax.lax.fori_loop(
+            0, n_points,
+            lambda i, ts: devt.observe_ext(
+                ts,
+                gf.GF2(
+                    gf.GF(msg.a0.lo[i], msg.a0.hi[i]),
+                    gf.GF(msg.a1.lo[i], msg.a1.hi[i]),
+                ),
+            ),
+            t_state,
+        )
+        for chunk in _LABEL_CHUNKS:
+            t_state = devt.observe_u64_constant(t_state, chunk)
+        t_state, r = devt.sample_ext(t_state)
+        stacked = fold(stacked, r)
+        msgs.append(msg)
+        chals.append(r)
+    finals = stacked[:, 0]
+    return gf.ext_stack(msgs, axis=0), gf.ext_stack(chals), finals, t_state
+
+
+# Above this, the while-loop bucket kernel wins compile reuse; above
+# STAIRCASE_MIN the bucket's n_bucket/2× work overhead wins instead.
+STAIRCASE_MIN = max(N_BUCKETS) + 1
+
+
+def _prep(vp: VirtualPolynomial):
+    """Stack MLEs/coeffs/indices for a fused kernel (shared prep)."""
+    from ..poly import mle as mle_mod
+    from .. import glue
 
     stacked, m_pad = _stack_mles(vp)
-    # zero-pad the data region to 2^n_bucket; pad *rows* (ones) must stay
-    # ones only inside the active region? They already span the full width
-    # after padding below — but padded-lane ones only ever multiply padded
-    # -lane zeros of real rows, so sums stay exact.
-    l = 1 << n
-    l_buf = 1 << n_bucket
-    if l_buf > l:
-        pad = gf.ext_zeros((m_pad, l_buf - l))
-        stacked = gf.ext_concatenate([stacked, pad], axis=1)
     ones_row = m_pad - 1
     pn_pad = _bucket(len(vp.products))
-    coeff_list = [c for c, _ in vp.products] + [(0, 0)] * (pn_pad - len(vp.products))
-    from ..poly import mle as mle_mod
-
-    coeffs = mle_mod.pairs_to_dev(coeff_list)  # ONE put
+    max_degree = vp.max_degree
+    if vp.coeffs_dev is not None:
+        coeffs = vp.coeffs_dev
+        assert coeffs.shape == (pn_pad,)
+    elif all(not hasattr(c, "a0") for c, _ in vp.products):
+        coeff_list = [c for c, _ in vp.products] + [(0, 0)] * (pn_pad - len(vp.products))
+        coeffs = glue.vec(coeff_list)
+    else:
+        dev = [glue.scalar(c) for c, _ in vp.products]
+        dev += [glue.scalar((0, 0))] * (pn_pad - len(vp.products))
+        coeffs = glue.ext_stack_scalars(dev)
     idx = np.full((pn_pad, max_degree), ones_row, dtype=np.int32)
     for i, (_, fs) in enumerate(vp.products):
         idx[i, : len(fs)] = fs
-    idx = jnp.asarray(idx)
+    return stacked, m_pad, pn_pad, coeffs, jnp.asarray(idx)
 
-    t_state = devt.export_state(transcript.challenger)
-    msgs, chals, finals, t_state = _fused_kernel(
-        stacked, coeffs, idx, t_state, jnp.int32(n),
-        n_points=max_degree + 1, degree=max_degree,
-        n_bucket=n_bucket, m_pad=m_pad, pn_pad=pn_pad,
-    )
 
-    # pull EVERYTHING in one device→host transfer (tunnel RTT ≈ 200 ms)
-    sponge, ibuf, ilen, obuf, olen = t_state
-    pulled = gf.pull_u32(
-        [
-            msgs.a0.lo, msgs.a0.hi, msgs.a1.lo, msgs.a1.hi,
-            chals.a0.lo, chals.a0.hi, chals.a1.lo, chals.a1.hi,
-            finals.a0.lo, finals.a0.hi, finals.a1.lo, finals.a1.hi,
-            sponge.lo, sponge.hi, ibuf.lo, ibuf.hi, obuf.lo, obuf.hi,
-            jnp.reshape(ilen, (1,)).astype(jnp.uint32),
-            jnp.reshape(olen, (1,)).astype(jnp.uint32),
-        ]
-    )
+def prove_device(vp: VirtualPolynomial, dt) -> ProverOutput:
+    """Fully async sumcheck against a DeviceTranscript.
 
-    def u64(lo, hi):
-        return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+    Returns a ProverOutput whose proof.point is GF2 (n,), round_messages
+    GF2 (n, d+1) and final_evals GF2 (m,) — all device-resident; lower
+    with glue.materialize(). The transcript state flows through on
+    device with no host synchronization at all.
+    """
+    n = vp.num_vars
+    max_degree = vp.max_degree
+    dt.append_constants([n, max_degree])
 
-    m_v = u64(pulled[0], pulled[1]), u64(pulled[2], pulled[3])
-    c_v = u64(pulled[4], pulled[5]), u64(pulled[6], pulled[7])
-    f_v = u64(pulled[8], pulled[9]), u64(pulled[10], pulled[11])
-    sponge_v = u64(pulled[12], pulled[13])
-    ibuf_v = u64(pulled[14], pulled[15])
-    obuf_v = u64(pulled[16], pulled[17])
-    ilen_v = int(pulled[18][0])
-    olen_v = int(pulled[19][0])
-
-    ch = transcript.challenger
-    ch.state = np.asarray(sponge_v, dtype=np.uint64)
-    ch.input_buffer = [int(x) for x in ibuf_v[:ilen_v]]
-    ch.output_buffer = [int(x) for x in obuf_v[:olen_v]]
-
-    round_messages = [
-        [(int(m_v[0][r, t]), int(m_v[1][r, t])) for t in range(max_degree + 1)]
-        for r in range(n)
-    ]
-    point = [(int(c_v[0][r]), int(c_v[1][r])) for r in range(n)]
-    final_evals = [
-        (int(x), int(y)) for x, y in zip(f_v[0][: len(vp.mles)], f_v[1][: len(vp.mles)])
-    ]
+    stacked, m_pad, pn_pad, coeffs, idx = _prep(vp)
+    n_bucket = _pick_bucket(n)
+    if n_bucket is not None:
+        l, l_buf = 1 << n, 1 << n_bucket
+        if l_buf > l:
+            stacked = gf.ext_concatenate(
+                [stacked, gf.ext_zeros((m_pad, l_buf - l))], axis=1
+            )
+        msgs, chals, finals, dt.state = _fused_kernel(
+            stacked, coeffs, idx, dt.state, jnp.int32(n),
+            n_points=max_degree + 1, degree=max_degree,
+            n_bucket=n_bucket, m_pad=m_pad, pn_pad=pn_pad,
+        )
+        msgs = msgs[:n]
+        chals = chals[:n]
+    else:
+        msgs, chals, finals, dt.state = _staircase_kernel(
+            stacked, coeffs, idx, dt.state, n,
+            n_points=max_degree + 1, degree=max_degree,
+            m_pad=m_pad, pn_pad=pn_pad,
+        )
     return ProverOutput(
-        proof=SumcheckProof(point=point, round_messages=round_messages),
-        final_evals=final_evals,
+        proof=SumcheckProof(point=chals, round_messages=msgs),
+        final_evals=finals[: len(vp.mles)],
     )
+
+
+def prove_fused(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOutput:
+    """Host-API fused sumcheck: prove_device + one state sync + one pull.
+
+    Drop-in replacement for prover.prove() at any size (bucketed kernel
+    for small n, staircase kernel for large n); transcripts are
+    bit-identical to the per-round host path (asserted in tests).
+    """
+    from .. import glue
+    from ..transcript.session import DeviceTranscript
+
+    dt = DeviceTranscript.from_host(transcript)
+    out = prove_device(vp, dt)
+    dt.sync_to_host(transcript)
+    return glue.materialize(out)

@@ -53,6 +53,10 @@ class VirtualPolynomial:
     num_vars: int
     mles: list  # GF | GF2 flat arrays of length 2^num_vars
     products: list[tuple[ExtPair, list[int]]]
+    # optional device-computed coefficient vector GF2 (pn_pad,) overriding
+    # the per-product coeff entries (used when coeffs are data-dependent
+    # device scalars, e.g. logup level batching)
+    coeffs_dev: object = None
 
     @property
     def max_degree(self) -> int:

@@ -1,0 +1,179 @@
+"""Device-resident Fiat-Shamir transcript session.
+
+The round-1 profile showed ~90% of prove wall time was host↔device
+round trips: every sumcheck pulled its messages to feed the *host*
+challenger, every logup level resynced state, every claim-algebra step
+ran on python ints. `DeviceTranscript` keeps the duplex-challenger state
+(transcript/device.py) ON DEVICE for the whole prove: absorbs and
+squeezes are tiny jitted kernels (async dispatch ≈ 0.5 ms each over the
+tunnel), challenges stay device scalars, and the host only syncs when a
+value is genuinely needed host-side (Basefold query sampling, final
+proof materialization).
+
+Mirrors the reference's BasicTranscript semantics bit-for-bit
+(transcript/src/basic.rs:8): same observe/sample discipline as the host
+challenger, asserted by transcript-identity tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gf
+from ..fields.host import P
+from . import device as devt
+from .challenger import DuplexChallenger
+
+
+def _label_chunks(msg: bytes) -> tuple[int, ...]:
+    out = []
+    for i in range(0, len(msg), 8):
+        chunk = msg[i : i + 8]
+        v = int.from_bytes(chunk + b"\x00" * (8 - len(chunk)), "little")
+        assert v < P
+        out.append(v)
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("chunks",))
+def _absorb_constants(state, chunks: tuple):
+    for c in chunks:
+        state = devt.observe_u64_constant(state, c)
+    return state
+
+
+@jax.jit
+def _absorb_base_arr(state, arr: gf.GF):
+    def body(i, ts):
+        return devt.observe(ts, gf.GF(arr.lo[i], arr.hi[i]))
+
+    return jax.lax.fori_loop(0, arr.shape[0], body, state)
+
+
+@jax.jit
+def _absorb_ext_arr(state, arr: gf.GF2):
+    def body(i, ts):
+        e = gf.GF2(
+            gf.GF(arr.a0.lo[i], arr.a0.hi[i]), gf.GF(arr.a1.lo[i], arr.a1.hi[i])
+        )
+        return devt.observe_ext(ts, e)
+
+    return jax.lax.fori_loop(0, arr.shape[0], body, state)
+
+
+@jax.jit
+def _absorb_ext_scalar(state, e: gf.GF2):
+    return devt.observe_ext(state, e)
+
+
+@jax.jit
+def _sample_ext_scalar(state):
+    return devt.sample_ext(state)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _sample_ext_vec(state, k: int):
+    outs = []
+    for _ in range(k):
+        state, e = devt.sample_ext(state)
+        outs.append(e)
+    return state, gf.ext_stack(outs)
+
+
+@partial(jax.jit, static_argnames=("chunks", "k"))
+def _challenge_vec(state, chunks: tuple, k: int):
+    """k× (absorb label, sample ext) — the get_and_append_challenge loop."""
+    outs = []
+    for _ in range(k):
+        for c in chunks:
+            state = devt.observe_u64_constant(state, c)
+        state, e = devt.sample_ext(state)
+        outs.append(e)
+    return state, gf.ext_stack(outs)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _sample_base_vec(state, k: int):
+    outs = []
+    for _ in range(k):
+        state, e = devt.sample(state)
+        outs.append(e)
+    return state, gf.stack(outs)
+
+
+class DeviceTranscript:
+    """Fiat-Shamir transcript whose state lives on device.
+
+    API parallels BasicTranscript but absorbs device GF/GF2 arrays and
+    returns device GF2 challenges. Static byte labels and static python
+    ints are baked into the jitted kernels as compile-time constants
+    (the distinct-value set is tiny: labels, num_vars, degrees).
+    """
+
+    def __init__(self, state):
+        self.state = state
+
+    @staticmethod
+    def from_host(transcript) -> "DeviceTranscript":
+        return DeviceTranscript(devt.export_state(transcript.challenger))
+
+    def sync_to_host(self, transcript) -> None:
+        """ONE pull: device state → host challenger (for host-side FS)."""
+        devt.import_state(transcript.challenger, self.state)
+
+    def resync_from_host(self, transcript) -> None:
+        """Re-export host challenger state (after host-side sampling)."""
+        self.state = devt.export_state(transcript.challenger)
+
+    # -- absorb ------------------------------------------------------------
+    def append_message(self, msg: bytes):
+        self.state = _absorb_constants(self.state, _label_chunks(msg))
+
+    def append_constants(self, values) -> None:
+        """Absorb host python ints known at trace time (static bake-in)."""
+        vals = tuple(int(v) % P for v in values)
+        self.state = _absorb_constants(self.state, vals)
+
+    def append_field_element(self, element: int):
+        self.append_constants([element])
+
+    def append_base(self, arr: gf.GF):
+        self.state = _absorb_base_arr(self.state, arr)
+
+    def append_exts(self, arr: gf.GF2):
+        if arr.ndim == 0:
+            self.state = _absorb_ext_scalar(self.state, arr)
+        else:
+            self.state = _absorb_ext_arr(self.state, arr)
+
+    def append_field_element_ext(self, e: gf.GF2):
+        self.state = _absorb_ext_scalar(self.state, e)
+
+    # -- squeeze -----------------------------------------------------------
+    def read_challenge(self) -> gf.GF2:
+        self.state, e = _sample_ext_scalar(self.state)
+        return e
+
+    def read_challenges(self, k: int) -> gf.GF2:
+        """k challenges as ONE device GF2 (k,) array."""
+        self.state, e = _sample_ext_vec(self.state, k)
+        return e
+
+    def get_and_append_challenge(self, label: bytes) -> gf.GF2:
+        self.append_message(label)
+        return self.read_challenge()
+
+    def get_and_append_challenges(self, label: bytes, k: int):
+        """k× (label, squeeze) in one dispatch; returns GF2 (k,) (None if 0)."""
+        if k == 0:
+            return None
+        self.state, e = _challenge_vec(self.state, _label_chunks(label), k)
+        return e
+
+    def sample_bases(self, k: int) -> gf.GF:
+        self.state, e = _sample_base_vec(self.state, k)
+        return e

@@ -64,7 +64,9 @@ class CommitmentContext:
         return self.params.basecode_msg_size_log
 
     def commit(self, evals: gf.GF):
-        return basefold.commit(self.params, evals)
+        """Witness-time commit: root stays on device (lazy) — the async
+        prove path must not block; roots materialize with the proof."""
+        return basefold.commit(self.params, evals, lazy_root=True)
 
     def write_to_transcript(self, transcript: BasicTranscript):
         for node_id in sorted(self.model_comms):
@@ -106,10 +108,21 @@ class CommitmentProver:
         comm, poly = self.ctx.table_comms[table_type]
         self.add_witness_claim((comm, poly), claim)
 
-    def prove(self, transcript: BasicTranscript):
+    def prove(self, transcript: BasicTranscript, dt=None):
+        """Open all accumulated claims (session-aware).
+
+        With `dt`, runs fully on device against the session transcript
+        (claims may be DevClaims); otherwise wraps a one-off session."""
+        own_session = dt is None
+        if own_session:
+            from ..transcript.session import DeviceTranscript
+
+            dt = DeviceTranscript.from_host(transcript)
         trivial_proofs = []
         for tc in self.trivial:
-            proof = basefold.open(self.ctx.params, tc.comm, tc.claim.point, transcript)
+            proof = basefold.open_session(
+                self.ctx.params, tc.comm, tc.claim.point, transcript, dt
+            )
             trivial_proofs.append(proof)
         polys = [c.poly for c in self.claims]
         comms = [c.comm for c in self.claims]
@@ -120,10 +133,16 @@ class CommitmentProver:
         ]
         batch_proof = None
         if self.claims:
-            batch_proof = basefold.batch_open(
-                self.ctx.params, polys, comms, points, evals, transcript
+            batch_proof = basefold.batch_open_session(
+                self.ctx.params, polys, comms, points, evals, transcript, dt
             )
-        return {"batch": batch_proof, "trivial": trivial_proofs}
+        out = {"batch": batch_proof, "trivial": trivial_proofs}
+        if own_session:
+            from .. import glue
+
+            dt.sync_to_host(transcript)
+            out = glue.materialize(out)
+        return out
 
 
 @dataclasses.dataclass
@@ -184,8 +203,61 @@ class SamePolyProof:
     sumcheck: object  # SumcheckProof
     evals: list[ExtPair]  # [beta eval, poly eval]
 
-    def extract_claim(self) -> Claim:
+    def extract_claim(self):
+        if isinstance(self.sumcheck.point, gf.GF2):
+            from .. import glue
+
+            return glue.DevClaim(
+                point=self.sumcheck.point, eval=glue.at(self.evals, 1)
+            )
         return Claim(point=list(self.sumcheck.point), eval=self.evals[1])
+
+
+import jax.numpy as _jnp
+from functools import partial as _partial
+
+
+@_partial(_jax.jit, static_argnames=("k", "n"))
+def _beta_kernel(points, chals: gf.GF2, k: int, n: int) -> gf.GF2:
+    """β(x) = Σ_i chals[i]·eq(x, points[i]) over {0,1}^n — one dispatch."""
+    acc = None
+    for i in range(k):
+        pt = points[i]  # GF2 (n,)
+        t = gf.GF2(
+            gf.GF(chals.a0.lo[i], chals.a0.hi[i]),
+            gf.GF(chals.a1.lo[i], chals.a1.hi[i]),
+        ).reshape((1,))
+        for j in range(n):
+            r = gf.GF2(
+                gf.GF(pt.a0.lo[j], pt.a0.hi[j]), gf.GF(pt.a1.lo[j], pt.a1.hi[j])
+            )
+            rb = gf.ext_broadcast_to(r.reshape((1,)), t.shape)
+            hi = gf.ext_mul(t, rb)
+            lo = gf.ext_sub(t, hi)
+            t = gf.ext_concatenate([lo, hi])
+        acc = t if acc is None else gf.ext_add(acc, t)
+    return acc
+
+
+def same_poly_prove_device(poly, claims, dt) -> SamePolyProof:
+    """Device-session same-poly accumulation (claims: DevClaims)."""
+    from .. import glue
+    from ..sumcheck.fused import prove_device
+
+    n = poly.shape[0].bit_length() - 1
+    k = len(claims)
+    chals = dt.read_challenges(k)  # GF2 (k,), same order as host read_challenge loop
+    pts = tuple(
+        c.point if isinstance(c.point, gf.GF2) else glue.vec(c.point)
+        for c in claims
+    )
+    beta = _beta_kernel(pts, chals, k, n)
+    vp = VirtualPolynomial.new(n)
+    i_b = vp.add_mle(beta)
+    i_p = vp.add_mle(poly)
+    vp.add_product((1, 0), [i_b, i_p])
+    out = prove_device(vp, dt)
+    return SamePolyProof(sumcheck=out.proof, evals=out.final_evals)
 
 
 def same_poly_prove(poly, claims: list[Claim], transcript: BasicTranscript) -> SamePolyProof:

@@ -36,6 +36,8 @@ class Proof:
     steps: dict  # NodeId -> layer proof
     table_proofs: list[TableProof]
     commit: dict  # {"batch": ..., "trivial": [...]}
+    # fan-out claim merges: (node_id, wire) -> SamePolyProof
+    merges: dict = dataclasses.field(default_factory=dict)
 
 
 class Prover:
@@ -56,13 +58,19 @@ class Prover:
         return self.lookup_witness.pop(node_id)
 
     def prove(self, trace: InferenceTrace) -> Proof:
+        """Fully async device-session prove: the transcript state, claims
+        and proof values stay on device; the host blocks only for Basefold
+        query sampling and ONE final materialize pull."""
+        from ... import glue
+        from ...transcript.session import DeviceTranscript
         from ...utils import Metrics, stream_metrics
 
         m = Metrics("witness_ctx")
         self.ctx.write_to_transcript(self.transcript)
+        self.dt = DeviceTranscript.from_host(self.transcript)
         if self.ctx.lookup:
             storage, witnesses, table_witnesses = generate_lookup_witnesses(
-                trace, self.ctx, self.transcript
+                trace, self.ctx, self.dt
             )
             self.challenge_storage = storage
             self.lookup_witness = witnesses
@@ -74,18 +82,33 @@ class Prover:
         out_claims = []
         for out in trace.outputs:
             n = out.num_vars()
-            r = [self.transcript.read_challenge() for _ in range(n)]
+            r = self.dt.read_challenges(n)
             out_claims.append(
-                Claim(point=r, eval=mle_mod.evaluate_pairs(out.to_gf(), r))
+                glue.DevClaim(
+                    point=r, eval=mle_mod._evaluate_kernel(out.to_gf(), r, n)
+                )
             )
 
         # backward claim loop
-        claims_by_layer: dict[int, list[Claim]] = {}
+        claims_by_layer: dict[int, list] = {}
         out_nodes = self.ctx.model.output_nodes()
+        self.merge_proofs = {}
+
+        def merger(mnid, wire, cands):
+            from ..commit import same_poly_prove_device
+
+            poly = trace.steps[mnid].outputs[wire].to_gf()
+            sp = same_poly_prove_device(
+                poly, [glue.as_dev(c) for c in cands], self.dt
+            )
+            self.merge_proofs[(mnid, wire)] = sp
+            return sp.extract_claim()
+
         for nid in self.ctx.backward_order():
             node_ctx = self.ctx.steps_info[nid]
             claims_for_prove = _claims_for_node(
-                self.ctx.model, nid, claims_by_layer, out_claims, out_nodes
+                self.ctx.model, nid, claims_by_layer, out_claims, out_nodes,
+                merger=merger,
             )
             step_data = trace.steps[nid]
             if node_ctx.op.is_provable:
@@ -101,7 +124,7 @@ class Prover:
         # table proofs (iop/prover.rs:110)
         for tw in self.table_witness:
             logup_input = tw.get_logup_input(self.challenge_storage)
-            table_proof = logup.batch_prove(logup_input, self.transcript)
+            table_proof = logup.batch_prove_device(logup_input, self.dt)
             comm, poly = tw.commits[0]
             self.commit_prover.add_witness_claim(
                 (comm, poly), table_proof.output_claims[0]
@@ -117,23 +140,43 @@ class Prover:
                 )
             )
 
-        commit_proof = self.commit_prover.prove(self.transcript)
-        stream_metrics("tables_and_opening", m.to_span())
-        return Proof(
-            steps=self.proofs, table_proofs=self.table_proofs, commit=commit_proof
+        commit_proof = self.commit_prover.prove(self.transcript, dt=self.dt)
+        self.dt.sync_to_host(self.transcript)
+        proof = Proof(
+            steps=self.proofs, table_proofs=self.table_proofs, commit=commit_proof,
+            merges=self.merge_proofs,
         )
+        proof = glue.materialize(proof)
+        stream_metrics("tables_and_opening", m.to_span())
+        return proof
 
 
-def _claims_for_node(model, nid, claims_by_layer, out_claims, out_nodes):
-    """NodeCtx::claims_for_node: a claim per output — from the consumer's
-    input-slot claim, or from out_claims for model outputs."""
-    consumers = model.consumers(nid)
-    if not consumers:
-        idx = out_nodes.index(nid)
-        return [out_claims[idx]]
-    assert len(consumers) == 1, "multi-consumer outputs need same-poly merge (todo)"
-    consumer_id, slot = consumers[0]
-    return [claims_by_layer[consumer_id][slot]]
+def _claims_for_node(model, nid, claims_by_layer, out_claims, out_nodes, merger=None):
+    """NodeCtx::claims_for_node with DAG fan-out support.
+
+    One claim per output wire: collected from every consumer's input-slot
+    claim (plus the model-output claim for unconsumed wires). When a wire
+    feeds MULTIPLE consumers (e.g. a transformer residual connection), the
+    claims are merged into one via a same-poly accumulation sumcheck
+    (`merger(nid, wire, cands)` — commit/same_poly.rs machinery). The
+    reference leaves this as an assert ("ToDo: batch claims",
+    layers/provable/mod.rs:246-247); here it is implemented.
+    """
+    n_wires = model.num_outputs(nid)
+    claims = []
+    for w in range(n_wires):
+        cands = []
+        if nid in out_nodes and w == 0:
+            cands.append(out_claims[out_nodes.index(nid)])
+        for cid, slot in model.consumers_of_wire(nid, w):
+            cands.append(claims_by_layer[cid][slot])
+        assert cands, f"no claims for node {nid} output {w}"
+        if len(cands) == 1:
+            claims.append(cands[0])
+        else:
+            assert merger is not None, "fan-out requires a claim merger"
+            claims.append(merger(nid, w, cands))
+    return claims
 
 
 def _dev(p: ExtPair) -> gf.GF2:

@@ -60,17 +60,20 @@ class Relu:
         )
         return [wit], {TableType("relu"): counts}
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ..commit import same_poly_prove_device
+
+        last_claim = glue.as_dev(last_claims[0])
         (wit,) = prover.lookup_witnesses_for(node_id)
         logup_input = wit.get_logup_input(prover.challenge_storage)
-        lookup_proof = logup.batch_prove(logup_input, prover.transcript)
+        lookup_proof = logup.batch_prove_device(logup_input, prover.dt)
 
         input_claim = lookup_proof.output_claims[0]
         output_claim = lookup_proof.output_claims[1]
         out_poly = wit.column_evals[1]
-        acc_proof = same_poly_prove(
-            out_poly, [last_claim, output_claim], prover.transcript
+        acc_proof = same_poly_prove_device(
+            out_poly, [last_claim, output_claim], prover.dt
         )
 
         new_out_claim = acc_proof.extract_claim()
@@ -148,15 +151,18 @@ class Gelu:
         )
         return [wit], {self.table_type: counts}
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ..commit import same_poly_prove_device
+
+        last_claim = glue.as_dev(last_claims[0])
         (wit,) = prover.lookup_witnesses_for(node_id)
         logup_input = wit.get_logup_input(prover.challenge_storage)
-        lookup_proof = logup.batch_prove(logup_input, prover.transcript)
+        lookup_proof = logup.batch_prove_device(logup_input, prover.dt)
         input_claim = lookup_proof.output_claims[0]
         output_claim = lookup_proof.output_claims[1]
-        acc_proof = same_poly_prove(
-            wit.column_evals[1], [last_claim, output_claim], prover.transcript
+        acc_proof = same_poly_prove_device(
+            wit.column_evals[1], [last_claim, output_claim], prover.dt
         )
         new_out_claim = acc_proof.extract_claim()
         commits = []

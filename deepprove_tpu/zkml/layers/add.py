@@ -41,16 +41,19 @@ class Add:
     def step_info(self, node_id: int, aux):
         return AddCtx(node_id=node_id)
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
-        left_eval = mle_mod.evaluate_pairs(
-            step_data.inputs[0].to_gf(), last_claim.point
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+
+        last_claim = glue.as_dev(last_claims[0])
+        pt = last_claim.point
+        left_eval = mle_mod._evaluate_kernel(
+            step_data.inputs[0].to_gf(), pt, pt.shape[0]
         )
-        right_eval = host.ext_sub(last_claim.eval, left_eval)
+        right_eval = glue.sub(last_claim.eval, left_eval)
         prover.push_proof(node_id, AddProof(left_eval=left_eval, right_eval=right_eval))
         return [
-            Claim(point=list(last_claim.point), eval=left_eval),
-            Claim(point=list(last_claim.point), eval=right_eval),
+            glue.DevClaim(point=pt, eval=left_eval),
+            glue.DevClaim(point=pt, eval=right_eval),
         ]
 
 

@@ -64,6 +64,36 @@ def _one_minus(p: ExtPair) -> ExtPair:
     return host.ext_sub((1, 0), p)
 
 
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("omega", "n", "scale", "npt"))
+def _phi_row_kernel(pt: gf.GF2, omega: int, n: int, scale: int, npt: int) -> gf.GF2:
+    """φ_pt[k] = scale·Π_b ((1−r_b) + r_b·ω^{2^b·k}) for a DEVICE point.
+
+    The per-bit power tables are trace-time numpy constants (no puts)."""
+    acc = gf.ext_from_base(gf.full((n,), scale % host.P))
+    w_b = omega % host.P
+    for b in range(npt):
+        pows = gf.from_u64(ntt.geom_powers(np.uint64(w_b), n))
+        r = gf.GF2(
+            gf.GF(pt.a0.lo[b], pt.a0.hi[b]), gf.GF(pt.a1.lo[b], pt.a1.hi[b])
+        )
+        rb = gf.ext_broadcast_to(r.reshape((1,)), (n,))
+        one_minus = gf.ext_sub(gf.ext_ones((n,)), rb)
+        term = gf.ext_add(one_minus, mle_mod.ext_mul_by_base(rb, pows))
+        acc = gf.ext_mul(acc, term)
+        w_b = int(host.mul(np.uint64(w_b), np.uint64(w_b)))
+    return acc
+
+
+@_jax.jit
+def _one_minus_arr(pt: gf.GF2) -> gf.GF2:
+    return gf.ext_sub(gf.ext_ones(pt.shape), pt)
+
+
 def phi_row_ext(point: list[ExtPair], omega: int, n: int, scale: int = 1) -> gf.GF2:
     """φ_point[k] = scale·Π_b ((1−r_b) + r_b·ω^{2^b·k}), k ∈ [0, n) — the
     FFT-matrix row MLE in product form (zkCNN phi_g_init)."""
@@ -191,22 +221,25 @@ class Convolution:
 
     # -- proving -------------------------------------------------------------
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+
+        dt = prover.dt
+        last_claim = glue.as_dev(last_claims[0])
         x = step_data.inputs[0].data
         n2 = self.n * self.n
         log_p = ceil_log2(n2)
         log_i = ceil_log2(self.kw)
         log_j = ceil_log2(self.kx)
         log_t = ceil_log2(self.N)
-        rho_p = last_claim.point[:log_p]
-        rho_i = last_claim.point[log_p:]
+        one = glue.one()
 
         c, b_vals = self._conv_field(x)
         mask = self.mask()
 
         # 1. clearing sumcheck: Σ eq·mask·B over (p, i)
-        eq = mle_mod.eq_table_pairs(last_claim.point)
+        eq = mle_mod._eq_table_kernel(last_claim.point, one, log_p + log_i)
         mask_tiled = np.tile(mask, self.kw)
         b_gf = gf.from_u64(Q.to_field(b_vals.reshape(-1)))
         vp = VirtualPolynomial.new(log_p + log_i)
@@ -214,24 +247,22 @@ class Convolution:
         i_m = vp.add_mle(gf.from_u64(Q.to_field(mask_tiled)))
         i_b = vp.add_mle(b_gf)
         vp.add_product((1, 0), [i_eq, i_m, i_b])
-        sc1 = sumcheck_prove(vp, prover.transcript)
-        s0 = list(sc1.proof.point)
-        s0_p, s0_i = s0[:log_p], s0[log_p:]
-        b_eval = sc1.final_evals[2]
+        sc1 = prove_device(vp, dt)
+        s0 = sc1.proof.point
+        s0_p, s0_i = glue.prefix(s0, log_p), glue.suffix(s0, log_p)
+        b_eval = glue.at(sc1.final_evals, 2)
 
         # 2. bias subtraction + reversal/slice point rewrite
-        bias_pad = np.zeros(self.kw, dtype=np.int64)
-        bias_pad[: self.bias.size] = self.bias
-        bias_eval = mle_mod.evaluate_pairs(gf.from_u64(Q.to_field(bias_pad)), s0_i)
-        c_rev_eval = host.ext_sub(b_eval, bias_eval)
-        sigma_t = [_one_minus(pq) for pq in s0_p] + [(0, 0)]
+        bias_gf = prover.ctx.commitment_ctx.model_comms[node_id][BIAS_POLY_ID][1]
+        bias_eval = mle_mod._evaluate_kernel(bias_gf, s0_i, log_i)
+        c_rev_eval = glue.sub(b_eval, bias_eval)
+        sigma_t = glue.concat_points([_one_minus_arr(s0_p), glue.zero()])
 
         # 3. iFFT sumcheck over k: c~(σ, s0_i) = Σ_k φ_inv[k]·prod~(k, s0_i)
         omega = ntt.subgroup_gen(log_t)
         n_inv = int(host.pow_const(np.uint64(self.N), host.P - 2))
-        # φ_inv for point σ_t with ω^{-1}
         omega_inv = int(host.pow_const(np.uint64(omega), host.P - 2))
-        phi_inv = phi_row_ext(sigma_t, omega_inv, self.N, scale=n_inv)
+        phi_inv = _phi_row_kernel(sigma_t, omega_inv, self.N, n_inv, log_p + 1)
         # prod(k, i) with i fixed: prod rows = Σ_j X_j ∘ Ŵ_ij  (recompute)
         xt = self._x_tilde(x)
         x_gf = gf.from_u64(Q.to_field(xt.reshape(-1))).reshape(self.kx, self.N)
@@ -246,19 +277,19 @@ class Convolution:
         prod_flat = gf.concatenate(
             [r.reshape(1, self.N) for r in prod_rows], axis=0
         ).reshape(-1)  # (i high, k low)
-        prod_fixed = mle_mod.fix_high_pairs(prod_flat, s0_i)
+        prod_fixed = mle_mod._fix_high_kernel(prod_flat, s0_i, log_i)
 
         vp2 = VirtualPolynomial.new(log_t)
         i_phi = vp2.add_mle(phi_inv)
         i_pr = vp2.add_mle(prod_fixed)
         vp2.add_product((1, 0), [i_phi, i_pr])
-        sc2 = sumcheck_prove(vp2, prover.transcript)
-        s1 = list(sc2.proof.point)
-        prod_eval = sc2.final_evals[1]
+        sc2 = prove_device(vp2, dt)
+        s1 = sc2.proof.point
+        prod_eval = glue.at(sc2.final_evals, 1)
 
         # 4. hadamard sumcheck over (k, j, i): eq_ki · X(j,k) · Ŵ(i,j,k)
-        eq_k = mle_mod.eq_table_pairs(s1)
-        eq_i = mle_mod.eq_table_pairs(s0_i)
+        eq_k = mle_mod._eq_table_kernel(s1, one, log_t)
+        eq_i = mle_mod._eq_table_kernel(s0_i, one, log_i)
         # eq_full (i, j, k) flat with k low: eq_i[i]·eq_k[k] tiled over j
         ej = gf.ext_broadcast_to(
             eq_k.reshape(1, 1, self.N), (self.kw, self.kx, self.N)
@@ -279,37 +310,39 @@ class Convolution:
         i_x = vp3.add_mle(x_full)
         i_w = vp3.add_mle(w_full)
         vp3.add_product((1, 0), [i_e, i_x, i_w])
-        sc3 = sumcheck_prove(vp3, prover.transcript)
-        s2 = list(sc3.proof.point)
-        s2_k, s2_j, s2_i = s2[:log_t], s2[log_t : log_t + log_j], s2[log_t + log_j :]
-        x_eval = sc3.final_evals[1]
-        w_eval = sc3.final_evals[2]
+        sc3 = prove_device(vp3, dt)
+        s2 = sc3.proof.point
+        s2_j = glue.prefix(glue.suffix(s2, log_t), log_j)
+        x_eval = glue.at(sc3.final_evals, 1)
+        w_eval = glue.at(sc3.final_evals, 2)
 
         prover.commit_prover.add_common_claims(
             node_id,
             {
-                WEIGHT_POLY_ID: Claim(point=list(s2), eval=w_eval),
-                BIAS_POLY_ID: Claim(point=list(s0_i), eval=bias_eval),
+                WEIGHT_POLY_ID: glue.DevClaim(point=s2, eval=w_eval),
+                BIAS_POLY_ID: glue.DevClaim(point=s0_i, eval=bias_eval),
             },
         )
 
         # 5. FFT sumcheck over t: X~(s2_k, s2_j) = Σ_t φ_fft[t]·x̃~(t, s2_j)
-        phi_fft = phi_row_ext(s2_k, omega, self.N, scale=1)
+        s2_k = glue.prefix(s2, log_t)
+        phi_fft = _phi_row_kernel(s2_k, omega, self.N, 1, log_t)
         xt_flat = gf.from_u64(Q.to_field(xt.reshape(-1)))  # (j high, t low)
-        xt_fixed = mle_mod.fix_high_pairs(xt_flat, s2_j)
+        xt_fixed = mle_mod._fix_high_kernel(xt_flat, s2_j, log_j)
         vp4 = VirtualPolynomial.new(log_t)
         i_pf = vp4.add_mle(phi_fft)
         i_xt = vp4.add_mle(xt_fixed)
         vp4.add_product((1, 0), [i_pf, i_xt])
-        sc4 = sumcheck_prove(vp4, prover.transcript)
-        s3 = list(sc4.proof.point)
-        xt_eval = sc4.final_evals[1]
+        sc4 = prove_device(vp4, dt)
+        s3 = sc4.proof.point
+        xt_eval = glue.at(sc4.final_evals, 1)
 
         # 6. x̃ → x closed form: x̃~(s3_p, s3_top, r_j) = (1−s3_top)·x~(1−s3_p, r_j)
-        s3_p, s3_top = s3[:-1], s3[-1]
-        inv_top = host.ext_inv(_one_minus(s3_top))
-        x_eval_final = host.ext_mul(xt_eval, inv_top)
-        x_point = [_one_minus(pq) for pq in s3_p] + list(s2_j)
+        s3_p = glue.prefix(s3, log_t - 1)
+        s3_top = glue.at(s3, log_t - 1)
+        inv_top = glue.ext_inv(glue.sub(glue.one(), s3_top))
+        x_eval_final = glue.mul(xt_eval, inv_top)
+        x_point = glue.concat_points([_one_minus_arr(s3_p), s2_j])
 
         prover.push_proof(
             node_id,
@@ -321,7 +354,7 @@ class Convolution:
                 bias_eval=bias_eval,
             ),
         )
-        return [Claim(point=x_point, eval=x_eval_final)]
+        return [glue.DevClaim(point=x_point, eval=x_eval_final)]
 
 
 @dataclasses.dataclass

@@ -77,13 +77,20 @@ class Dense:
         )
 
     # -- proving ------------------------------------------------------------
-    def prove(self, node_id: int, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
-        bias_gf = gf.from_u64(Q.to_field(self.bias))
-        bias_eval = mle_mod.evaluate_pairs(bias_gf, last_claim.point)
+    def prove(self, node_id: int, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
 
-        mat_gf = gf.from_u64(Q.to_field(self.matrix.reshape(-1)))
-        w_fixed = mle_mod.fix_high_pairs(mat_gf, last_claim.point)  # GF2 over col vars
+        last_claim = glue.DevClaim.from_host(last_claims[0]) if not isinstance(
+            last_claims[0], glue.DevClaim
+        ) else last_claims[0]
+        pt = last_claim.point  # GF2 (row vars,)
+        # reuse the polys committed at setup (no re-put of the weights)
+        comms = prover.ctx.commitment_ctx.model_comms[node_id]
+        mat_gf = comms[WEIGHT_POLY_ID][1]
+        bias_gf = comms[BIAS_POLY_ID][1]
+        bias_eval = mle_mod._evaluate_kernel(bias_gf, pt, pt.shape[0])
+        w_fixed = mle_mod._fix_high_kernel(mat_gf, pt, pt.shape[0])
         x_gf = step_data.inputs[0].to_gf()
 
         n = x_gf.shape[0].bit_length() - 1
@@ -91,14 +98,16 @@ class Dense:
         iw = vp.add_mle(w_fixed)
         ix = vp.add_mle(x_gf)
         vp.add_product((1, 0), [iw, ix])
-        out = sumcheck_prove(vp, prover.transcript)
+        out = prove_device(vp, prover.dt)
 
-        w_point = list(out.proof.point) + list(last_claim.point)
+        w_point = glue.concat_points([out.proof.point, pt])
         prover.commit_prover.add_common_claims(
             node_id,
             {
-                WEIGHT_POLY_ID: Claim(point=w_point, eval=out.final_evals[0]),
-                BIAS_POLY_ID: Claim(point=list(last_claim.point), eval=bias_eval),
+                WEIGHT_POLY_ID: glue.DevClaim(
+                    point=w_point, eval=glue.at(out.final_evals, 0)
+                ),
+                BIAS_POLY_ID: glue.DevClaim(point=pt, eval=bias_eval),
             },
         )
         prover.push_proof(
@@ -109,7 +118,9 @@ class Dense:
                 individual_claims=out.final_evals,
             ),
         )
-        return [Claim(point=list(out.proof.point), eval=out.final_evals[1])]
+        return [
+            glue.DevClaim(point=out.proof.point, eval=glue.at(out.final_evals, 1))
+        ]
 
 
 @dataclasses.dataclass

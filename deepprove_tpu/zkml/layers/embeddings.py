@@ -56,16 +56,19 @@ class Positional:
         }
         return PositionalCtx(node_id=node_id)
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
-        p_gf = gf.from_u64(Q.to_field(self.table.reshape(-1)))
-        p_eval = mle_mod.evaluate_pairs(p_gf, last_claim.point)
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+
+        last_claim = glue.as_dev(last_claims[0])
+        pt = last_claim.point
+        p_gf = prover.ctx.commitment_ctx.model_comms[node_id][POS_POLY_ID][1]
+        p_eval = mle_mod._evaluate_kernel(p_gf, pt, pt.shape[0])
         prover.commit_prover.add_common_claims(
-            node_id, {POS_POLY_ID: Claim(point=list(last_claim.point), eval=p_eval)}
+            node_id, {POS_POLY_ID: glue.DevClaim(point=pt, eval=p_eval)}
         )
-        in_eval = host.ext_sub(last_claim.eval, p_eval)
+        in_eval = glue.sub(last_claim.eval, p_eval)
         prover.push_proof(node_id, PositionalProof(p_eval=p_eval))
-        return [Claim(point=list(last_claim.point), eval=in_eval)]
+        return [glue.DevClaim(point=pt, eval=in_eval)]
 
 
 @dataclasses.dataclass
@@ -123,43 +126,43 @@ class Embeddings:
             log_d=ceil_log2(self.table.shape[1]),
         )
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+
+        last_claim = glue.as_dev(last_claims[0])
         tokens = step_data.inputs[0].data.reshape(-1)
         v, d = self.table.shape
         log_d, log_v = ceil_log2(d), ceil_log2(v)
         t_padded = next_pow2(max(1, tokens.size))
         log_t = ceil_log2(t_padded)
-        r_d = last_claim.point[:log_d]
-        r_t = last_claim.point[log_d:]
-        assert len(r_t) == log_t, (len(last_claim.point), log_d, log_t)
+        assert len(last_claim.point) == log_d + log_t
+        r_d = glue.prefix(last_claim.point, log_d)
+        r_t = glue.suffix(last_claim.point, log_d)
 
-        # S(r_t, ·): scatter eq(r_t) rows at token columns
-        eq_t = mle_mod.eq_table_pairs(r_t)  # (T,)
-        a0, a1 = gf.ext_to_u64(eq_t)
-        s_a0 = np.zeros(v, dtype=object)
-        s_a1 = np.zeros(v, dtype=object)
-        for t, tok in enumerate(tokens):
-            s_a0[int(tok)] = (int(s_a0[int(tok)]) + int(a0[t])) % host.P
-            s_a1[int(tok)] = (int(s_a1[int(tok)]) + int(a1[t])) % host.P
-        s_fixed = gf.ext_from_u64(
-            s_a0.astype(np.uint64), s_a1.astype(np.uint64)
-        )
+        # S(r_t, ·): scatter eq(r_t) rows at token columns (device; tokens
+        # are static so the scatter unrolls to static-index adds)
+        eq_t = mle_mod._eq_table_kernel(r_t, glue.one(), log_t)  # (T,)
+        s_fixed = _scatter_tokens_kernel(eq_t, tuple(int(t) for t in tokens), v)
 
-        e_gf = gf.from_u64(Q.to_field(self.table.reshape(-1)))
-        e_fixed = mle_mod.fix_low_pairs(e_gf, r_d)  # over v vars
+        e_gf = prover.ctx.commitment_ctx.model_comms[node_id][EMB_POLY_ID][1]
+        e_fixed = mle_mod._fix_low_kernel(e_gf, r_d, log_d)  # over v vars
 
         vp = VirtualPolynomial.new(log_v)
         i_s = vp.add_mle(s_fixed)
         i_e = vp.add_mle(e_fixed)
         vp.add_product((1, 0), [i_s, i_e])
-        out = sumcheck_prove(vp, prover.transcript)
-        s_v = list(out.proof.point)
+        out = prove_device(vp, prover.dt)
+        s_v = out.proof.point
 
-        e_claim_point = list(r_d) + s_v
+        e_claim_point = glue.concat_points([r_d, s_v])
         prover.commit_prover.add_common_claims(
             node_id,
-            {EMB_POLY_ID: Claim(point=e_claim_point, eval=out.final_evals[1])},
+            {
+                EMB_POLY_ID: glue.DevClaim(
+                    point=e_claim_point, eval=glue.at(out.final_evals, 1)
+                )
+            },
         )
         prover.push_proof(
             node_id,
@@ -168,7 +171,46 @@ class Embeddings:
         # token input claim: verifier recomputes S~ itself from the public
         # tokens — propagate the tokens claim as a pass-through zero-check:
         # the tokens tensor is a model input, checked directly in verify().
-        return [Claim(point=list(r_t), eval=_tokens_eval(tokens, r_t))]
+        return [glue.DevClaim(point=r_t, eval=_tokens_eval_dev(tokens, r_t))]
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("tokens", "v"))
+def _scatter_tokens_kernel(eq_t: gf.GF2, tokens: tuple, v: int) -> gf.GF2:
+    """S~(·, r_t) column: out[vocab] = Σ_{t: token_t = vocab} eq_t[t]."""
+    import jax
+
+    out = gf.ext_zeros((v,))
+
+    def upd(arr, i, val):
+        return jax.lax.dynamic_update_index_in_dim(arr, val, i, 0)
+
+    for t, tok in enumerate(tokens):
+        e = gf.GF2(
+            gf.GF(eq_t.a0.lo[t], eq_t.a0.hi[t]), gf.GF(eq_t.a1.lo[t], eq_t.a1.hi[t])
+        )
+        cur = gf.GF2(
+            gf.GF(out.a0.lo[tok], out.a0.hi[tok]), gf.GF(out.a1.lo[tok], out.a1.hi[tok])
+        )
+        s = gf.ext_add(cur, e)
+        out = gf.GF2(
+            gf.GF(upd(out.a0.lo, tok, s.a0.lo), upd(out.a0.hi, tok, s.a0.hi)),
+            gf.GF(upd(out.a1.lo, tok, s.a1.lo), upd(out.a1.hi, tok, s.a1.hi)),
+        )
+    return out
+
+
+def _tokens_eval_dev(tokens: np.ndarray, r_t: gf.GF2) -> gf.GF2:
+    t_padded = next_pow2(max(1, tokens.size))
+    padded = np.zeros(t_padded, dtype=np.int64)
+    padded[: tokens.size] = tokens
+    return mle_mod._evaluate_kernel(
+        gf.from_u64(Q.to_field(padded)), r_t, r_t.shape[0]
+    )
 
 
 def _tokens_eval(tokens: np.ndarray, r_t) -> ExtPair:

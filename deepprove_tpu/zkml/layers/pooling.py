@@ -84,60 +84,65 @@ class Maxpool2D:
         )
         return [wit], {TableType("range"): counts}
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+        from ...sumcheck.prover import _bucket
+
+        dt = prover.dt
+        last_claim = glue.as_dev(last_claims[0])
         (wit,) = prover.lookup_witnesses_for(node_id)
         logup_input = wit.get_logup_input(prover.challenge_storage)
-        lookup_proof = logup.batch_prove(logup_input, prover.transcript)
+        lookup_proof = logup.batch_prove_device(logup_input, dt)
 
         diffs = wit.column_evals  # 4 GF arrays in O layout
         out_gf = wit.commits[4][1]
         num_vars = diffs[0].shape[0].bit_length() - 1
 
-        bc = prover.transcript.get_and_append_challenge(b"batch_pooling")
+        bc = dt.get_and_append_challenge(b"batch_pooling")
         lookup_point = lookup_proof.output_claims[0].point
-        beta = mle_mod.eq_table_pairs(lookup_point)
-        last_beta = mle_mod.eq_table_pairs(last_claim.point)
+        one = glue.one()
+        beta = mle_mod._eq_table_kernel(lookup_point, one, num_vars)
+        last_beta = mle_mod._eq_table_kernel(last_claim.point, one, num_vars)
 
         vp = VirtualPolynomial.new(num_vars)
         i_d = [vp.add_mle(d) for d in diffs]
         i_beta = vp.add_mle(beta)
         i_out = vp.add_mle(out_gf)
         i_lb = vp.add_mle(last_beta)
-        # zerocheck: eq·Πdiffs (degree 5)
+        # zerocheck: eq·Πdiffs (degree 5); coeffs = [1, bc, bc², …, bc⁵]
         vp.add_product((1, 0), i_d + [i_beta])
-        comb = bc
         for k in range(4):
-            vp.add_product(comb, [i_d[k], i_beta])
-            comb = host.ext_mul(comb, bc)
-        vp.add_product(comb, [i_out, i_lb])
+            vp.add_product((1, 0), [i_d[k], i_beta])
+        vp.add_product((1, 0), [i_out, i_lb])
+        vp.coeffs_dev = glue.powers_padded(
+            bc, len(vp.products), _bucket(len(vp.products))
+        )
 
-        out = sumcheck_prove(vp, prover.transcript)
-        zc_point = list(out.proof.point)
-        diff_evals = out.final_evals[:4]
-        output_eval = out.final_evals[5]
-        zerocheck_evals = diff_evals + [output_eval]
+        out = prove_device(vp, dt)
+        zc_point = out.proof.point
+        diff_evals = glue.prefix(out.final_evals, 4)
+        output_eval = glue.at(out.final_evals, 5)
+        zerocheck_evals = glue.concat(
+            (diff_evals, output_eval.reshape((1,)))
+        )
 
         commitments = []
-        for (comm, poly), ev in zip(wit.commits, zerocheck_evals):
+        for i, (comm, poly) in enumerate(wit.commits):
             prover.commit_prover.add_witness_claim(
-                (comm, poly), Claim(point=list(zc_point), eval=ev)
+                (comm, poly),
+                glue.DevClaim(point=zc_point, eval=glue.at(zerocheck_evals, i)),
             )
             commitments.append(comm.commitment)
 
         # reconstruct the input claim with fresh kernel-parity challenges
-        r1 = prover.transcript.get_and_append_challenge(b"input_batching")
-        r2 = r1  # reference uses [chal; 2] — the SAME challenge twice
+        r1 = dt.get_and_append_challenge(b"input_batching")
         in_w = _pad3(step_data.inputs[0].data).shape[2]
         gap = ceil_log2(in_w) - 1
-        mults = _parity_multiplicands(r1, r2)
-        in_eval = (0, 0)
-        for k in range(4):
-            in_eval = host.ext_add(
-                in_eval,
-                host.ext_mul(mults[k], host.ext_sub(output_eval, diff_evals[k])),
-            )
-        point = [r1] + zc_point[:gap] + [r2] + zc_point[gap:]
+        in_eval = _pool_input_eval_kernel(r1, output_eval, diff_evals)
+        point = glue.concat_points(
+            [r1, glue.prefix(zc_point, gap), r1, glue.suffix(zc_point, gap)]
+        )
 
         prover.push_proof(
             node_id,
@@ -149,7 +154,27 @@ class Maxpool2D:
                 commitments=commitments,
             ),
         )
-        return [Claim(point=point, eval=in_eval)]
+        return [glue.DevClaim(point=point, eval=in_eval)]
+
+
+import jax as _jax
+
+
+@_jax.jit
+def _pool_input_eval_kernel(r1: gf.GF2, output_eval: gf.GF2, diff_evals: gf.GF2):
+    """Σ_k mult_k(r1, r1)·(output − diff_k) — device (pooling.rs:462-520)."""
+    one = gf.ext_ones(())
+    omr = gf.ext_sub(one, r1)
+    mults = gf.ext_stack(
+        [
+            gf.ext_mul(omr, omr),
+            gf.ext_mul(omr, r1),
+            gf.ext_mul(r1, omr),
+            gf.ext_mul(r1, r1),
+        ]
+    )
+    ob = gf.ext_broadcast_to(output_eval.reshape((1,)), diff_evals.shape)
+    return gf.ext_sum_axis(gf.ext_mul(mults, gf.ext_sub(ob, diff_evals)), 0)
 
 
 def _parity_multiplicands(r1: ExtPair, r2: ExtPair) -> list[ExtPair]:

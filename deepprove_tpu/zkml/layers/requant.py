@@ -93,25 +93,35 @@ class Requant:
         ]
         return wits, {TableType("range"): range_counts, clamp_tt: clamp_counts}
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+        from ...sumcheck.prover import _bucket
+
         spec = self.spec
-        last_claim = last_claims[0]
+        dt = prover.dt
+        last_claim = glue.as_dev(last_claims[0])
         clamping_wit, shifted_wit = prover.lookup_witnesses_for(node_id)
 
         clamping_input = clamping_wit.get_logup_input(prover.challenge_storage)
         shifted_input = shifted_wit.get_logup_input(prover.challenge_storage)
-        clamping_proof = logup.batch_prove(clamping_input, prover.transcript)
-        shifted_proof = logup.batch_prove(shifted_input, prover.transcript)
+        clamping_proof = logup.batch_prove_device(clamping_input, dt)
+        shifted_proof = logup.batch_prove_device(shifted_input, dt)
 
-        bc = prover.transcript.get_and_append_challenge(b"requant_batching")
+        bc = dt.get_and_append_challenge(b"requant_batching")
 
         clamp_cols = clamping_wit.column_evals  # [in, out]
         chunk_cols = shifted_wit.column_evals
         num_vars = clamp_cols[0].shape[0].bit_length() - 1
 
-        clamping_beta = mle_mod.eq_table_pairs(clamping_proof.output_claims[0].point)
-        last_beta = mle_mod.eq_table_pairs(last_claim.point)
-        shifted_beta = mle_mod.eq_table_pairs(shifted_proof.output_claims[0].point)
+        one = glue.one()
+        clamping_beta = mle_mod._eq_table_kernel(
+            clamping_proof.output_claims[0].point, one, num_vars
+        )
+        last_beta = mle_mod._eq_table_kernel(last_claim.point, one, num_vars)
+        shifted_beta = mle_mod._eq_table_kernel(
+            shifted_proof.output_claims[0].point, one, num_vars
+        )
 
         # storage order: [clamp_out, last_beta, clamping_beta, clamp_in,
         # shifted_beta, chunk_0, chunk_1, …] (requant.rs:612-627 dedup order)
@@ -123,28 +133,38 @@ class Requant:
         i_sb = vp.add_mle(shifted_beta)
         chunk_idx = [vp.add_mle(c) for c in chunk_cols]
 
+        # coefficients are the contiguous powers [1, bc, bc², …]
         vp.add_product((1, 0), [i_out, i_lb])
-        vp.add_product(bc, [i_out, i_cb])
-        combiner = host.ext_mul(bc, bc)
-        vp.add_product(combiner, [i_in, i_cb])
+        vp.add_product((1, 0), [i_out, i_cb])
+        vp.add_product((1, 0), [i_in, i_cb])
         for ic in chunk_idx:
-            combiner = host.ext_mul(combiner, bc)
-            vp.add_product(combiner, [i_sb, ic])
+            vp.add_product((1, 0), [i_sb, ic])
+        vp.coeffs_dev = glue.powers_padded(
+            bc, len(vp.products), _bucket(len(vp.products))
+        )
 
-        out = sumcheck_prove(vp, prover.transcript)
-        point = list(out.proof.point)
-        clamp_out_eval = out.final_evals[0]
-        clamp_in_eval = out.final_evals[3]
-        shifted_evals = out.final_evals[5:]
+        out = prove_device(vp, dt)
+        point = out.proof.point
+        clamp_in_eval = glue.at(out.final_evals, 3)
+        shifted_evals = glue.take(
+            out.final_evals, tuple(range(5, 5 + len(chunk_cols)))
+        )
 
-        combined_eval = recombine_claims(spec, clamp_in_eval, shifted_evals)
+        combined_eval = _recombine_kernel(
+            clamp_in_eval, shifted_evals,
+            spec_shift=spec.shift,
+            fpm=spec.fixed_point_multiplier,
+            bit_len=Q.BIT_LEN,
+        )
 
-        accumulation_evals = [clamp_in_eval, clamp_out_eval] + list(shifted_evals)
+        acc_idx = (3, 0) + tuple(range(5, 5 + len(chunk_cols)))
+        accumulation_evals = glue.take(out.final_evals, acc_idx)
         commitments = []
         all_commits = list(clamping_wit.commits) + list(shifted_wit.commits)
-        for (comm, poly), ev in zip(all_commits, accumulation_evals):
+        for i, (comm, poly) in enumerate(all_commits):
             prover.commit_prover.add_witness_claim(
-                (comm, poly), Claim(point=list(point), eval=ev)
+                (comm, poly),
+                glue.DevClaim(point=point, eval=glue.at(accumulation_evals, i)),
             )
             commitments.append(comm.commitment)
 
@@ -158,7 +178,35 @@ class Requant:
                 commitments=commitments,
             ),
         )
-        return [Claim(point=point, eval=combined_eval)]
+        return [glue.DevClaim(point=point, eval=combined_eval)]
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("spec_shift", "fpm", "bit_len"))
+def _recombine_kernel(
+    clamp_in_eval: gf.GF2, shifted_evals: gf.GF2, spec_shift: int, fpm: int,
+    bit_len: int,
+):
+    """Device recombine_claims (requant.rs:499):
+    fpm⁻¹·(clamp_in·2^shift + Σ chunk_j·2^(j·B) − 2^(shift−1))."""
+    p = host.P
+    k = shifted_evals.shape[0]
+    shift_c = gf.full((), (1 << spec_shift) % p)
+    acc = mle_mod.ext_mul_by_base(clamp_in_eval, shift_c)
+    w = gf.from_u64(
+        np.asarray([pow(1 << bit_len, j, p) for j in range(k)], dtype=np.uint64)
+    )
+    acc = gf.ext_add(
+        acc, gf.ext_sum_axis(mle_mod.ext_mul_by_base(shifted_evals, w), 0)
+    )
+    rounding = gf.full((), (1 << (spec_shift - 1)) % p)
+    acc = gf.ext_sub(acc, gf.ext_from_base(rounding))
+    fpm_inv = gf.full((), pow(fpm % p, p - 2, p))
+    return mle_mod.ext_mul_by_base(acc, fpm_inv)
 
 
 def recombine_claims(spec: RequantSpec, clamp_in_eval, shifted_evals) -> ExtPair:

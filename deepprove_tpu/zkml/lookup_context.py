@@ -53,6 +53,16 @@ class TableType:
             return f"Zero: {self.params[0]}"
         if self.kind == "error":
             return f"Error Table - quantised one: {self.params[0]}, allowable error: {self.params[1]}"
+        if self.kind == "softmax":
+            import struct as _s
+
+            t = _s.unpack("<f", _s.pack("<I", self.params[0]))[0]
+            return f"Softmax - temperature: {t}"
+        if self.kind == "inv_sqrt":
+            import struct as _s
+
+            e = _s.unpack("<f", _s.pack("<I", self.params[0]))[0]
+            return f"InverseSQRT - normalisation: {e}, shift: {self.params[1]}"
         return self.kind
 
     # -- table columns ------------------------------------------------------
@@ -85,21 +95,47 @@ class TableType:
             i, out = _gelu_rows(self.params)
             merged = i + out * COLUMN_SEPARATOR
             return merged, [Q.to_field(i), Q.to_field(out)]
+        if self.kind == "softmax":
+            # exp table (context.rs:232-248): rows j ∈ [0, 2^size) with
+            # out = round(2^12·exp(−j·2^(24−8)/(2^24·T))) for j·base < bkm
+            i, out = _softmax_rows(self.params)
+            merged = i + out * COLUMN_SEPARATOR
+            return merged, [Q.to_field(i), Q.to_field(out)]
+        if self.kind == "error":
+            # single column quant_one−err ..= quant_one+err, zero-padded to
+            # the next pow2 of 2·err (context.rs:249-265)
+            col = _error_rows(self.params)
+            return col.copy(), [Q.to_field(col)]
+        if self.kind == "inv_sqrt":
+            i, out = _inv_sqrt_rows(self.params)
+            merged = i + out * COLUMN_SEPARATOR
+            return merged, [Q.to_field(i), Q.to_field(out)]
         raise NotImplementedError(self.kind)
 
     def multiplicity_poly_vars(self) -> int:
         if self.kind in ("relu", "range", "gelu"):
             return Q.BIT_LEN
-        if self.kind in ("clamping", "zero"):
+        if self.kind == "clamping":
             return self.params[0]
+        if self.kind == "zero":
+            return self.params[0]
+        if self.kind == "softmax":
+            return self.params[1]
+        if self.kind == "error":
+            return ceil_log2(2 * self.params[1])
+        if self.kind == "inv_sqrt":
+            return 2 * (Q.BIT_LEN - 1) + 1
         raise NotImplementedError(self.kind)
 
     def committed_columns(self):
-        """Tables whose output column must be PCS-committed (GELU,
-        context.rs:495-501)."""
-        if self.kind == "gelu":
+        """Tables whose output column must be PCS-committed
+        (context.rs:495-546: GELU, Softmax, ErrorTable, InverseSQRT)."""
+        if self.kind in ("gelu", "softmax", "inv_sqrt"):
             _, cols = self.table_columns()
             return gf.from_u64(cols[1])
+        if self.kind == "error":
+            _, cols = self.table_columns()
+            return gf.from_u64(cols[0])
         return None
 
     def generate_challenge(self, transcript: BasicTranscript) -> ExtPair:
@@ -114,6 +150,10 @@ class TableType:
             return transcript.get_and_append_challenge(b"Clamping")
         if self.kind == "zero":
             return transcript.get_and_append_challenge(b"Zero")
+        if self.kind == "softmax":
+            return transcript.get_and_append_challenge(b"Softmax")
+        if self.kind == "inv_sqrt":
+            return transcript.get_and_append_challenge(b"InverseSQRT")
         raise NotImplementedError(self.kind)
 
     def evaluate_table_columns(self, point: list[ExtPair]) -> list[ExtPair]:
@@ -153,6 +193,26 @@ class TableType:
             _, cols = self.table_columns()
             second = mle_mod.evaluate_pairs(gf.from_u64(cols[1]), point)
             return [first, second]
+        if self.kind == "zero":
+            bits = self.params[0]
+            assert len(point) == bits
+            # out column: 1 iff all bits zero → Π (1 − p_i)
+            prod = (1, 0)
+            for p in point:
+                prod = host.ext_mul(prod, host.ext_sub((1, 0), p))
+            return [ident(point), prod]
+        if self.kind == "softmax":
+            assert len(point) == self.params[1]
+            return [ident(point)]  # in column is the identity; out committed
+        if self.kind == "error":
+            return []  # the single column is committed
+        if self.kind == "inv_sqrt":
+            assert len(point) == 2 * (Q.BIT_LEN - 1) + 1
+            # rows run table_min..table_max: value = ident − 2^(2(B−1))
+            first = host.ext_sub(
+                ident(point), ((1 << (2 * (Q.BIT_LEN - 1))) % host.P, 0)
+            )
+            return [first]
         raise NotImplementedError(self.kind)
 
     def table_claims(self, claims: list) -> list:
@@ -160,6 +220,29 @@ class TableType:
         if self.kind in ("softmax", "error", "inv_sqrt", "gelu"):
             return [claims[-1]]
         return []
+
+    # -- transformer-table constructors -------------------------------------
+
+    @staticmethod
+    def softmax(inv_temperature: float, table_size: int, bkm: int) -> "TableType":
+        import struct as _s
+
+        return TableType(
+            "softmax",
+            (_s.unpack("<I", _s.pack("<f", inv_temperature))[0], table_size, bkm),
+        )
+
+    @staticmethod
+    def error(quant_one: int, allowable_error: int) -> "TableType":
+        return TableType("error", (quant_one, allowable_error))
+
+    @staticmethod
+    def inv_sqrt(eps: float, range_check_bits: int) -> "TableType":
+        import struct as _s
+
+        return TableType(
+            "inv_sqrt", (_s.unpack("<I", _s.pack("<f", eps))[0], range_check_bits)
+        )
 
 
 @dataclasses.dataclass
@@ -203,6 +286,62 @@ class LogUpWitness:
         return logup.LogUpInput.new_lookup(
             self.column_evals, const_c, sep_c, self.columns_per_instance
         )
+
+
+LOG_SCALE_FACTOR = 24  # softmax.rs:55
+SCALE_FACTOR = 1 << LOG_SCALE_FACTOR
+OUTPUT_SCALE_FACTOR = 1 << 12  # softmax.rs:60
+LOG_LAYERNORM_SCALE_FACTOR = 24  # layernorm.rs:61
+LAYERNORM_SCALE_FACTOR = 1 << LOG_LAYERNORM_SCALE_FACTOR
+LAYERNORM_OUTPUT_SCALE_FACTOR = 1 << 10  # layernorm.rs:65
+
+
+def _softmax_rows(params):
+    """Softmax exp table (context.rs:232, SoftmaxTableData::table_output)."""
+    import struct as _s
+
+    inv_temp = _s.unpack("<f", _s.pack("<I", params[0]))[0]
+    table_size, bkm = params[1], params[2]
+    j = np.arange(0, 1 << table_size, dtype=np.int64)
+    base = np.int64(1 << (LOG_SCALE_FACTOR - 8))
+    prod = base * j
+    f = np.exp(
+        -(prod.astype(np.float32)) / (np.float32(SCALE_FACTOR) * np.float32(inv_temp))
+    )
+    out = np.round(f * np.float32(OUTPUT_SCALE_FACTOR)).astype(np.int64)
+    out = np.where(prod >= bkm, 0, out)
+    return j, out
+
+
+def _error_rows(params):
+    """ErrorTable rows: quant_one−err ..= quant_one+err, zero-padded
+    (context.rs:249-265)."""
+    quant_one, err = params
+    vals = np.arange(quant_one - err, quant_one + err + 1, dtype=np.int64)
+    size = 1 << ceil_log2(2 * err)
+    out = np.zeros(size, dtype=np.int64)
+    out[: vals.size] = vals[:size]
+    return out
+
+
+def _inv_sqrt_rows(params):
+    """InverseSQRT table (context.rs InverseSQRTTableData::table_output):
+    rows −2^(2(B−1)) .. 2^(2(B−1)), out = round(2^10/sqrt(v·2^rc/2^24 + ε))."""
+    import struct as _s
+
+    eps = _s.unpack("<f", _s.pack("<I", params[0]))[0]
+    rc_bits = params[1]
+    mx = 1 << (2 * (Q.BIT_LEN - 1))
+    i = np.arange(-mx, mx, dtype=np.int64)
+    shifted = (i.astype(np.float64) * float(1 << rc_bits)) / float(
+        LAYERNORM_SCALE_FACTOR
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f = 1.0 / np.sqrt(shifted + eps)
+    out = np.where(
+        np.isfinite(f), np.round(f * LAYERNORM_OUTPUT_SCALE_FACTOR), 0.0
+    ).astype(np.int64)
+    return i, out
 
 
 def _gelu_rows(params):
@@ -267,16 +406,35 @@ def generate_lookup_witnesses(trace, ctx, transcript: BasicTranscript):
     for tt in sorted(element_count.keys()):
         counts = element_count[tt]
         merged, cols = tt.table_columns()
-        mult = np.zeros(len(merged), dtype=np.uint64)
-        for i, val in enumerate(merged):
-            c = counts.get(int(val))
-            if c:
-                mult[i] = c
-        assert len(merged) & (len(merged) - 1) == 0, "table must be pow2"
+        n = len(merged)
+        np2 = 1 << ceil_log2(n)
+        if np2 != n:
+            # non-pow2 table: pad by cyclically REPEATING rows; each row's
+            # multiplicity becomes count/repetitions computed IN THE FIELD
+            # (fractional multiplicities, context.rs:697-718)
+            pad_idx = np.arange(np2) % n
+            merged = np.asarray(merged)[pad_idx]
+            cols = [np.asarray(c)[pad_idx] for c in cols]
         # sanity: every looked-up element must be in the table
         table_set = set(int(v) for v in merged)
         for k in counts:
             assert k in table_set, f"lookup value {k} not in table {tt.name()}"
+        if np2 != n:
+            # occurrences of each merged value in the padded table
+            vals, occ = np.unique(np.asarray(merged, dtype=np.int64), return_counts=True)
+            occ_map = {int(v): int(c) for v, c in zip(vals, occ)}
+            mult = np.zeros(np2, dtype=np.uint64)
+            for i, val in enumerate(merged):
+                c = counts.get(int(val))
+                if c:
+                    k_v = occ_map[int(val)]
+                    mult[i] = (c % host.P) * pow(k_v, host.P - 2, host.P) % host.P
+        else:
+            mult = np.zeros(n, dtype=np.uint64)
+            for i, val in enumerate(merged):
+                c = counts.get(int(val))
+                if c:
+                    mult[i] = c
         mult_gf = gf.from_u64(mult)
         commit = ctx.commitment_ctx.commit(mult_gf)
         table_witnesses.append(
