@@ -77,10 +77,17 @@ def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
     # backward verification loop
     claims_by_layer = {}
     out_nodes = ctx.model.output_nodes()
+
+    def merger(mnid, wire, cands):
+        from ..commit import same_poly_verify
+
+        sp = proof.merges[(mnid, wire)]
+        return same_poly_verify(sp, cands, len(cands[0].point), transcript)
+
     for nid in ctx.backward_order():
         node_ctx = ctx.steps_info[nid]
         claims_for_verify = _claims_for_node(
-            ctx.model, nid, claims_by_layer, out_claims, out_nodes
+            ctx.model, nid, claims_by_layer, out_claims, out_nodes, merger=merger
         )
         if node_ctx.ctx.is_provable:
             claims = node_ctx.ctx.verify(proof.steps[nid], claims_for_verify, v)

@@ -76,10 +76,29 @@ class Model:
 
     def consumers(self, nid: NodeId) -> list[tuple[NodeId, int]]:
         out = []
-        for n in self.nodes.values():
-            for slot, e in enumerate(n.inputs):
+        for cid in sorted(self.nodes):
+            for slot, e in enumerate(self.nodes[cid].inputs):
                 if e.node == nid:
-                    out.append((n.id, slot))
+                    out.append((cid, slot))
+        return out
+
+    def num_outputs(self, nid: NodeId) -> int:
+        """Output-wire count of a node: 1 + max consumed output index."""
+        mx = 0
+        for n in self.nodes.values():
+            for e in n.inputs:
+                if e.node == nid:
+                    mx = max(mx, e.index)
+        return mx + 1
+
+    def consumers_of_wire(self, nid: NodeId, wire: int) -> list[tuple[NodeId, int]]:
+        """(consumer_id, input_slot) edges reading output `wire` of `nid`,
+        in deterministic (consumer id, slot) order."""
+        out = []
+        for cid in sorted(self.nodes):
+            for slot, e in enumerate(self.nodes[cid].inputs):
+                if e.node == nid and e.index == wire:
+                    out.append((cid, slot))
         return out
 
     def run(self, inputs: list[Tensor]) -> InferenceTrace:

@@ -1,0 +1,66 @@
+"""DAG fan-out: one node's output consumed by MULTIPLE nodes.
+
+The residual pattern every transformer block needs (x → [dense, add] with
+add also taking the dense output). Claims from all consumers are merged
+with a same-poly accumulation sumcheck before the producer is proven
+(`_claims_for_node` merger; the reference leaves this unimplemented —
+zkml/src/layers/provable/mod.rs:246 "ToDo: batch claims").
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.add import Add
+from deepprove_tpu.zkml.layers.dense import Dense
+from deepprove_tpu.zkml.model import Edge, Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def _build(dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    model = Model()
+    d0 = Dense(
+        matrix=rng.integers(Q.MIN, Q.MAX + 1, size=(dim, dim)).astype(np.int64),
+        bias=rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64),
+    )
+    n0 = model.add_chain(d0)
+    d1 = Dense(
+        matrix=rng.integers(Q.MIN, Q.MAX + 1, size=(dim, dim)).astype(np.int64),
+        bias=rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64),
+    )
+    n1 = model.add_node(d1, [Edge(node=n0, index=0)])
+    # residual: n0's output feeds BOTH n1 and the add
+    model.add_node(Add(), [Edge(node=n0, index=0), Edge(node=n1, index=0)])
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64))
+    trace = model.run([x])
+    # sanity: residual semantics
+    np.testing.assert_array_equal(
+        trace.outputs[0].data,
+        trace.steps[n0].outputs[0].data + trace.steps[n1].outputs[0].data,
+    )
+    return model, trace, x
+
+
+def test_fanout_residual_prove_verify():
+    model, trace, x = _build()
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    assert proof.merges, "fan-out must produce a same-poly merge proof"
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_fanout_tamper_rejected():
+    model, trace, x = _build(seed=1)
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    # tamper with the merged-claim evaluation
+    (key,) = list(proof.merges.keys())
+    sp = proof.merges[key]
+    e0, e1 = sp.evals[1]
+    sp.evals[1] = ((e0 + 1) % ((1 << 64) - (1 << 32) + 1), e1)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
