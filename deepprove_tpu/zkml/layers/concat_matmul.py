@@ -1,0 +1,323 @@
+"""ConcatMatMul: batched per-head matmul (zkml/src/layers/concat_matmul.rs)
+and Permute (zkml/src/layers/permute.rs), TPU-first.
+
+ConcatMatMul semantics: C[h, m, n] = Σ_k A[h, m, k]·B[h, k, n] (or
+B[h, n, k] with transpose_b), i.e. attention's per-head Q·Kᵀ and P·V.
+The output claim C~(ρ_n, ρ_m, ρ_h) reduces with ONE degree-3 sumcheck
+over (k, h):
+    Σ_{k,h} eq(ρ_h, h)·A~(k, ρ_m, h)·B~(ρ_n, k, h)
+where the m (resp. n) variables sit in the MIDDLE of the little-endian
+layouts and are fixed by a middle-axis fold. Final evals become claims
+on A at (k_pt ‖ ρ_m ‖ h_pt) and B at (ρ_n ‖ k_pt ‖ h_pt) — witness
+claims passed to the producers (both operands are witnesses here; the
+reference's permutation plumbing is handled by the separate Permute
+layer, which rewires claim points without any proof).
+
+Permute: transposing axes of a pow2-shaped tensor permutes the
+little-endian variable BLOCKS of its MLE, so a claim on the output is
+exactly a claim on the input with re-ordered point blocks — no sumcheck,
+mirroring the reference's shape-only treatment (permute.rs:56).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, verify as sumcheck_verify
+from .. import quantization as Q
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+
+@partial(jax.jit, static_argnames=("shape", "axis", "npt"))
+def _fix_axis_kernel(values, pt: gf.GF2, shape: tuple, axis: int, npt: int):
+    """Fold an ext point into ONE axis of a multi-dim MLE (low bit first).
+
+    values: GF flat array viewed as `shape` (row-major); returns the flat
+    ext array with that axis reduced to 1 (then squeezed)."""
+    v = values.reshape(shape)
+    cur = mle_mod.to_ext(v) if not isinstance(v, gf.GF2) else v
+    for i in range(npt):
+        r = gf.GF2(
+            gf.GF(pt.a0.lo[i], pt.a0.hi[i]), gf.GF(pt.a1.lo[i], pt.a1.hi[i])
+        )
+        sh = cur.shape
+        ns = sh[:axis] + (sh[axis] // 2, 2) + sh[axis + 1 :]
+        p = cur.reshape(ns)
+        idx_lo = [slice(None)] * len(ns)
+        idx_hi = [slice(None)] * len(ns)
+        idx_lo[axis + 1] = 0
+        idx_hi[axis + 1] = 1
+        lo, hi = p[tuple(idx_lo)], p[tuple(idx_hi)]
+        rb = gf.ext_broadcast_to(r.reshape((1,) * lo.ndim), lo.shape)
+        cur = gf.ext_add(lo, gf.ext_mul(rb, gf.ext_sub(hi, lo)))
+    return cur.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("reps",))
+def _repeat_each(arr: gf.GF2, reps: int) -> gf.GF2:
+    import jax.numpy as jnp
+
+    def rep(a):
+        return jnp.repeat(a, reps)
+
+    return gf.GF2(
+        gf.GF(rep(arr.a0.lo), rep(arr.a0.hi)),
+        gf.GF(rep(arr.a1.lo), rep(arr.a1.hi)),
+    )
+
+
+@dataclasses.dataclass
+class ConcatMatMul:
+    """C[h,m,n] = Σ_k A[h,m,k]·B[h,k,n]; transpose_b → B[h,n,k]."""
+
+    transpose_b: bool = False
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        a = np.asarray(inputs[0].data, dtype=np.int64)
+        b = np.asarray(inputs[1].data, dtype=np.int64)
+        assert a.ndim == 3 and b.ndim == 3
+        if self.transpose_b:
+            c = np.einsum("hmk,hnk->hmn", a, b)
+        else:
+            c = np.einsum("hmk,hkn->hmn", a, b)
+        return [Tensor(c)]
+
+    def output_bitsize(self) -> int:
+        return 2 * (Q.BIT_LEN - 1) + 14
+
+    def step_info(self, node_id: int, aux):
+        return ConcatMatMulCtx(node_id=node_id, transpose_b=self.transpose_b)
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+
+        last_claim = glue.as_dev(last_claims[0])
+        a = np.asarray(step_data.inputs[0].data, dtype=np.int64)
+        b = np.asarray(step_data.inputs[1].data, dtype=np.int64)
+        h, m, k = a.shape
+        if self.transpose_b:
+            h2, n, k2 = b.shape
+        else:
+            h2, k2, n = b.shape
+        assert h == h2 and k == k2
+        lh, lm, lk, ln = (ceil_log2(x) for x in (h, m, k, n))
+        assert all(x & (x - 1) == 0 for x in (h, m, k, n)), "pow2 dims"
+        assert len(last_claim.point) == ln + lm + lh
+
+        rho_n = glue.prefix(last_claim.point, ln)
+        rho_m = glue.prefix(glue.suffix(last_claim.point, ln), lm)
+        rho_h = glue.suffix(last_claim.point, ln + lm)
+
+        a_gf = gf.from_u64(Q.to_field(a.reshape(-1)))
+        b_gf = gf.from_u64(Q.to_field(b.reshape(-1)))
+        # A (h, m, k): fix m (axis 1) at ρ_m → (h, k) flat (k low, h high)
+        a_fixed = _fix_axis_kernel(a_gf, rho_m, (h, m, k), 1, lm)
+        if self.transpose_b:
+            # B (h, n, k): fix n (axis 1) at ρ_n → (h, k)
+            b_fixed = _fix_axis_kernel(b_gf, rho_n, (h, n, k), 1, ln)
+        else:
+            # B (h, k, n): fix n (axis 2, low vars) at ρ_n → (h, k)
+            b_fixed = _fix_axis_kernel(b_gf, rho_n, (h, k, n), 2, ln)
+
+        one = glue.one()
+        eq_h = mle_mod._eq_table_kernel(rho_h, one, lh)
+        eq_h_rep = _repeat_each(eq_h, k)  # (h·k,) with k low
+
+        vp = VirtualPolynomial.new(lk + lh)
+        i_eq = vp.add_mle(eq_h_rep)
+        i_a = vp.add_mle(a_fixed)
+        i_b = vp.add_mle(b_fixed)
+        vp.add_product((1, 0), [i_eq, i_a, i_b])
+        out = prove_device(vp, prover.dt)
+        s = out.proof.point
+        k_pt, h_pt = glue.prefix(s, lk), glue.suffix(s, lk)
+
+        a_point = glue.concat_points([k_pt, rho_m, h_pt])
+        if self.transpose_b:
+            b_point = glue.concat_points([k_pt, rho_n, h_pt])
+        else:
+            b_point = glue.concat_points([rho_n, k_pt, h_pt])
+        a_claim = glue.DevClaim(point=a_point, eval=glue.at(out.final_evals, 1))
+        b_claim = glue.DevClaim(point=b_point, eval=glue.at(out.final_evals, 2))
+
+        prover.push_proof(
+            node_id,
+            ConcatMatMulProof(
+                sumcheck=out.proof,
+                individual_claims=out.final_evals,
+                dims=(lh, lm, lk, ln),
+            ),
+        )
+        return [a_claim, b_claim]
+
+
+@dataclasses.dataclass
+class ConcatMatMulProof:
+    sumcheck: object
+    individual_claims: list
+    dims: tuple  # (lh, lm, lk, ln)
+
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class ConcatMatMulCtx:
+    node_id: int
+    transpose_b: bool
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: ConcatMatMulProof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        lh, lm, lk, ln = proof.dims
+        rho_n = list(last_claim.point[:ln])
+        rho_m = list(last_claim.point[ln : ln + lm])
+        rho_h = list(last_claim.point[ln + lm :])
+        sub = sumcheck_verify(
+            last_claim.eval, proof.sumcheck.round_messages, lk + lh, 3,
+            verifier.transcript,
+        )
+        s = list(sub.point)
+        k_pt, h_pt = s[:lk], s[lk:]
+        f = proof.individual_claims
+        eq_eval = _eq(rho_h, h_pt)
+        got = host.ext_mul(host.ext_mul(eq_eval, f[1]), f[2])
+        assert got == sub.expected_evaluation, "concat_matmul sumcheck mismatch"
+        assert f[0] == eq_eval, "concat_matmul eq claim mismatch"
+        a_point = k_pt + rho_m + h_pt
+        b_point = (k_pt + rho_n + h_pt) if self.transpose_b else (rho_n + k_pt + h_pt)
+        return [
+            Claim(point=a_point, eval=f[1]),
+            Claim(point=b_point, eval=f[2]),
+        ]
+
+
+def _eq(x, y) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc,
+            host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))),
+        )
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Permute — claim-rewiring only
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Permute:
+    """out = transpose(in, perm); all dims pow2 (permute.rs:56 analogue).
+
+    Claim rewiring: little-endian variable blocks run from the LAST axis
+    (lowest vars) to the first; permuting axes permutes the blocks."""
+
+    perm: tuple
+    in_shape: tuple  # padded pow2 input shape
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        x = np.asarray(inputs[0].data, dtype=np.int64).reshape(self.in_shape)
+        assert all(d & (d - 1) == 0 for d in x.shape), "pow2 dims"
+        return [Tensor(np.transpose(x, self.perm))]
+
+    def step_info(self, node_id: int, aux):
+        out_shape = tuple(self.in_shape[a] for a in self.perm)
+        return PermuteCtx(
+            node_id=node_id, perm=tuple(self.perm),
+            in_shape=tuple(self.in_shape), out_shape=out_shape,
+        )
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+
+        last_claim = glue.as_dev(last_claims[0])
+        in_shape = tuple(self.in_shape)
+        out_shape = tuple(in_shape[a] for a in self.perm)
+        point = _rewire_point_dev(last_claim.point, self.perm, in_shape, out_shape)
+        prover.push_proof(node_id, PermuteProof())
+        return [glue.DevClaim(point=point, eval=last_claim.eval)]
+
+
+def _blocks(shape):
+    """Per-axis (offset, nbits) of little-endian var blocks (last axis low)."""
+    bits = [ceil_log2(d) for d in shape]
+    offs = []
+    off = 0
+    for b in reversed(bits):  # last axis first (lowest vars)
+        offs.append((off, b))
+        off += b
+    return list(reversed(offs))  # index by axis
+
+
+def _rewire_point_dev(point, perm, in_shape, out_shape):
+    from ... import glue
+
+    out_blocks = _blocks(out_shape)
+    # input axis i's block = output block of axis j where perm[j] == i
+    parts = []
+    for in_axis in reversed(range(len(in_shape))):  # build from low vars up
+        j = perm.index(in_axis)
+        off, nb = out_blocks[j]
+        parts.append(glue.prefix(glue.suffix(point, off), nb))
+    return glue.concat_points(parts)
+
+
+def _rewire_point_host(point, perm, in_shape, out_shape):
+    out_blocks = _blocks(out_shape)
+    parts = []
+    for in_axis in reversed(range(len(in_shape))):
+        j = perm.index(in_axis)
+        off, nb = out_blocks[j]
+        parts.append(list(point[off : off + nb]))
+    return [p for blk in parts for p in blk]
+
+
+@dataclasses.dataclass
+class PermuteProof:
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class PermuteCtx:
+    node_id: int
+    perm: tuple
+    in_shape: tuple = None
+    out_shape: tuple = None
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof, last_claims, verifier) -> list[Claim]:
+        last_claim = last_claims[0]
+        # shapes are reconstructed from the number of vars per axis at setup;
+        # the prover stores them on the ctx via set_shapes
+        point = _rewire_point_host(
+            last_claim.point, self.perm, self.in_shape, self.out_shape
+        )
+        return [Claim(point=point, eval=last_claim.eval)]

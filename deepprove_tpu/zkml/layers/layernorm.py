@@ -1,0 +1,523 @@
+"""LayerNorm with InverseSQRT lookup (zkml/src/layers/transformer/
+layernorm.rs — same quantization scheme, TPU-first proof layout).
+
+Quantized semantics (layernorm.rs:394-471): per row of the last dim
+(N = unpadded dim, m = round(2^24·S_in²)):
+    S      = Σ_c x[c]                  (row sum)
+    full   = m·(N·Σ_c x² − S²)         (≥ 0, scaled variance at 2^24)
+    range  = full mod 2^rc             (low bits, range-checked in chunks)
+    inv_in = full >> rc                (2·(B−1)-bit significand)
+    v      = InverseSQRT_table(inv_in) (output scale 2^10)
+    out[c] = γ[c]·(N·x[c] − S)·v + β[c]
+
+Proof layout (ours; reference batches differently, layernorm.rs:789-1010):
+  1. logup: (inv_in, inv_out) ∈ InverseSQRT table; range chunks ∈ Range
+     table (top chunk scaled by 2^tcs to fill BIT_LEN bits).
+  2. io sumcheck at the output claim ρ over (c, r) vars:
+       Σ eq·(N·γ_rep·X·V_rep − γ_rep·S_rep·V_rep + β_rep)
+     binding X, and reducing γ/β to committed-poly claims, V_rep to an
+     inv_out-column claim at u_r, S_rep to an X claim via the half-point
+     row-sum identity S~(q) = 2^k·X~(½..½, q).
+  3. linking sumcheck at u_r proving
+       Σ_j w_j·chunk_j~(u_r) + 2^rc·inv_in~(u_r)
+         = Σ_{c,r} eq_rep·(m·N·X² − m·2^(−k)·S_rep²)
+     which ties the lookup inputs to the actual variance of X.
+  4. all X claims merged into ONE producer claim via same-poly
+     accumulation (commit/same_poly.rs machinery).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup import logup
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, verify as sumcheck_verify
+from .. import quantization as Q
+from ..commit import same_poly_prove_device, same_poly_verify
+from ..lookup_context import (
+    COLUMN_SEPARATOR,
+    LAYERNORM_OUTPUT_SCALE_FACTOR,
+    LAYERNORM_SCALE_FACTOR,
+    LogUpWitness,
+    TableType,
+    _inv_sqrt_rows,
+    count_elements,
+)
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+GAMMA_POLY_ID = "LayerNormGamma"
+BETA_POLY_ID = "LayerNormBeta"
+
+
+@dataclasses.dataclass
+class LayerNorm:
+    """Quantized LayerNorm; γ/β int64 (padded pow2), dim_size = unpadded N."""
+
+    gamma: np.ndarray
+    beta: np.ndarray
+    dim_size: int  # unpadded normalisation dim N
+    multiplier: int  # m = round(2^24·S_in²)  (layernorm.rs:159)
+    eps: float  # rescaled ε = N²·ε_float   (layernorm.rs:182)
+    range_check_bits: int
+
+    def __post_init__(self):
+        g = np.asarray(self.gamma, dtype=np.int64)
+        b = np.asarray(self.beta, dtype=np.int64)
+        d = next_pow2(g.size)
+        gp = np.zeros(d, dtype=np.int64)
+        gp[: g.size] = g
+        bp = np.zeros(d, dtype=np.int64)
+        bp[: b.size] = b
+        self.gamma, self.beta = gp, bp
+        rem = self.range_check_bits % Q.BIT_LEN
+        self.top_chunk_scalar_log = (Q.BIT_LEN - rem) if rem else 0
+        self.n_chunks = (self.range_check_bits - 1) // Q.BIT_LEN + 1
+
+    @staticmethod
+    def from_float(
+        gamma_f: np.ndarray, beta_f: np.ndarray, eps: float, s_in: float,
+        s_gamma: float | None = None,
+    ) -> "LayerNorm":
+        """Quantise per layernorm.rs:140-198."""
+        gamma_f = np.asarray(gamma_f, dtype=np.float64)
+        beta_f = np.asarray(beta_f, dtype=np.float64)
+        n = gamma_f.size
+        if s_gamma is None:
+            s_gamma = max(1e-12, float(np.abs(gamma_f).max())) / Q.MAX
+        multiplier = int(round(LAYERNORM_SCALE_FACTOR * s_in * s_in))
+        full_bits = 2 * (ceil_log2(n) + Q.BIT_LEN - 1) + ceil_log2(max(2, multiplier)) + 1
+        range_check_bits = full_bits - 2 * (Q.BIT_LEN - 1)
+        gamma_q = np.clip(np.round(gamma_f / s_gamma), Q.MIN, Q.MAX).astype(np.int64)
+        s_beta = s_in * s_gamma / LAYERNORM_OUTPUT_SCALE_FACTOR
+        beta_q = np.round(beta_f / s_beta).astype(np.int64)
+        return LayerNorm(
+            gamma=gamma_q, beta=beta_q, dim_size=n, multiplier=multiplier,
+            eps=float(n * n * eps), range_check_bits=range_check_bits,
+        )
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    @property
+    def table_type(self) -> TableType:
+        return TableType.inv_sqrt(self.eps, self.range_check_bits)
+
+    def _table_out(self) -> np.ndarray:
+        _, out = _inv_sqrt_rows(self.table_type.params)
+        return out
+
+    def _rows(self, x: np.ndarray):
+        """Per-row witness data for padded input (R, C)."""
+        n = np.int64(self.dim_size)
+        m = np.int64(self.multiplier)
+        s = x.sum(axis=1)
+        sq = (x * x).sum(axis=1)
+        full = m * (n * sq - s * s)
+        assert (full >= 0).all()
+        mask = np.int64((1 << self.range_check_bits) - 1)
+        rng = full & mask
+        inv_in = full >> np.int64(self.range_check_bits)
+        table_out = self._table_out()
+        mx = 1 << (2 * (Q.BIT_LEN - 1))
+        inv_out = table_out[inv_in + mx]  # table rows start at −2^(2(B−1))
+        return s, full, rng, inv_in, inv_out
+
+    def _pad_input(self, x: np.ndarray) -> np.ndarray:
+        r, c = x.shape
+        out = np.zeros((next_pow2(r), self.gamma.size), dtype=np.int64)
+        out[:r, :c] = x
+        return out
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        x = self._pad_input(np.asarray(inputs[0].data, dtype=np.int64))
+        s, _, _, _, inv_out = self._rows(x)
+        n = np.int64(self.dim_size)
+        out = (
+            self.gamma[None, :] * (n * x - s[:, None]) * inv_out[:, None]
+            + self.beta[None, :]
+        )
+        # zero padded columns explicitly (γ, β already zero there)
+        return [Tensor(out)]
+
+    def output_bitsize(self) -> int:
+        lhs = (
+            ceil_log2(self.dim_size)
+            + 2 * (Q.BIT_LEN - 1)
+            + ceil_log2(LAYERNORM_OUTPUT_SCALE_FACTOR) + 3
+        )
+        return lhs
+
+    def step_info(self, node_id: int, aux):
+        aux.tables.add(TableType("range"))
+        aux.tables.add(self.table_type)
+        aux.model_polys[node_id] = {
+            BETA_POLY_ID: gf.from_u64(Q.to_field(self.beta)),
+            GAMMA_POLY_ID: gf.from_u64(Q.to_field(self.gamma)),
+        }
+        return LayerNormCtx(
+            node_id=node_id,
+            dim_size=self.dim_size,
+            multiplier=self.multiplier,
+            eps=self.eps,
+            range_check_bits=self.range_check_bits,
+            log_c=ceil_log2(self.gamma.size),
+            n_chunks=self.n_chunks,
+            top_chunk_scalar_log=self.top_chunk_scalar_log,
+        )
+
+    def gen_lookup_witness(self, node_id, ctx, step_data):
+        x = self._pad_input(np.asarray(step_data.inputs[0].data, dtype=np.int64))
+        _, _, rng, inv_in, inv_out = self._rows(x)
+
+        bmask = np.int64((1 << Q.BIT_LEN) - 1)
+        chunks = []
+        for j in range(self.n_chunks):
+            c = (rng >> np.int64(j * Q.BIT_LEN)) & bmask
+            if j == self.n_chunks - 1 and self.top_chunk_scalar_log:
+                c = c * np.int64(1 << self.top_chunk_scalar_log)
+            chunks.append(c)
+
+        inv_counts = count_elements(inv_in + inv_out * COLUMN_SEPARATOR)
+        range_counts = count_elements(np.concatenate(chunks))
+
+        inv_cols = [gf.from_u64(Q.to_field(inv_in)), gf.from_u64(Q.to_field(inv_out))]
+        chunk_cols = [gf.from_u64(Q.to_field(c)) for c in chunks]
+        inv_commits = [(ctx.commitment_ctx.commit(c), c) for c in inv_cols]
+        chunk_commits = [(ctx.commitment_ctx.commit(c), c) for c in chunk_cols]
+
+        wits = [
+            LogUpWitness(
+                commits=inv_commits, column_evals=inv_cols,
+                columns_per_instance=2, table_type=self.table_type,
+            ),
+            LogUpWitness(
+                commits=chunk_commits, column_evals=chunk_cols,
+                columns_per_instance=1, table_type=TableType("range"),
+            ),
+        ]
+        return wits, {self.table_type: inv_counts, TableType("range"): range_counts}
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+
+        dt = prover.dt
+        p = host.P
+        last_claim = glue.as_dev(last_claims[0])
+        x = self._pad_input(np.asarray(step_data.inputs[0].data, dtype=np.int64))
+        r_rows, c_cols = x.shape
+        k = ceil_log2(c_cols)
+        log_r = ceil_log2(r_rows)
+        assert len(last_claim.point) == k + log_r
+
+        inv_wit, range_wit = prover.lookup_witnesses_for(node_id)
+        inv_proof = logup.batch_prove_device(
+            inv_wit.get_logup_input(prover.challenge_storage), dt
+        )
+        range_proof = logup.batch_prove_device(
+            range_wit.get_logup_input(prover.challenge_storage), dt
+        )
+        # bind the lookup columns to their commitments at the logup points
+        for comm_poly, cl in zip(inv_wit.commits, inv_proof.output_claims):
+            prover.commit_prover.add_witness_claim(comm_poly, cl)
+        for comm_poly, cl in zip(range_wit.commits, range_proof.output_claims):
+            prover.commit_prover.add_witness_claim(comm_poly, cl)
+
+        s, _, _, _, inv_out = self._rows(x)
+        x_gf = step_data.inputs[0].to_gf()  # same padded layout (c low, r high)
+        x_flat = self._pad_input(np.asarray(step_data.inputs[0].data, dtype=np.int64))
+        # the producer's output may be narrower than γ; re-lift explicitly
+        x_gf = gf.from_u64(Q.to_field(x_flat.reshape(-1)))
+        s_rep = gf.from_u64(Q.to_field(np.repeat(s, c_cols)))
+        v_rep = gf.from_u64(Q.to_field(np.repeat(inv_out, c_cols)))
+        gamma_rep = gf.from_u64(Q.to_field(np.tile(self.gamma, r_rows)))
+        beta_rep = gf.from_u64(Q.to_field(np.tile(self.beta, r_rows)))
+
+        one = glue.one()
+        # --- io sumcheck at ρ -------------------------------------------------
+        eq = mle_mod._eq_table_kernel(last_claim.point, one, k + log_r)
+        vp = VirtualPolynomial.new(k + log_r)
+        i_eq = vp.add_mle(eq)
+        i_g = vp.add_mle(gamma_rep)
+        i_x = vp.add_mle(x_gf)
+        i_v = vp.add_mle(v_rep)
+        i_s = vp.add_mle(s_rep)
+        i_b = vp.add_mle(beta_rep)
+        vp.add_product((self.dim_size % p, 0), [i_eq, i_g, i_x, i_v])
+        vp.add_product((p - 1, 0), [i_eq, i_g, i_s, i_v])
+        vp.add_product((1, 0), [i_eq, i_b])
+        io_out = prove_device(vp, dt)
+        u = io_out.proof.point
+        u_c, u_r = glue.prefix(u, k), glue.suffix(u, k)
+        f = io_out.final_evals  # [eq, γ_rep, X, V_rep, S_rep, β_rep]
+
+        # committed-poly claims from the io sumcheck
+        prover.commit_prover.add_common_claims(
+            node_id,
+            {
+                GAMMA_POLY_ID: glue.DevClaim(point=u_c, eval=glue.at(f, 1)),
+                BETA_POLY_ID: glue.DevClaim(point=u_c, eval=glue.at(f, 5)),
+            },
+        )
+        # V_rep~(u) = inv_out~(u_r): another claim on the committed column
+        prover.commit_prover.add_witness_claim(
+            inv_wit.commits[1], glue.DevClaim(point=u_r, eval=glue.at(f, 3))
+        )
+
+        # --- linking sumcheck at u_r -----------------------------------------
+        # provided column evals at u_r (claims on committed polys)
+        inv_in_ur = mle_mod._evaluate_kernel(inv_wit.column_evals[0], u_r, log_r)
+        chunk_urs = [
+            mle_mod._evaluate_kernel(c, u_r, log_r) for c in range_wit.column_evals
+        ]
+        prover.commit_prover.add_witness_claim(
+            inv_wit.commits[0], glue.DevClaim(point=u_r, eval=inv_in_ur)
+        )
+        for (comm_poly, ev) in zip(range_wit.commits, chunk_urs):
+            prover.commit_prover.add_witness_claim(
+                comm_poly, glue.DevClaim(point=u_r, eval=ev)
+            )
+        provided = glue.ext_stack_scalars([inv_in_ur] + chunk_urs)
+        dt.append_exts(provided)
+
+        eq_r = mle_mod._eq_table_kernel(u_r, one, log_r)
+        eq_rep = _repeat_ext_rows(eq_r, c_cols)
+        vp2 = VirtualPolynomial.new(k + log_r)
+        j_eq = vp2.add_mle(eq_rep)
+        j_x = vp2.add_mle(x_gf)
+        j_s = vp2.add_mle(s_rep)
+        m_n = (self.multiplier * self.dim_size) % p
+        m_inv2k = (self.multiplier % p) * pow((1 << k) % p, p - 2, p) % p
+        vp2.add_product((m_n, 0), [j_eq, j_x, j_x])
+        vp2.add_product((p - m_inv2k, 0), [j_eq, j_s, j_s])
+        link_out = prove_device(vp2, dt)
+        w = link_out.proof.point
+        w_r = glue.suffix(w, k)
+        lf = link_out.final_evals  # [eq_rep, X, S_rep]
+
+        # --- merge the X claims into one producer claim ----------------------
+        half = (p + 1) // 2
+        half_vec = glue.vec([(half, 0)] * k)
+        inv2k = glue.scalar((pow((1 << k) % p, p - 2, p), 0))
+        x_claims = [
+            glue.DevClaim(point=u, eval=glue.at(f, 2)),
+            glue.DevClaim(
+                point=glue.concat_points([half_vec, u_r]),
+                eval=glue.mul(glue.at(f, 4), inv2k),
+            ),
+            glue.DevClaim(point=w, eval=glue.at(lf, 1)),
+            glue.DevClaim(
+                point=glue.concat_points([half_vec, w_r]),
+                eval=glue.mul(glue.at(lf, 2), inv2k),
+            ),
+        ]
+        merge_proof = same_poly_prove_device(x_gf, x_claims, dt)
+        input_claim = merge_proof.extract_claim()
+
+        prover.push_proof(
+            node_id,
+            LayerNormProof(
+                inv_lookup=inv_proof,
+                range_lookup=range_proof,
+                io_sumcheck=io_out.proof,
+                io_evals=io_out.final_evals,
+                link_sumcheck=link_out.proof,
+                link_evals=link_out.final_evals,
+                provided_evals=provided,
+                x_merge=merge_proof,
+                commitments=[
+                    inv_wit.commits[0][0].commitment,
+                    inv_wit.commits[1][0].commitment,
+                ]
+                + [c[0].commitment for c in range_wit.commits],
+            ),
+        )
+        return [input_claim]
+
+
+import jax as _jax
+from functools import partial as _partial
+
+
+@_partial(_jax.jit, static_argnames=("reps",))
+def _repeat_ext_rows(arr: gf.GF2, reps: int) -> gf.GF2:
+    """Repeat each element `reps` times (row value broadcast over cols)."""
+    import jax.numpy as jnp
+
+    def rep(a):
+        return jnp.repeat(a, reps)
+
+    return gf.GF2(
+        gf.GF(rep(arr.a0.lo), rep(arr.a0.hi)),
+        gf.GF(rep(arr.a1.lo), rep(arr.a1.hi)),
+    )
+
+
+@dataclasses.dataclass
+class LayerNormProof:
+    inv_lookup: object
+    range_lookup: object
+    io_sumcheck: object
+    io_evals: list
+    link_sumcheck: object
+    link_evals: list
+    provided_evals: list  # [inv_in@u_r, chunk_j@u_r...]
+    x_merge: object  # SamePolyProof
+    commitments: list
+
+    def get_lookup_data(self):
+        n1, d1 = logup.fractional_outputs(self.inv_lookup)
+        n2, d2 = logup.fractional_outputs(self.range_lookup)
+        return n1 + n2, d1 + d2
+
+
+def _eq(x, y) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc,
+            host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))),
+        )
+    return acc
+
+
+@dataclasses.dataclass
+class LayerNormCtx:
+    node_id: int
+    dim_size: int
+    multiplier: int
+    eps: float
+    range_check_bits: int
+    log_c: int
+    n_chunks: int
+    top_chunk_scalar_log: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    @property
+    def table_type(self) -> TableType:
+        return TableType.inv_sqrt(self.eps, self.range_check_bits)
+
+    def verify(self, proof: LayerNormProof, last_claims, verifier) -> list[Claim]:
+        p = host.P
+        last_claim = last_claims[0]
+        k = self.log_c
+        log_r = len(last_claim.point) - k
+
+        const_c, sep_c = verifier.challenge_storage.get(self.table_type.name())
+        inv_claims = logup.verify_logup_proof(
+            proof.inv_lookup, 1, const_c, sep_c, verifier.transcript
+        )
+        range_const, _ = verifier.challenge_storage.get(TableType("range").name())
+        range_claims = logup.verify_logup_proof(
+            proof.range_lookup, self.n_chunks, range_const, (1, 0),
+            verifier.transcript,
+        )
+        for cm, cl in zip(proof.commitments[:2], inv_claims.claims):
+            verifier.commit_verifier.add_witness_claim(cm, cl)
+        for cm, cl in zip(proof.commitments[2:], range_claims.claims):
+            verifier.commit_verifier.add_witness_claim(cm, cl)
+
+        # --- io sumcheck ------------------------------------------------------
+        sub = sumcheck_verify(
+            last_claim.eval, proof.io_sumcheck.round_messages, k + log_r, 4,
+            verifier.transcript,
+        )
+        u = list(sub.point)
+        u_c, u_r = u[:k], u[k:]
+        f = proof.io_evals
+        eq_eval = _eq(last_claim.point, u)
+        n_f = (self.dim_size % p, 0)
+        got = host.ext_mul(
+            eq_eval,
+            host.ext_add(
+                host.ext_sub(
+                    host.ext_mul(
+                        host.ext_mul(n_f, host.ext_mul(f[1], f[2])), f[3]
+                    ),
+                    host.ext_mul(host.ext_mul(f[1], f[4]), f[3]),
+                ),
+                f[5],
+            ),
+        )
+        assert got == sub.expected_evaluation, "layernorm io sumcheck mismatch"
+
+        verifier.commit_verifier.add_common_claims(
+            self.node_id,
+            {
+                GAMMA_POLY_ID: Claim(point=list(u_c), eval=f[1]),
+                BETA_POLY_ID: Claim(point=list(u_c), eval=f[5]),
+            },
+        )
+        verifier.commit_verifier.add_witness_claim(
+            proof.commitments[1], Claim(point=list(u_r), eval=f[3])
+        )
+
+        # --- linking sumcheck -------------------------------------------------
+        provided = proof.provided_evals
+        inv_in_ur, chunk_urs = provided[0], provided[1:]
+        assert len(chunk_urs) == self.n_chunks
+        verifier.commit_verifier.add_witness_claim(
+            proof.commitments[0], Claim(point=list(u_r), eval=inv_in_ur)
+        )
+        for cm, ev in zip(proof.commitments[2:], chunk_urs):
+            verifier.commit_verifier.add_witness_claim(
+                cm, Claim(point=list(u_r), eval=ev)
+            )
+        verifier.transcript.append_field_element_exts(provided)
+
+        # claimed sum: Σ_j w_j·chunk_j + 2^rc·inv_in at u_r
+        rhs = host.ext_mul(((1 << self.range_check_bits) % p, 0), inv_in_ur)
+        for j, ev in enumerate(chunk_urs):
+            wbits = j * Q.BIT_LEN
+            if j == self.n_chunks - 1 and self.top_chunk_scalar_log:
+                wbits -= self.top_chunk_scalar_log
+            rhs = host.ext_add(rhs, host.ext_mul((pow(2, wbits, p), 0), ev))
+
+        sub2 = sumcheck_verify(
+            rhs, proof.link_sumcheck.round_messages, k + log_r, 3,
+            verifier.transcript,
+        )
+        w = list(sub2.point)
+        w_r = w[k:]
+        lf = proof.link_evals
+        eq_rep_eval = _eq(u_r, w_r)
+        m_n = ((self.multiplier * self.dim_size) % p, 0)
+        m_inv2k = (
+            (self.multiplier % p) * pow((1 << k) % p, p - 2, p) % p,
+            0,
+        )
+        got2 = host.ext_mul(
+            eq_rep_eval,
+            host.ext_sub(
+                host.ext_mul(m_n, host.ext_mul(lf[1], lf[1])),
+                host.ext_mul(m_inv2k, host.ext_mul(lf[2], lf[2])),
+            ),
+        )
+        assert got2 == sub2.expected_evaluation, "layernorm link sumcheck mismatch"
+        assert lf[0] == eq_rep_eval, "layernorm eq_rep claim mismatch"
+
+        # --- merge X claims ---------------------------------------------------
+        half = ((p + 1) // 2, 0)
+        inv2k = (pow((1 << k) % p, p - 2, p), 0)
+        x_claims = [
+            Claim(point=u, eval=f[2]),
+            Claim(point=[half] * k + u_r, eval=host.ext_mul(f[4], inv2k)),
+            Claim(point=w, eval=lf[1]),
+            Claim(point=[half] * k + w_r, eval=host.ext_mul(lf[2], inv2k)),
+        ]
+        input_claim = same_poly_verify(
+            proof.x_merge, x_claims, k + log_r, verifier.transcript
+        )
+        return [input_claim]

@@ -1,0 +1,238 @@
+"""Logits (argmax) layer (zkml/src/layers/transformer/logits.rs:90-180).
+
+Per row of the (rows, vocab) logits matrix the output is the argmax
+index (public — the generated token ids). Soundness:
+  * diff[i,j] = max[i] − X[i,j] is Range-table checked (all ≥ 0: max
+    dominates every entry; int8 logits make diff < 2^BIT_LEN exactly);
+  * a zerocheck at a fresh FS point q proves
+        Σ_x eq(q,x)·one_hot(x)·(max_rep(x) − X(x)) = 0
+    with one_hot built from the PUBLIC output tokens — the max is
+    attained at the claimed argmax position.
+`max` is a committed witness column; X claims (from the diff tie and the
+zerocheck) are merged into one producer claim via same-poly.
+Like the reference (logits.rs:306 `_last_claims`), the incoming output
+claim needs no separate binding: the output tensor is public and the
+verifier derives its FS claim from it directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup import logup
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, verify as sumcheck_verify
+from .. import quantization as Q
+from ..commit import same_poly_prove_device, same_poly_verify
+from ..lookup_context import LogUpWitness, TableType, count_elements
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+
+@dataclasses.dataclass
+class Logits:
+    """Argmax over the last dim; emits one index per row."""
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        x = np.asarray(inputs[0].data, dtype=np.int64)
+        return [Tensor(np.argmax(x, axis=-1).astype(np.int64))]
+
+    def step_info(self, node_id: int, aux):
+        aux.tables.add(TableType("range"))
+        return LogitsCtx(node_id=node_id)
+
+    def gen_lookup_witness(self, node_id, ctx, step_data):
+        x = np.asarray(step_data.inputs[0].data, dtype=np.int64)
+        mx = x.max(axis=-1)
+        diff = mx[:, None] - x
+        assert (diff >= 0).all() and (diff < (1 << Q.BIT_LEN)).all(), (
+            "logits must be requantized to BIT_LEN before argmax"
+        )
+        counts = count_elements(diff.reshape(-1))
+        diff_col = gf.from_u64(Q.to_field(diff.reshape(-1)))
+        max_col = gf.from_u64(Q.to_field(mx))
+        commits = [
+            (ctx.commitment_ctx.commit(diff_col), diff_col),
+            (ctx.commitment_ctx.commit(max_col), max_col),
+        ]
+        wit = LogUpWitness(
+            commits=commits,
+            column_evals=[diff_col],
+            columns_per_instance=1,
+            table_type=TableType("range"),
+        )
+        return [wit], {TableType("range"): counts}
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+
+        dt = prover.dt
+        p = host.P
+        x = np.asarray(step_data.inputs[0].data, dtype=np.int64)
+        rows, vocab = x.shape
+        k = ceil_log2(vocab)
+        log_r = ceil_log2(rows)
+        n = k + log_r
+        out_idx = np.asarray(step_data.outputs[0].data, dtype=np.int64).reshape(-1)
+
+        (wit,) = prover.lookup_witnesses_for(node_id)
+        lookup_proof = logup.batch_prove_device(
+            wit.get_logup_input(prover.challenge_storage), dt
+        )
+        diff_claim = lookup_proof.output_claims[0]  # diff~ at point pt (n vars)
+        prover.commit_prover.add_witness_claim(wit.commits[0], diff_claim)
+        pt = diff_claim.point
+        pt_r = glue.suffix(pt, k)
+        max_col = wit.commits[1][1]
+        max_eval_p = mle_mod._evaluate_kernel(max_col, pt_r, log_r)
+        prover.commit_prover.add_witness_claim(
+            wit.commits[1], glue.DevClaim(point=pt_r, eval=max_eval_p)
+        )
+        # X~(pt) = max_rep~(pt) − diff~(pt)
+        x_claim_1 = glue.DevClaim(
+            point=pt, eval=glue.sub(max_eval_p, diff_claim.eval)
+        )
+
+        # zerocheck at a fresh point q
+        q = dt.read_challenges(n)
+        one_hot = np.zeros((rows, vocab), dtype=np.int64)
+        one_hot[np.arange(rows), out_idx] = 1
+        oh_gf = gf.from_u64(Q.to_field(one_hot.reshape(-1)))
+        mx = np.asarray(
+            [x[i, out_idx[i]] for i in range(rows)], dtype=np.int64
+        )  # == row max
+        max_rep = gf.from_u64(Q.to_field(np.repeat(mx, vocab)))
+        x_gf = gf.from_u64(Q.to_field(x.reshape(-1)))
+        eq_q = mle_mod._eq_table_kernel(q, glue.one(), n)
+        vp = VirtualPolynomial.new(n)
+        i_eq = vp.add_mle(eq_q)
+        i_oh = vp.add_mle(oh_gf)
+        i_m = vp.add_mle(max_rep)
+        i_x = vp.add_mle(x_gf)
+        vp.add_product((1, 0), [i_eq, i_oh, i_m])
+        vp.add_product((p - 1, 0), [i_eq, i_oh, i_x])
+        z_out = prove_device(vp, dt)
+        v = z_out.proof.point
+        v_r = glue.suffix(v, k)
+        zf = z_out.final_evals  # [eq, one_hot, max_rep, X]
+
+        prover.commit_prover.add_witness_claim(
+            wit.commits[1], glue.DevClaim(point=v_r, eval=glue.at(zf, 2))
+        )
+        x_claim_2 = glue.DevClaim(point=v, eval=glue.at(zf, 3))
+
+        merge = same_poly_prove_device(x_gf, [x_claim_1, x_claim_2], dt)
+        input_claim = merge.extract_claim()
+
+        prover.push_proof(
+            node_id,
+            LogitsProof(
+                lookup=lookup_proof,
+                max_eval=max_eval_p,
+                zerocheck=z_out.proof,
+                z_evals=z_out.final_evals,
+                x_merge=merge,
+                commitments=[c[0].commitment for c in wit.commits],
+                dims=(log_r, k),
+            ),
+        )
+        return [input_claim]
+
+
+@dataclasses.dataclass
+class LogitsProof:
+    lookup: object
+    max_eval: object
+    zerocheck: object
+    z_evals: list
+    x_merge: object
+    commitments: list
+    dims: tuple
+
+    def get_lookup_data(self):
+        return logup.fractional_outputs(self.lookup)
+
+
+def _eq(x, y) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc,
+            host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))),
+        )
+    return acc
+
+
+@dataclasses.dataclass
+class LogitsCtx:
+    node_id: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: LogitsProof, last_claims, verifier) -> list[Claim]:
+        p = host.P
+        log_r, k = proof.dims
+        n = log_r + k
+        range_const, _ = verifier.challenge_storage.get(TableType("range").name())
+        claims = logup.verify_logup_proof(
+            proof.lookup, 1, range_const, (1, 0), verifier.transcript
+        )
+        diff_claim = claims.claims[0]
+        pt = list(diff_claim.point)
+        pt_r = pt[k:]
+        verifier.commit_verifier.add_witness_claim(proof.commitments[0], diff_claim)
+        verifier.commit_verifier.add_witness_claim(
+            proof.commitments[1], Claim(point=pt_r, eval=proof.max_eval)
+        )
+        x_claim_1 = Claim(
+            point=pt, eval=host.ext_sub(proof.max_eval, diff_claim.eval)
+        )
+
+        q = [verifier.transcript.read_challenge() for _ in range(n)]
+        sub = sumcheck_verify(
+            (0, 0), proof.zerocheck.round_messages, n, 3, verifier.transcript
+        )
+        v = list(sub.point)
+        v_r = v[k:]
+        zf = proof.z_evals
+        # recompute public MLE evals: eq(q, v) and one_hot(v) from the tokens
+        eq_eval = _eq(q, v)
+        out_idx = np.asarray(
+            verifier.io.outputs[
+                verifier.ctx.model.output_nodes().index(self.node_id)
+            ].data,
+            dtype=np.int64,
+        ).reshape(-1)
+        rows, vocab = 1 << log_r, 1 << k
+        one_hot = np.zeros((rows, vocab), dtype=np.int64)
+        one_hot[np.arange(min(rows, out_idx.size)), out_idx[:rows]] = 1
+        oh_eval = mle_mod.evaluate_pairs(
+            gf.from_u64(Q.to_field(one_hot.reshape(-1))), v
+        )
+        assert zf[1] == oh_eval, "logits one-hot claim mismatch"
+        got = host.ext_mul(
+            host.ext_mul(eq_eval, oh_eval), host.ext_sub(zf[2], zf[3])
+        )
+        assert got == sub.expected_evaluation, "logits zerocheck mismatch"
+        verifier.commit_verifier.add_witness_claim(
+            proof.commitments[1], Claim(point=v_r, eval=zf[2])
+        )
+        x_claim_2 = Claim(point=v, eval=zf[3])
+
+        input_claim = same_poly_verify(
+            proof.x_merge, [x_claim_1, x_claim_2], n, verifier.transcript
+        )
+        return [input_claim]

@@ -1,10 +1,14 @@
-"""MatMul: C = A·B with witness operands (zkml/src/layers/matrix_mul.rs).
+"""MatMul: C = A·B (+ bias) with witness OR constant operands
+(zkml/src/layers/matrix_mul.rs `OperandMatrix::{Weight, Input}`,
+`MatMul::new_constant`, bias handling at matrix_mul.rs:128-161).
 
 One degree-2 sumcheck over the contracted axis: the output claim
-C~(r_col, r_row) reduces to Σ_k A(r_row, k)·B(k, r_col). Little-endian
-2D MLEs put column variables LOW, so A fixes r_row into its HIGH vars
-and B fixes r_col into its LOW vars. The two final evals become claims
-on A at (k_pt ‖ r_row) and B at (r_col ‖ k_pt) passed to the producers.
+C~(r_col, r_row) (minus bias~(r_col) when bias is present) reduces to
+Σ_k A(r_row, k)·B(k, r_col). Little-endian 2D MLEs put column variables
+LOW, so A fixes r_row into its HIGH vars and B fixes r_col into its LOW
+vars. A constant operand's final eval becomes a commitment-accumulator
+claim on the committed weight polynomial; a witness operand's claim is
+passed to the producer node.
 """
 
 from __future__ import annotations
@@ -22,68 +26,186 @@ from ..tensor import Tensor, ceil_log2, next_pow2
 
 ExtPair = tuple[int, int]
 
+LEFT_POLY_ID = "left"
+RIGHT_POLY_ID = "right"
+BIAS_POLY_ID = "bias"
 
-def _dev(p: ExtPair) -> gf.GF2:
-    return gf.ext_from_u64(np.uint64(p[0] % host.P), np.uint64(p[1] % host.P))
+
+def _pad2(a: np.ndarray) -> np.ndarray:
+    r, c = a.shape
+    out = np.zeros((next_pow2(r), next_pow2(c)), dtype=np.int64)
+    out[:r, :c] = a
+    return out
 
 
 @dataclasses.dataclass
 class MatMul:
-    """C[m,n] = A[m,k] · B[k,n]; both operands are witness tensors."""
+    """C[m,n] = A[m,k] · B[k,n] (+ bias[n]).
+
+    left_const / right_const: int64 matrices for constant operands
+    (committed at setup); None means the operand is a witness input.
+    """
+
+    left_const: np.ndarray | None = None
+    right_const: np.ndarray | None = None
+    bias: np.ndarray | None = None
+
+    def __post_init__(self):
+        if self.left_const is not None:
+            self.left_const = _pad2(np.asarray(self.left_const, dtype=np.int64))
+        if self.right_const is not None:
+            self.right_const = _pad2(np.asarray(self.right_const, dtype=np.int64))
+        if self.bias is not None:
+            b = np.asarray(self.bias, dtype=np.int64)
+            out = np.zeros(next_pow2(b.size), dtype=np.int64)
+            out[: b.size] = b
+            self.bias = out
+        assert not (self.left_const is not None and self.right_const is not None), (
+            "constant×constant matmul is a constant (matrix_mul.rs:203)"
+        )
+
+    @staticmethod
+    def new_constant(right: np.ndarray, bias: np.ndarray | None = None) -> "MatMul":
+        """X @ W (+ bias) with a committed weight (matrix_mul.rs:176)."""
+        return MatMul(right_const=right, bias=bias)
 
     @property
     def is_provable(self) -> bool:
         return True
 
     def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
-        a, b = inputs[0].data, inputs[1].data
-        return [Tensor(a.astype(np.int64) @ b.astype(np.int64))]
+        ops = []
+        it = iter(inputs)
+        for const in (self.left_const, self.right_const):
+            if const is not None:
+                ops.append(const)
+            else:
+                ops.append(np.asarray(next(it).data, dtype=np.int64))
+        a, b = ops
+        # pad witness operands so shapes line up with the padded constants
+        if self.left_const is None and self.right_const is not None:
+            ap = np.zeros((a.shape[0], self.right_const.shape[0]), dtype=np.int64)
+            ap[:, : a.shape[1]] = a
+            a = ap
+        if self.right_const is None and self.left_const is not None:
+            bp = np.zeros((self.left_const.shape[1], b.shape[1]), dtype=np.int64)
+            bp[: b.shape[0], :] = b
+            b = bp
+        c = a @ b
+        if self.bias is not None:
+            c = c + self.bias[None, : c.shape[1]]
+        # outputs are 2D-padded so downstream claim points split cleanly
+        return [Tensor(_pad2(c))]
+
+    def output_bitsize(self) -> int:
+        k = (
+            self.right_const.shape[0]
+            if self.right_const is not None
+            else (self.left_const.shape[1] if self.left_const is not None else 1 << 12)
+        )
+        return 2 * (Q.BIT_LEN - 1) + ceil_log2(max(2, k)) + 1
 
     def step_info(self, node_id: int, aux):
-        return MatMulCtx(node_id=node_id)
+        polys = {}
+        if self.left_const is not None:
+            polys[LEFT_POLY_ID] = gf.from_u64(Q.to_field(self.left_const.reshape(-1)))
+        if self.right_const is not None:
+            polys[RIGHT_POLY_ID] = gf.from_u64(
+                Q.to_field(self.right_const.reshape(-1))
+            )
+        if self.bias is not None:
+            polys[BIAS_POLY_ID] = gf.from_u64(Q.to_field(self.bias))
+        if polys:
+            aux.model_polys[node_id] = polys
+        return MatMulCtx(
+            node_id=node_id,
+            left_const_shape=None if self.left_const is None else self.left_const.shape,
+            right_const_shape=None
+            if self.right_const is None
+            else self.right_const.shape,
+            with_bias=self.bias is not None,
+        )
 
-    def prove(self, node_id, ctx, last_claims, step_data, prover) -> list[Claim]:
-        last_claim = last_claims[0]
-        a = step_data.inputs[0].data
-        b = step_data.inputs[1].data
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+
+        last_claim = glue.as_dev(last_claims[0])
+        comms = prover.ctx.commitment_ctx.model_comms.get(node_id, {})
+
+        # resolve operand matrices (witness from trace, const from setup)
+        it = iter(step_data.inputs)
+        if self.left_const is not None:
+            a = self.left_const
+        else:
+            a = np.asarray(next(it).data, dtype=np.int64)
+        if self.right_const is not None:
+            b = self.right_const
+        else:
+            b = np.asarray(next(it).data, dtype=np.int64)
         m, k = a.shape
         k2, n = b.shape
-        assert k == k2
-        log_n, log_m, log_k = ceil_log2(next_pow2(n)), ceil_log2(next_pow2(m)), ceil_log2(next_pow2(k))
+        log_n, log_m = ceil_log2(next_pow2(n)), ceil_log2(next_pow2(m))
+        log_k = ceil_log2(next_pow2(max(k, k2)))
         assert len(last_claim.point) == log_n + log_m
 
-        r_col = last_claim.point[:log_n]
-        r_row = last_claim.point[log_n:]
+        r_col = glue.prefix(last_claim.point, log_n)
+        r_row = glue.suffix(last_claim.point, log_n)
 
-        a_pad = np.zeros((next_pow2(m), next_pow2(k)), dtype=np.int64)
-        a_pad[:m, :k] = a
-        b_pad = np.zeros((next_pow2(k), next_pow2(n)), dtype=np.int64)
-        b_pad[:k, :n] = b
-        a_gf = gf.from_u64(Q.to_field(a_pad.reshape(-1)))
-        b_gf = gf.from_u64(Q.to_field(b_pad.reshape(-1)))
+        bias_eval = None
+        if self.bias is not None:
+            bias_gf = comms[BIAS_POLY_ID][1]
+            bias_eval = mle_mod._evaluate_kernel(bias_gf, r_col, log_n)
 
-        a_fixed = mle_mod.fix_high_pairs(a_gf, r_row)  # over k (col) vars
-        b_fixed = mle_mod.fix_low_pairs(b_gf, r_col)  # over k (row) vars
+        if self.left_const is not None:
+            a_gf = comms[LEFT_POLY_ID][1]
+        else:
+            a_gf = gf.from_u64(Q.to_field(_pad2(a).reshape(-1)))
+        if self.right_const is not None:
+            b_gf = comms[RIGHT_POLY_ID][1]
+        else:
+            b_gf = gf.from_u64(Q.to_field(_pad2(b).reshape(-1)))
+
+        a_fixed = mle_mod._fix_high_kernel(a_gf, r_row, log_m)  # over k vars
+        b_fixed = mle_mod._fix_low_kernel(b_gf, r_col, log_n)  # over k vars
 
         vp = VirtualPolynomial.new(log_k)
         ia = vp.add_mle(a_fixed)
         ib = vp.add_mle(b_fixed)
         vp.add_product((1, 0), [ia, ib])
-        out = sumcheck_prove(vp, prover.transcript)
+        out = prove_device(vp, prover.dt)
 
-        k_pt = list(out.proof.point)
-        a_claim = Claim(
-            point=k_pt + list(last_claim.point[log_n:]), eval=out.final_evals[0]
-        )
-        b_claim = Claim(
-            point=list(last_claim.point[:log_n]) + k_pt, eval=out.final_evals[1]
-        )
+        k_pt = out.proof.point
+        a_point = glue.concat_points([k_pt, r_row])
+        b_point = glue.concat_points([r_col, k_pt])
+        a_claim = glue.DevClaim(point=a_point, eval=glue.at(out.final_evals, 0))
+        b_claim = glue.DevClaim(point=b_point, eval=glue.at(out.final_evals, 1))
+
+        common = {}
+        next_claims = []
+        if self.left_const is not None:
+            common[LEFT_POLY_ID] = a_claim
+        else:
+            next_claims.append(a_claim)
+        if self.right_const is not None:
+            common[RIGHT_POLY_ID] = b_claim
+        else:
+            next_claims.append(b_claim)
+        if self.bias is not None:
+            common[BIAS_POLY_ID] = glue.DevClaim(point=r_col, eval=bias_eval)
+        if common:
+            prover.commit_prover.add_common_claims(node_id, common)
+
         prover.push_proof(
             node_id,
-            MatMulProof(sumcheck=out.proof, individual_claims=out.final_evals,
-                        dims=(log_m, log_k, log_n)),
+            MatMulProof(
+                sumcheck=out.proof,
+                individual_claims=out.final_evals,
+                dims=(log_m, log_k, log_n),
+                bias_eval=bias_eval,
+            ),
         )
-        return [a_claim, b_claim]
+        return next_claims
 
 
 @dataclasses.dataclass
@@ -91,6 +213,7 @@ class MatMulProof:
     sumcheck: object
     individual_claims: list[ExtPair]
     dims: tuple  # (log_m, log_k, log_n)
+    bias_eval: object = None
 
     def get_lookup_data(self):
         return None
@@ -99,6 +222,9 @@ class MatMulProof:
 @dataclasses.dataclass
 class MatMulCtx:
     node_id: int
+    left_const_shape: tuple | None = None
+    right_const_shape: tuple | None = None
+    with_bias: bool = False
 
     @property
     def is_provable(self) -> bool:
@@ -107,16 +233,32 @@ class MatMulCtx:
     def verify(self, proof: MatMulProof, last_claims, verifier) -> list[Claim]:
         last_claim = last_claims[0]
         log_m, log_k, log_n = proof.dims
+        claimed = last_claim.eval
+        if self.with_bias:
+            claimed = host.ext_sub(claimed, proof.bias_eval)
         sub = sumcheck_verify(
-            last_claim.eval, proof.sumcheck.round_messages, log_k, 2,
-            verifier.transcript,
+            claimed, proof.sumcheck.round_messages, log_k, 2, verifier.transcript
         )
         got = host.ext_mul(proof.individual_claims[0], proof.individual_claims[1])
         assert got == sub.expected_evaluation, "matmul sumcheck final mismatch"
         k_pt = list(sub.point)
-        return [
-            Claim(point=k_pt + list(last_claim.point[log_n:]),
-                  eval=proof.individual_claims[0]),
-            Claim(point=list(last_claim.point[:log_n]) + k_pt,
-                  eval=proof.individual_claims[1]),
-        ]
+        r_col = list(last_claim.point[:log_n])
+        r_row = list(last_claim.point[log_n:])
+        a_claim = Claim(point=k_pt + r_row, eval=proof.individual_claims[0])
+        b_claim = Claim(point=r_col + k_pt, eval=proof.individual_claims[1])
+
+        common = {}
+        next_claims = []
+        if self.left_const_shape is not None:
+            common[LEFT_POLY_ID] = a_claim
+        else:
+            next_claims.append(a_claim)
+        if self.right_const_shape is not None:
+            common[RIGHT_POLY_ID] = b_claim
+        else:
+            next_claims.append(b_claim)
+        if self.with_bias:
+            common[BIAS_POLY_ID] = Claim(point=r_col, eval=proof.bias_eval)
+        if common:
+            verifier.commit_verifier.add_common_claims(self.node_id, common)
+        return next_claims

@@ -1,0 +1,656 @@
+"""Quantized Softmax with multi-table exp lookups + ErrorTable
+normalization + causal-mask sumcheck (zkml/src/layers/transformer/
+softmax.rs — same zkLLM quantization scheme, TPU-first proof layout).
+
+Quantized semantics (softmax.rs:444-560): inputs rescaled to fixed-point
+scale 2^24 (`scalar = round(2^24·S_in)`), shifted per row by the negated
+log-sum-exp (so each row of exp outputs sums to ≈ 2^12 = quantized one),
+then causal-masked to `neg_inf = −((bkm>>16)+1)<<16`. Each (always ≤ 0)
+value v decomposes as
+    |v| = low + 2^8·high + 2^16·exp_in + Σ_j 2^(16+sts+j·ztv)·zin_j
+with low/high ∈ Range table, (exp_in, exp_out) ∈ Softmax exp table
+(output scale 2^12; rows ≥ bkm map to 0), (zin_j, zout_j) ∈ Zero table
+(zout = 1 iff zin = 0). Output O = exp_out·Π_j zout_j. Row sums of O are
+looked up in ErrorTable(2^12, allowable_error) — the normalization check
+that forces the committed shift to be the true log-sum-exp (zkLLM).
+
+Proof layout (ours):
+  logups: exp, range (low, high), error (row sums, column NOT committed),
+  zero chunks. Then sumcheck A ("output/error") at a batching challenge:
+      α·O~(ρ) + α²·rowsum~(p_err)
+        = Σ_x (α·eq_ρ + α²·2^k·eq_{(½)^k‖p_err})·exp_out·Πzout
+  binding exp_out/zout claims at u; the rowsum column needs no commitment
+  because rowsum~(q) = 2^k·O~((½)^k, q). Then sumcheck B ("mask +
+  decomposition") proving at u:
+      Σ_x eq_u·tril·(scalar·X + shift_rep)
+        = −bias~(u) − low~(u) − 2^8·high~(u) − 2^16·exp_in~(u) − Σ_j w_j·zin_j~(u)
+  with the column evals at u provided as commitment claims, tril/bias
+  public (verifier-evaluated), and the final evals giving the producer
+  claim X~(v) (descaled by scalar⁻¹) and the committed shift claim.
+
+DEVIATION: the verifier evaluates the public tril/bias MLEs directly
+(O(N) device work) instead of the closed-form zeroifier
+(mha.rs eval_zeroifier_mle) — same soundness; closed form is a planned
+optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup import logup
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, verify as sumcheck_verify
+from .. import quantization as Q
+from ..lookup_context import (
+    COLUMN_SEPARATOR,
+    LOG_SCALE_FACTOR,
+    OUTPUT_SCALE_FACTOR,
+    SCALE_FACTOR,
+    LogUpWitness,
+    TableType,
+    _softmax_rows,
+    count_elements,
+)
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+SHIFT_POLY_ID = "SoftmaxShift"
+
+
+def calc_softmax_error(bl: int, max_context: float, output_sf: float,
+                       input_sf: float, temp: float) -> tuple[float, float]:
+    """zkLLM error bound + cutoff bkm (softmax.rs:186-208 calc_softmax_error)."""
+    kml = 1.0
+    bkm_multiplier = kml * np.log(2.0 * max_context) + np.log(output_sf)
+    bkm = input_sf * temp * bkm_multiplier / (kml + 1.0)
+    common = kml * input_sf * temp
+    first = np.exp(bl / common)
+    second = np.exp(bkm / common) / (2.0 * output_sf ** (1.0 / kml))
+    c = (first + second) ** kml - 1.0
+    term1 = c * np.exp(1.0 / (2.0 * input_sf * temp))
+    term2 = (max_context - 1.0) * np.exp(-bkm / input_sf * temp)
+    return float(abs(term1 + term2)), float(bkm)
+
+
+@dataclasses.dataclass
+class Softmax:
+    """Causal-masked quantized softmax over the last dim.
+
+    seq: rows per channel (for the tril causal mask); None = no mask.
+    """
+
+    s_in: float  # input scaling factor
+    max_size: int = 1024
+    temperature: float = 1.0
+    seq: int | None = None
+    # |input| domain bound (quantization.rs domain); raw attention scores
+    # exceed the int8 range (Σ_k of int8 products), so callers pass it
+    domain_max: int = Q.MAX
+
+    def __post_init__(self):
+        inv_t = 1.0 / self.temperature
+        self.scalar = int(round(SCALE_FACTOR * self.s_in))
+        quantised_min = -int(self.domain_max)
+        max_shift = int(
+            round(
+                -(SCALE_FACTOR)
+                * (inv_t * np.log(self.max_size) + self.s_in * self.domain_max)
+            )
+        )
+        min_input = quantised_min * self.scalar + max_shift
+        significant_min = min_input >> 16
+        min_input_bits = ceil_log2(abs(significant_min))
+        base = 1 << (LOG_SCALE_FACTOR - 8)
+        err, bkm_f = calc_softmax_error(
+            base, float(self.max_size), float(OUTPUT_SCALE_FACTOR),
+            float(SCALE_FACTOR), inv_t,
+        )
+        self.error_bound = err
+        self.bkm = int(round(bkm_f))
+        self.sts = ceil_log2(self.bkm >> 16)  # softmax table bits
+        if min_input_bits > self.sts:
+            remaining = min_input_bits - self.sts
+            self.n_zero_chunks = (remaining - 1) // self.sts + 1
+            self.ztv = remaining if self.n_zero_chunks == 1 else self.sts
+        else:
+            self.n_zero_chunks, self.ztv = 0, 0
+        self.neg_inf = -(((self.bkm >> 16) + 1) << 16)
+        self.inv_temp = inv_t
+
+    # -- table types ---------------------------------------------------------
+
+    @property
+    def exp_table(self) -> TableType:
+        return TableType.softmax(self.inv_temp, self.sts, self.bkm)
+
+    @property
+    def error_table(self) -> TableType:
+        allowable = max(1, int(round(self.error_bound * OUTPUT_SCALE_FACTOR)))
+        return TableType.error(OUTPUT_SCALE_FACTOR, allowable)
+
+    @property
+    def zero_table(self) -> TableType | None:
+        if self.n_zero_chunks == 0:
+            return None
+        return TableType("zero", (self.ztv,))
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    # -- evaluation ----------------------------------------------------------
+
+    def _tril(self, shape) -> np.ndarray:
+        """0/1 mask (R, C): active iff col ≤ row-within-channel (or all 1)."""
+        r, c = shape
+        if self.seq is None:
+            return np.ones((r, c), dtype=np.int64)
+        ri = np.arange(r) % self.seq
+        return (np.arange(c)[None, :] <= ri[:, None]).astype(np.int64)
+
+    def _shift(self, x: np.ndarray) -> np.ndarray:
+        """Per-row negated log-sum-exp at scale 2^24 (softmax.rs:253-310)."""
+        r, c = x.shape
+        tril = self._tril(x.shape).astype(bool)
+        shifts = np.zeros(r, dtype=np.int64)
+        for i in range(r):
+            active = x[i][tril[i]]
+            mx = np.int64(active.max())
+            s = np.sum(
+                np.exp(
+                    (active - mx).astype(np.float32)
+                    * np.float32(self.s_in / self.inv_temp)
+                ),
+                dtype=np.float32,
+            )
+            lse = np.log(s, dtype=np.float32)
+            shifts[i] = (
+                -np.int64(round(float(SCALE_FACTOR * self.inv_temp * lse)))
+                - mx * np.int64(self.scalar)
+            )
+        return shifts
+
+    def _witness(self, x: np.ndarray):
+        x = np.asarray(x, dtype=np.int64)
+        x = x.reshape(-1, x.shape[-1])  # (channels·rows, cols)
+        r, c = x.shape
+        assert r & (r - 1) == 0 and c & (c - 1) == 0, "padded pow2 input"
+        shift = self._shift(x)
+        tril = self._tril(x.shape)
+        shifted = x * np.int64(self.scalar) + shift[:, None]
+        masked = shifted * tril + np.int64(self.neg_inf) * (1 - tril)
+        assert (masked <= 0).all(), "softmax inputs must be ≤ 0 after shift"
+        a = -masked
+        low = a & 255
+        a >>= 8
+        high = a & 255
+        a >>= 8
+        exp_in = a & ((1 << self.sts) - 1)
+        a >>= self.sts
+        _, table_out = _softmax_rows(self.exp_table.params)
+        exp_out = table_out[exp_in]
+        out = exp_out.copy()
+        zins, zouts = [], []
+        for _ in range(self.n_zero_chunks):
+            zin = a & ((1 << self.ztv) - 1)
+            zout = (zin == 0).astype(np.int64)
+            out = out * zout
+            zins.append(zin)
+            zouts.append(zout)
+            a >>= self.ztv
+        assert (a == 0).all(), "shifted input exceeded decomposition range"
+        return dict(
+            shift=shift, tril=tril, masked=masked, low=low, high=high,
+            exp_in=exp_in, exp_out=exp_out, zins=zins, zouts=zouts, out=out,
+        )
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        w = self._witness(inputs[0].data)
+        return [Tensor(w["out"].reshape(inputs[0].data.shape))]
+
+    def step_info(self, node_id: int, aux):
+        aux.tables.add(TableType("range"))
+        aux.tables.add(self.exp_table)
+        aux.tables.add(self.error_table)
+        if self.zero_table is not None:
+            aux.tables.add(self.zero_table)
+        return SoftmaxCtx(
+            node_id=node_id,
+            scalar=self.scalar,
+            sts=self.sts,
+            ztv=self.ztv,
+            n_zero_chunks=self.n_zero_chunks,
+            neg_inf=self.neg_inf,
+            seq=self.seq,
+            exp_table_params=self.exp_table.params,
+            error_table_params=self.error_table.params,
+        )
+
+    def gen_lookup_witness(self, node_id, ctx, step_data):
+        w = self._witness(np.asarray(step_data.inputs[0].data, dtype=np.int64))
+        counts = {}
+        counts[self.exp_table] = count_elements(
+            w["exp_in"].reshape(-1) + w["exp_out"].reshape(-1) * COLUMN_SEPARATOR
+        )
+        counts[TableType("range")] = count_elements(
+            np.concatenate([w["low"].reshape(-1), w["high"].reshape(-1)])
+        )
+        rowsums = w["out"].sum(axis=1)
+        counts[self.error_table] = count_elements(rowsums)
+        col = lambda v: gf.from_u64(Q.to_field(v.reshape(-1)))
+        exp_cols = [col(w["exp_in"]), col(w["exp_out"])]
+        range_cols = [col(w["low"]), col(w["high"])]
+        exp_commits = [(ctx.commitment_ctx.commit(c), c) for c in exp_cols]
+        range_commits = [(ctx.commitment_ctx.commit(c), c) for c in range_cols]
+        shift_col = gf.from_u64(Q.to_field(w["shift"]))
+        shift_commit = (ctx.commitment_ctx.commit(shift_col), shift_col)
+        wits = [
+            LogUpWitness(
+                commits=exp_commits, column_evals=exp_cols,
+                columns_per_instance=2, table_type=self.exp_table,
+            ),
+            LogUpWitness(
+                commits=range_commits, column_evals=range_cols,
+                columns_per_instance=1, table_type=TableType("range"),
+            ),
+            LogUpWitness(
+                commits=[shift_commit], column_evals=[col(rowsums)],
+                columns_per_instance=1, table_type=self.error_table,
+            ),
+        ]
+        if self.n_zero_chunks:
+            zero_cols = []
+            for zin, zout in zip(w["zins"], w["zouts"]):
+                zero_cols += [col(zin), col(zout)]
+            zero_commits = [(ctx.commitment_ctx.commit(c), c) for c in zero_cols]
+            zc = {}
+            for zin, zout in zip(w["zins"], w["zouts"]):
+                for k, v in count_elements(
+                    zin.reshape(-1) + zout.reshape(-1) * COLUMN_SEPARATOR
+                ).items():
+                    zc[k] = zc.get(k, 0) + v
+            counts[self.zero_table] = zc
+            wits.append(
+                LogUpWitness(
+                    commits=zero_commits, column_evals=zero_cols,
+                    columns_per_instance=2, table_type=self.zero_table,
+                )
+            )
+        return wits, counts
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+        from ...sumcheck.prover import _bucket
+
+        dt = prover.dt
+        p = host.P
+        last_claim = glue.as_dev(last_claims[0])
+        x = np.asarray(step_data.inputs[0].data, dtype=np.int64)
+        x = x.reshape(-1, x.shape[-1])
+        r_rows, c_cols = x.shape
+        k = ceil_log2(c_cols)
+        log_r = ceil_log2(r_rows)
+        n = k + log_r
+        assert len(last_claim.point) == n
+
+        wits = prover.lookup_witnesses_for(node_id)
+        if self.n_zero_chunks:
+            exp_wit, range_wit, err_wit, zero_wit = wits
+        else:
+            exp_wit, range_wit, err_wit = wits
+            zero_wit = None
+
+        exp_proof = logup.batch_prove_device(
+            exp_wit.get_logup_input(prover.challenge_storage), dt
+        )
+        range_proof = logup.batch_prove_device(
+            range_wit.get_logup_input(prover.challenge_storage), dt
+        )
+        err_proof = logup.batch_prove_device(
+            err_wit.get_logup_input(prover.challenge_storage), dt
+        )
+        zero_proof = None
+        if zero_wit is not None:
+            zero_proof = logup.batch_prove_device(
+                zero_wit.get_logup_input(prover.challenge_storage), dt
+            )
+
+        # bind looked-up columns to commitments at the logup points
+        for comm_poly, cl in zip(exp_wit.commits, exp_proof.output_claims):
+            prover.commit_prover.add_witness_claim(comm_poly, cl)
+        for comm_poly, cl in zip(range_wit.commits, range_proof.output_claims):
+            prover.commit_prover.add_witness_claim(comm_poly, cl)
+        if zero_wit is not None:
+            for comm_poly, cl in zip(zero_wit.commits, zero_proof.output_claims):
+                prover.commit_prover.add_witness_claim(comm_poly, cl)
+
+        # --- sumcheck A: output + error at batching challenge α ----------------
+        alpha = dt.get_and_append_challenge(b"softmax_batching")
+        one = glue.one()
+        err_claim = err_proof.output_claims[0]  # rowsum~ at p_err (log_r vars)
+        half = ((p + 1) // 2) % p
+        full_err_point = glue.concat_points(
+            [glue.vec([(half, 0)] * k), err_claim.point]
+        )
+        eq_rho = mle_mod._eq_table_kernel(last_claim.point, one, n)
+        eq_err = mle_mod._eq_table_kernel(full_err_point, one, n)
+
+        exp_out_col = exp_wit.column_evals[1]
+        zout_cols = (
+            [zero_wit.column_evals[2 * j + 1] for j in range(self.n_zero_chunks)]
+            if zero_wit is not None
+            else []
+        )
+        vp = VirtualPolynomial.new(n)
+        i_rho = vp.add_mle(eq_rho)
+        i_err = vp.add_mle(eq_err)
+        i_out = vp.add_mle(exp_out_col)
+        i_z = [vp.add_mle(c) for c in zout_cols]
+        vp.add_product((1, 0), [i_rho, i_out] + i_z)
+        vp.add_product((1, 0), [i_err, i_out] + i_z)
+        # coefficients: [α, α²·2^k]
+        two_k = (1 << k) % p
+        vp.coeffs_dev = _softmax_a_coeffs(alpha, two_k, _bucket(len(vp.products)))
+        a_out = prove_device(vp, dt)
+        u = a_out.proof.point
+        af = a_out.final_evals  # [eq_ρ, eq_err, exp_out, zout...]
+
+        prover.commit_prover.add_witness_claim(
+            exp_wit.commits[1], glue.DevClaim(point=u, eval=glue.at(af, 2))
+        )
+        if zero_wit is not None:
+            for j in range(self.n_zero_chunks):
+                prover.commit_prover.add_witness_claim(
+                    zero_wit.commits[2 * j + 1],
+                    glue.DevClaim(point=u, eval=glue.at(af, 3 + j)),
+                )
+
+        # --- provided column evals at u ----------------------------------------
+        cols_at_u = [
+            exp_wit.column_evals[0],  # exp_in
+            range_wit.column_evals[0],  # low
+            range_wit.column_evals[1],  # high
+        ] + (
+            [zero_wit.column_evals[2 * j] for j in range(self.n_zero_chunks)]
+            if zero_wit is not None
+            else []
+        )
+        ev_at_u = _batch_eval(cols_at_u, u, n)
+        comm_list = [exp_wit.commits[0], range_wit.commits[0], range_wit.commits[1]]
+        if zero_wit is not None:
+            comm_list += [zero_wit.commits[2 * j] for j in range(self.n_zero_chunks)]
+        for i, comm_poly in enumerate(comm_list):
+            prover.commit_prover.add_witness_claim(
+                comm_poly, glue.DevClaim(point=u, eval=glue.at(ev_at_u, i))
+            )
+        dt.append_exts(ev_at_u)
+
+        # --- sumcheck B: mask + decomposition at u -----------------------------
+        w = self._witness(x)
+        tril_gf = gf.from_u64(Q.to_field(w["tril"].reshape(-1)))
+        x_gf = gf.from_u64(Q.to_field(x.reshape(-1)))
+        shift_rep = gf.from_u64(Q.to_field(np.repeat(w["shift"], c_cols)))
+        eq_u = mle_mod._eq_table_kernel(u, one, n)
+        vp2 = VirtualPolynomial.new(n)
+        j_eq = vp2.add_mle(eq_u)
+        j_t = vp2.add_mle(tril_gf)
+        j_x = vp2.add_mle(x_gf)
+        j_s = vp2.add_mle(shift_rep)
+        vp2.add_product((self.scalar % p, 0), [j_eq, j_t, j_x])
+        vp2.add_product((1, 0), [j_eq, j_t, j_s])
+        b_out = prove_device(vp2, dt)
+        v = b_out.proof.point
+        v_r = glue.suffix(v, k)
+        bf = b_out.final_evals  # [eq_u, tril, X, shift_rep]
+
+        shift_eval = glue.at(bf, 3)
+        prover.commit_prover.add_witness_claim(
+            err_wit.commits[0], glue.DevClaim(point=v_r, eval=shift_eval)
+        )
+
+        # producer claim: X~(v) = (shifted~ − ...) — here directly from bf[2]
+        input_claim = glue.DevClaim(point=v, eval=glue.at(bf, 2))
+
+        prover.push_proof(
+            node_id,
+            SoftmaxProof(
+                exp_lookup=exp_proof,
+                range_lookup=range_proof,
+                error_lookup=err_proof,
+                zero_lookup=zero_proof,
+                a_sumcheck=a_out.proof,
+                a_evals=a_out.final_evals,
+                provided_evals=ev_at_u,
+                b_sumcheck=b_out.proof,
+                b_evals=b_out.final_evals,
+                commitments={
+                    "exp": [c[0].commitment for c in exp_wit.commits],
+                    "range": [c[0].commitment for c in range_wit.commits],
+                    "shift": err_wit.commits[0][0].commitment,
+                    "zero": [c[0].commitment for c in zero_wit.commits]
+                    if zero_wit is not None
+                    else [],
+                },
+            ),
+        )
+        return [input_claim]
+
+
+import jax as _jax
+from functools import partial as _partial
+
+
+@_partial(_jax.jit, static_argnames=("two_k", "pn_pad"))
+def _softmax_a_coeffs(alpha: gf.GF2, two_k: int, pn_pad: int) -> gf.GF2:
+    a2 = gf.ext_mul(alpha, alpha)
+    c2 = mle_mod.ext_mul_by_base(a2, gf.full((), two_k))
+    out = [alpha, c2] + [gf.ext_zeros(())] * (pn_pad - 2)
+    return gf.ext_stack(out)
+
+
+def _batch_eval(cols, point, n):
+    from .. import lookup_context  # noqa: F401  (import cycle guard)
+    from ...lookup.logup import _batch_eval_kernel
+    from ... import glue
+
+    return _batch_eval_kernel(glue.stack_mles(cols), point, n)
+
+
+@dataclasses.dataclass
+class SoftmaxProof:
+    exp_lookup: object
+    range_lookup: object
+    error_lookup: object
+    zero_lookup: object
+    a_sumcheck: object
+    a_evals: list
+    provided_evals: list
+    b_sumcheck: object
+    b_evals: list
+    commitments: dict
+
+    def get_lookup_data(self):
+        nums, dens = [], []
+        for pr in [self.exp_lookup, self.range_lookup, self.error_lookup,
+                   self.zero_lookup]:
+            if pr is None:
+                continue
+            n1, d1 = logup.fractional_outputs(pr)
+            nums += n1
+            dens += d1
+        return nums, dens
+
+
+def _eq(x, y) -> ExtPair:
+    acc = (1, 0)
+    for xi, yi in zip(x, y, strict=True):
+        xy = host.ext_mul(xi, yi)
+        acc = host.ext_mul(
+            acc,
+            host.ext_add(host.ext_add(xy, xy), host.ext_sub((1, 0), host.ext_add(xi, yi))),
+        )
+    return acc
+
+
+@dataclasses.dataclass
+class SoftmaxCtx:
+    node_id: int
+    scalar: int
+    sts: int
+    ztv: int
+    n_zero_chunks: int
+    neg_inf: int
+    seq: int | None
+    exp_table_params: tuple
+    error_table_params: tuple
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: SoftmaxProof, last_claims, verifier) -> list[Claim]:
+        p = host.P
+        last_claim = last_claims[0]
+        n = len(last_claim.point)
+
+        exp_tt = TableType("softmax", self.exp_table_params)
+        err_tt = TableType("error", self.error_table_params)
+        const_c, sep_c = verifier.challenge_storage.get(exp_tt.name())
+        exp_claims = logup.verify_logup_proof(
+            proof.exp_lookup, 1, const_c, sep_c, verifier.transcript
+        )
+        range_const, _ = verifier.challenge_storage.get(TableType("range").name())
+        range_claims = logup.verify_logup_proof(
+            proof.range_lookup, 2, range_const, (1, 0), verifier.transcript
+        )
+        err_const, _ = verifier.challenge_storage.get(err_tt.name())
+        err_claims = logup.verify_logup_proof(
+            proof.error_lookup, 1, err_const, (1, 0), verifier.transcript
+        )
+        zero_claims = None
+        if self.n_zero_chunks:
+            zero_const, zero_sep = verifier.challenge_storage.get(
+                TableType("zero", (self.ztv,)).name()
+            )
+            zero_claims = logup.verify_logup_proof(
+                proof.zero_lookup, self.n_zero_chunks, zero_const, zero_sep,
+                verifier.transcript,
+            )
+
+        for cm, cl in zip(proof.commitments["exp"], exp_claims.claims):
+            verifier.commit_verifier.add_witness_claim(cm, cl)
+        for cm, cl in zip(proof.commitments["range"], range_claims.claims):
+            verifier.commit_verifier.add_witness_claim(cm, cl)
+        if zero_claims is not None:
+            for cm, cl in zip(proof.commitments["zero"], zero_claims.claims):
+                verifier.commit_verifier.add_witness_claim(cm, cl)
+
+        # --- sumcheck A ---------------------------------------------------------
+        alpha = verifier.transcript.get_and_append_challenge(b"softmax_batching")
+        err_claim = err_claims.claims[0]
+        k = n - len(err_claim.point)
+        half = ((p + 1) // 2) % p
+        full_err_point = [(half, 0)] * k + list(err_claim.point)
+        two_k = ((1 << k) % p, 0)
+        a2 = host.ext_mul(alpha, alpha)
+        claimed = host.ext_add(
+            host.ext_mul(alpha, last_claim.eval),
+            host.ext_mul(a2, err_claim.eval),
+        )
+        deg = 2 + self.n_zero_chunks
+        sub = sumcheck_verify(
+            claimed, proof.a_sumcheck.round_messages, n, deg, verifier.transcript
+        )
+        u = list(sub.point)
+        af = proof.a_evals
+        eq_rho = _eq(last_claim.point, u)
+        eq_err = _eq(full_err_point, u)
+        prod = af[2]
+        for j in range(self.n_zero_chunks):
+            prod = host.ext_mul(prod, af[3 + j])
+        got = host.ext_add(
+            host.ext_mul(host.ext_mul(alpha, eq_rho), prod),
+            host.ext_mul(host.ext_mul(a2, host.ext_mul(two_k, eq_err)), prod),
+        )
+        assert got == sub.expected_evaluation, "softmax A sumcheck mismatch"
+
+        verifier.commit_verifier.add_witness_claim(
+            proof.commitments["exp"][1], Claim(point=u, eval=af[2])
+        )
+        for j in range(self.n_zero_chunks):
+            verifier.commit_verifier.add_witness_claim(
+                proof.commitments["zero"][2 * j + 1],
+                Claim(point=u, eval=af[3 + j]),
+            )
+
+        # --- provided evals at u -------------------------------------------------
+        prov = proof.provided_evals
+        exp_in_u, low_u, high_u = prov[0], prov[1], prov[2]
+        zin_us = prov[3:]
+        comm_list = [
+            proof.commitments["exp"][0],
+            proof.commitments["range"][0],
+            proof.commitments["range"][1],
+        ] + [
+            proof.commitments["zero"][2 * j] for j in range(self.n_zero_chunks)
+        ]
+        for cm, ev in zip(comm_list, prov):
+            verifier.commit_verifier.add_witness_claim(cm, Claim(point=u, eval=ev))
+        verifier.transcript.append_field_element_exts(prov)
+
+        # --- sumcheck B ---------------------------------------------------------
+        # bias~(u) = neg_inf·(1 − tril~(u)); tril evaluated as a public MLE
+        tril = _tril_np(self.seq, 1 << (n - k), 1 << k)
+        tril_gf = gf.from_u64(Q.to_field(tril.reshape(-1)))
+        tril_u = mle_mod.evaluate_pairs(tril_gf, u)
+        neg_inf_f = (self.neg_inf % p, 0)
+        bias_u = host.ext_mul(neg_inf_f, host.ext_sub((1, 0), tril_u))
+
+        rhs = bias_u
+        rhs = host.ext_add(rhs, low_u)
+        rhs = host.ext_add(rhs, host.ext_mul((1 << 8, 0), high_u))
+        rhs = host.ext_add(rhs, host.ext_mul((1 << 16, 0), exp_in_u))
+        wbits = 16 + self.sts
+        for j in range(self.n_zero_chunks):
+            rhs = host.ext_add(
+                rhs, host.ext_mul((pow(2, wbits + j * self.ztv, p), 0), zin_us[j])
+            )
+        claimed_b = host.ext_sub((0, 0), rhs)
+
+        sub2 = sumcheck_verify(
+            claimed_b, proof.b_sumcheck.round_messages, n, 3, verifier.transcript
+        )
+        v = list(sub2.point)
+        bf = proof.b_evals
+        eq_uv = _eq(u, v)
+        tril_v = mle_mod.evaluate_pairs(tril_gf, v)
+        got2 = host.ext_mul(
+            eq_uv,
+            host.ext_mul(
+                tril_v,
+                host.ext_add(
+                    host.ext_mul((self.scalar % p, 0), bf[2]), bf[3]
+                ),
+            ),
+        )
+        assert got2 == sub2.expected_evaluation, "softmax B sumcheck mismatch"
+        assert bf[1] == tril_v, "softmax tril claim mismatch"
+
+        verifier.commit_verifier.add_witness_claim(
+            proof.commitments["shift"], Claim(point=v[k:], eval=bf[3])
+        )
+        return [Claim(point=v, eval=bf[2])]
+
+
+def _tril_np(seq, r, c) -> np.ndarray:
+    if seq is None:
+        return np.ones((r, c), dtype=np.int64)
+    ri = np.arange(r) % seq
+    return (np.arange(c)[None, :] <= ri[:, None]).astype(np.int64)

@@ -1,0 +1,453 @@
+"""GPT-2 provable-graph builder + autoregressive driver.
+
+Mirrors the reference's LLM pipeline (zkml/src/parser/llm.rs:88-156
+`GPT2Model::into_provable_model`, zkml/src/model/llm.rs:29,97 `Driver`)
+with a graph-compositional design: the attention block is built from
+the framework's own layers (LayerNorm, MatMul-const [= QKV projections],
+Permute, ConcatMatMul, Softmax, Add, Requant, Gelu, Logits) with DAG
+fan-out claim merging handling the residual connections — the macro
+Mha/QKV layers of the reference (mha.rs, qkv.rs) become subgraph
+builders here.
+
+Quantization: symmetric per-tensor AbsoluteMax for weights; activation
+scales from a float calibration pass (InferenceObserver-style,
+strategy.rs:51); every matmul/attention output is requantized back to
+BIT_LEN via the Requant layer's shift+multiplier scheme.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import quantization as Q
+from .layers.add import Add
+from .layers.activation import Gelu
+from .layers.concat_matmul import ConcatMatMul, Permute
+from .layers.embeddings import Embeddings, Positional
+from .layers.layernorm import LayerNorm
+from .layers.logits import Logits
+from .layers.matmul import MatMul
+from .layers.requant import Requant
+from .layers.softmax import Softmax
+from .model import Edge, Model
+from .quantization import RequantSpec
+from .tensor import Tensor, ceil_log2, next_pow2
+
+
+@dataclasses.dataclass
+class LLMConfig:
+    """GPT-2 hyperparameters (parser/llm.rs:88 LLMConfig / LLMVariant::GPT2)."""
+
+    vocab: int
+    emb: int
+    heads: int
+    blocks: int
+    context: int
+    eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.emb // self.heads
+
+    @staticmethod
+    def from_gguf(g) -> "LLMConfig":
+        md = g.metadata
+        return LLMConfig(
+            vocab=int(md.get("gpt2.vocab_size", g.tensors["token_embd.weight"].shape[0])),
+            emb=int(md["gpt2.embedding_length"]),
+            heads=int(md["gpt2.attention.head_count"]),
+            blocks=int(md["gpt2.block_count"]),
+            context=int(md["gpt2.context_length"]),
+            eps=float(md.get("gpt2.attention.layer_norm_epsilon", 1e-5)),
+        )
+
+
+@dataclasses.dataclass
+class GPT2Block:
+    ln1_g: np.ndarray
+    ln1_b: np.ndarray
+    qkv_w: np.ndarray  # (emb, 3·emb)
+    qkv_b: np.ndarray
+    proj_w: np.ndarray  # (emb, emb)
+    proj_b: np.ndarray
+    ln2_g: np.ndarray
+    ln2_b: np.ndarray
+    up_w: np.ndarray  # (emb, 4·emb)
+    up_b: np.ndarray
+    down_w: np.ndarray  # (4·emb, emb)
+    down_b: np.ndarray
+
+
+@dataclasses.dataclass
+class GPT2Weights:
+    """Float weights; layout: x @ W (+ b) with W (in, out) — GPT-2 Conv1D."""
+
+    config: LLMConfig
+    wte: np.ndarray  # (vocab, emb)
+    wpe: np.ndarray  # (context, emb)
+    blocks: list
+    lnf_g: np.ndarray
+    lnf_b: np.ndarray
+    lm_head: np.ndarray  # (emb, vocab)
+
+    @staticmethod
+    def from_gguf(g) -> "GPT2Weights":
+        c = LLMConfig.from_gguf(g)
+        t = g.tensors
+
+        def w2(name, i):
+            # GGUF stores (out, in) for matmuls; we want x@W so transpose
+            return np.asarray(t[f"blk.{i}.{name}.weight"], dtype=np.float64).T
+
+        def b1(name, i):
+            return np.asarray(t[f"blk.{i}.{name}.bias"], dtype=np.float64)
+
+        blocks = []
+        for i in range(c.blocks):
+            blocks.append(
+                GPT2Block(
+                    ln1_g=np.asarray(t[f"blk.{i}.attn_norm.weight"], dtype=np.float64),
+                    ln1_b=np.asarray(t[f"blk.{i}.attn_norm.bias"], dtype=np.float64),
+                    qkv_w=w2("attn_qkv", i), qkv_b=b1("attn_qkv", i),
+                    proj_w=w2("attn_output", i), proj_b=b1("attn_output", i),
+                    ln2_g=np.asarray(t[f"blk.{i}.ffn_norm.weight"], dtype=np.float64),
+                    ln2_b=np.asarray(t[f"blk.{i}.ffn_norm.bias"], dtype=np.float64),
+                    up_w=w2("ffn_up", i), up_b=b1("ffn_up", i),
+                    down_w=w2("ffn_down", i), down_b=b1("ffn_down", i),
+                )
+            )
+        return GPT2Weights(
+            config=c,
+            wte=np.asarray(t["token_embd.weight"], dtype=np.float64),
+            wpe=np.asarray(t["position_embd.weight"], dtype=np.float64),
+            blocks=blocks,
+            lnf_g=np.asarray(t["output_norm.weight"], dtype=np.float64),
+            lnf_b=np.asarray(t["output_norm.bias"], dtype=np.float64),
+            lm_head=np.asarray(
+                t.get("output.weight", t["token_embd.weight"]), dtype=np.float64
+            ).T
+            if "output.weight" in t
+            else np.asarray(t["token_embd.weight"], dtype=np.float64).T,
+        )
+
+    @staticmethod
+    def synthetic(config: LLMConfig, seed: int = 0) -> "GPT2Weights":
+        """Tiny random GPT-2-shaped checkpoint for tests/CI."""
+        rng = np.random.default_rng(seed)
+        c = config
+
+        def n(*s):
+            return rng.normal(0, 0.35, size=s)
+
+        blocks = [
+            GPT2Block(
+                ln1_g=n(c.emb) * 0.2 + 1.0, ln1_b=n(c.emb) * 0.1,
+                qkv_w=n(c.emb, 3 * c.emb), qkv_b=n(3 * c.emb) * 0.1,
+                proj_w=n(c.emb, c.emb), proj_b=n(c.emb) * 0.1,
+                ln2_g=n(c.emb) * 0.2 + 1.0, ln2_b=n(c.emb) * 0.1,
+                up_w=n(c.emb, 4 * c.emb), up_b=n(4 * c.emb) * 0.1,
+                down_w=n(4 * c.emb, c.emb), down_b=n(c.emb) * 0.1,
+            )
+            for _ in range(c.blocks)
+        ]
+        return GPT2Weights(
+            config=c,
+            wte=n(c.vocab, c.emb),
+            wpe=n(c.context, c.emb) * 0.3,
+            blocks=blocks,
+            lnf_g=n(c.emb) * 0.2 + 1.0,
+            lnf_b=n(c.emb) * 0.1,
+            lm_head=n(c.emb, c.vocab),
+        )
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+
+
+def _layernorm_f(x, g, b, eps):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return g * (x - mu) / np.sqrt(var + eps) + b
+
+
+def _softmax_f(x, temp_mult):
+    seq = x.shape[-1]
+    out = np.zeros_like(x)
+    for h in range(x.shape[0]):
+        for i in range(x.shape[1]):
+            row = x[h, i, : i + 1] * temp_mult
+            e = np.exp(row - row.max())
+            out[h, i, : i + 1] = e / e.sum()
+    return out
+
+
+class GPT2Builder:
+    """Calibrates activation scales on one token sequence, then emits the
+    quantized provable Model (the analogue of parser/llm.rs:156 +
+    InferenceObserver quantization)."""
+
+    def __init__(self, weights: GPT2Weights, seq: int):
+        self.w = weights
+        self.c = weights.config
+        self.seq = next_pow2(seq)
+        assert self.seq <= self.c.context
+
+    # -- float calibration forward -------------------------------------------
+
+    def _calibrate(self, tokens: np.ndarray) -> dict:
+        w, c = self.w, self.c
+        s = {}
+        seq = self.seq
+        toks = np.zeros(seq, dtype=np.int64)
+        toks[: tokens.size] = tokens[:seq]
+        x = w.wte[toks] + w.wpe[:seq]
+        s["emb"] = _mx(x)
+        for i, blk in enumerate(w.blocks):
+            h = _layernorm_f(x, blk.ln1_g, blk.ln1_b, c.eps)
+            s[f"b{i}.ln1"] = _mx(h)
+            qkv = h @ blk.qkv_w + blk.qkv_b
+            q, k, v = np.split(qkv, 3, axis=-1)
+            s[f"b{i}.q"] = _mx(q)
+            s[f"b{i}.k"] = _mx(k)
+            s[f"b{i}.v"] = _mx(v)
+            qh = q.reshape(seq, c.heads, c.head_dim).transpose(1, 0, 2)
+            kh = k.reshape(seq, c.heads, c.head_dim).transpose(1, 0, 2)
+            vh = v.reshape(seq, c.heads, c.head_dim).transpose(1, 0, 2)
+            att = np.einsum("hmk,hnk->hmn", qh, kh)
+            s[f"b{i}.att"] = _mx(att)
+            p = _softmax_f(att, 1.0 / np.sqrt(c.head_dim))
+            o = np.einsum("hmn,hnd->hmd", p, vh).transpose(1, 0, 2).reshape(seq, c.emb)
+            s[f"b{i}.attn_out"] = _mx(o)
+            o = o @ blk.proj_w + blk.proj_b
+            s[f"b{i}.proj"] = _mx(o)
+            x = x + o
+            s[f"b{i}.res1"] = _mx(x)
+            h = _layernorm_f(x, blk.ln2_g, blk.ln2_b, c.eps)
+            s[f"b{i}.ln2"] = _mx(h)
+            u = _gelu(h @ blk.up_w + blk.up_b)
+            s[f"b{i}.up"] = _mx(h @ blk.up_w + blk.up_b)
+            s[f"b{i}.gelu"] = _mx(u)
+            d = u @ blk.down_w + blk.down_b
+            s[f"b{i}.down"] = _mx(d)
+            x = x + d
+            s[f"b{i}.res2"] = _mx(x)
+        h = _layernorm_f(x, w.lnf_g, w.lnf_b, c.eps)
+        s["lnf"] = _mx(h)
+        logits = h @ w.lm_head
+        s["logits"] = _mx(logits)
+        return s
+
+    # -- graph construction ----------------------------------------------------
+
+    def build(self, calibration_tokens: np.ndarray):
+        """Returns (Model, meta) — meta carries scales for IO handling."""
+        w, c, seq = self.w, self.c, self.seq
+        sc = self._calibrate(np.asarray(calibration_tokens, dtype=np.int64))
+        m = Model(num_inputs=1)
+
+        def scale_of(key):
+            return sc[key] / Q.MAX
+
+        # embeddings + positional share one scale so Add-free fusion works:
+        # we quantize (wte[tok] + wpe[pos]) via Embeddings then Positional
+        s_emb = max(_mx(w.wte), _mx(w.wpe)) / Q.MAX
+        emb_q = _q(w.wte, s_emb)
+        pos_q = _q(w.wpe[:seq], s_emb)
+        n_emb = m.add_node(Embeddings(table=emb_q), [Edge(node=None, index=0)])
+        x_id = m.add_node(Positional(table=pos_q), [Edge(node=n_emb, index=0)])
+        s_x = s_emb  # residual-stream scale (kept fixed across blocks)
+
+        for i, blk in enumerate(w.blocks):
+            x_id, s_x = self._attention(m, x_id, s_x, blk, i, sc)
+            x_id, s_x = self._ffn(m, x_id, s_x, blk, i, sc)
+
+        # final norm + lm head + argmax
+        ln = LayerNorm.from_float(w.lnf_g, w.lnf_b, c.eps, s_x)
+        n_ln = m.add_node(ln, [Edge(node=x_id, index=0)])
+        s_ln_full = _ln_out_scale(w.lnf_g, s_x)
+        s_lnf = scale_of("lnf")
+        n_rq = _requant(m, n_ln, s_ln_full, s_lnf, ln.output_bitsize())
+        s_w = _mx(w.lm_head) / Q.MAX
+        n_mm = m.add_node(MatMul.new_constant(_q(w.lm_head, s_w)), [Edge(node=n_rq, index=0)])
+        s_logits = scale_of("logits")
+        n_rq2 = _requant(
+            m, n_mm, s_lnf * s_w, s_logits,
+            2 * (Q.BIT_LEN - 1) + ceil_log2(next_pow2(c.emb)) + 1,
+        )
+        m.add_node(Logits(), [Edge(node=n_rq2, index=0)])
+        return m, {"seq": seq, "s_logits": s_logits}
+
+    def _attention(self, m, x_id, s_x, blk, i, sc):
+        c, seq = self.c, self.seq
+        h, d = c.heads, c.head_dim
+        ln = LayerNorm.from_float(blk.ln1_g, blk.ln1_b, c.eps, s_x)
+        n_ln = m.add_node(ln, [Edge(node=x_id, index=0)])
+        s_ln_full = _ln_out_scale(blk.ln1_g, s_x)
+        s_h = sc[f"b{i}.ln1"] / Q.MAX
+        n_h = _requant(m, n_ln, s_ln_full, s_h, ln.output_bitsize())
+
+        # QKV: three constant matmuls reading the same normed input
+        # (the reference's fused QKV layer, qkv.rs, done compositionally —
+        # fan-out claim merging covers the shared input)
+        heads_ids = {}
+        scales = {}
+        for name, col in (("q", 0), ("k", 1), ("v", 2)):
+            wq = blk.qkv_w[:, col * c.emb : (col + 1) * c.emb]
+            bq = blk.qkv_b[col * c.emb : (col + 1) * c.emb]
+            s_w = _mx(wq) / Q.MAX
+            mmq = MatMul.new_constant(_q(wq, s_w), _q(bq, s_h * s_w))
+            n_mm = m.add_node(mmq, [Edge(node=n_h, index=0)])
+            s_out = sc[f"b{i}.{name}"] / Q.MAX
+            n_rq = _requant(
+                m, n_mm, s_h * s_w, s_out, mmq.output_bitsize()
+            )
+            # (seq, emb) = (seq, h, d) row-major → permute to (h, seq, d)
+            n_p = m.add_node(
+                Permute((1, 0, 2), (seq, h, next_pow2(d))),
+                [Edge(node=n_rq, index=0)],
+            )
+            heads_ids[name] = n_p
+            scales[name] = s_out
+
+        n_qk = m.add_node(
+            ConcatMatMul(transpose_b=True),
+            [Edge(node=heads_ids["q"], index=0), Edge(node=heads_ids["k"], index=0)],
+        )
+        s_att = scales["q"] * scales["k"]
+        att_mx = sc[f"b{i}.att"] / (s_att if s_att else 1.0)
+        sm = Softmax(
+            s_in=s_att,
+            max_size=max(64, seq),
+            temperature=1.0 / float(np.sqrt(d)),
+            seq=seq,
+            domain_max=int(max(1, abs(att_mx)) * 2),
+        )
+        n_sm = m.add_node(sm, [Edge(node=n_qk, index=0)])
+        n_fm = m.add_node(
+            ConcatMatMul(),
+            [Edge(node=n_sm, index=0), Edge(node=heads_ids["v"], index=0)],
+        )
+        # (h, seq, d) → (seq, h, d) = (seq, emb)
+        n_pb = m.add_node(
+            Permute((1, 0, 2), (h, seq, next_pow2(d))), [Edge(node=n_fm, index=0)]
+        )
+        from .layers.shape_ops import Reshape
+
+        n_pb = m.add_node(
+            Reshape((seq, h * next_pow2(d))), [Edge(node=n_pb, index=0)]
+        )
+        from .lookup_context import OUTPUT_SCALE_FACTOR
+
+        s_fm = scales["v"] / OUTPUT_SCALE_FACTOR  # prob scale × value scale
+        s_ao = sc[f"b{i}.attn_out"] / Q.MAX
+        n_rq = _requant(
+            m, n_pb, s_fm, s_ao,
+            2 * (Q.BIT_LEN - 1) + ceil_log2(OUTPUT_SCALE_FACTOR * seq) + 2,
+        )
+        s_w = _mx(blk.proj_w) / Q.MAX
+        mmp = MatMul.new_constant(_q(blk.proj_w, s_w), _q(blk.proj_b, s_ao * s_w))
+        n_mm = m.add_node(mmp, [Edge(node=n_rq, index=0)])
+        # requant the projection back to the residual-stream scale s_x
+        n_rqp = _requant(m, n_mm, s_ao * s_w, s_x, mmp.output_bitsize())
+        n_add = m.add_node(Add(), [Edge(node=x_id, index=0), Edge(node=n_rqp, index=0)])
+        # renormalize the residual sum to int8 at its observed scale
+        s_res = sc[f"b{i}.res1"] / Q.MAX
+        n_out = _requant(m, n_add, s_x, s_res, Q.BIT_LEN + 2)
+        return n_out, s_res
+
+    def _ffn(self, m, x_id, s_x, blk, i, sc):
+        c = self.c
+        ln = LayerNorm.from_float(blk.ln2_g, blk.ln2_b, c.eps, s_x)
+        n_ln = m.add_node(ln, [Edge(node=x_id, index=0)])
+        s_ln_full = _ln_out_scale(blk.ln2_g, s_x)
+        s_h = sc[f"b{i}.ln2"] / Q.MAX
+        n_h = _requant(m, n_ln, s_ln_full, s_h, ln.output_bitsize())
+
+        s_w = _mx(blk.up_w) / Q.MAX
+        mmu = MatMul.new_constant(_q(blk.up_w, s_w), _q(blk.up_b, s_h * s_w))
+        n_mm = m.add_node(mmu, [Edge(node=n_h, index=0)])
+        s_up = sc[f"b{i}.up"] / Q.MAX
+        n_rq = _requant(m, n_mm, s_h * s_w, s_up, mmu.output_bitsize())
+        s_gelu = sc[f"b{i}.gelu"] / Q.MAX
+        n_g = m.add_node(Gelu(s_in=s_up, s_out=s_gelu), [Edge(node=n_rq, index=0)])
+        s_w2 = _mx(blk.down_w) / Q.MAX
+        mmd = MatMul.new_constant(_q(blk.down_w, s_w2), _q(blk.down_b, s_gelu * s_w2))
+        n_mm2 = m.add_node(mmd, [Edge(node=n_g, index=0)])
+        n_rqd = _requant(m, n_mm2, s_gelu * s_w2, s_x, mmd.output_bitsize())
+        n_add = m.add_node(Add(), [Edge(node=x_id, index=0), Edge(node=n_rqd, index=0)])
+        s_res = sc[f"b{i}.res2"] / Q.MAX
+        n_out = _requant(m, n_add, s_x, s_res, Q.BIT_LEN + 2)
+        return n_out, s_res
+
+
+def _mx(a) -> float:
+    return float(np.abs(a).max())
+
+
+def _q(a: np.ndarray, scale: float) -> np.ndarray:
+    return np.clip(np.round(np.asarray(a, dtype=np.float64) / scale), Q.MIN, Q.MAX).astype(
+        np.int64
+    )
+
+
+def _ln_out_scale(gamma_f, s_in: float) -> float:
+    from .lookup_context import LAYERNORM_OUTPUT_SCALE_FACTOR
+
+    s_gamma = max(1e-12, float(np.abs(np.asarray(gamma_f)).max())) / Q.MAX
+    return s_in * s_gamma / LAYERNORM_OUTPUT_SCALE_FACTOR
+
+
+def _requant(m: Model, src: int, s_before: float, s_after: float, bits: int) -> int:
+    spec = RequantSpec.from_multiplier(s_before / s_after, bits)
+    return m.add_node(Requant(spec=spec), [Edge(node=src, index=0)])
+
+
+# ---------------------------------------------------------------------------
+# autoregressive driver (model/llm.rs:29 Driver, :97 run_inference)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GenerationStep:
+    token: int
+    trace: object
+    proof: object = None
+
+
+class Driver:
+    """Token loop: run (and optionally prove) one full-context inference
+    per generated token, reading the argmax at the last active position."""
+
+    def __init__(self, model: Model, meta: dict, ctx=None):
+        self.model = model
+        self.meta = meta
+        self.ctx = ctx
+
+    def step(self, tokens: np.ndarray, prove: bool = False) -> GenerationStep:
+        from ..transcript import BasicTranscript
+        from .iop import Prover
+
+        seq = self.meta["seq"]
+        toks = np.zeros(seq, dtype=np.int64)
+        n_active = min(len(tokens), seq)
+        toks[:n_active] = tokens[-seq:][:n_active]
+        trace = self.model.run([Tensor(toks)])
+        argmax = np.asarray(trace.outputs[0].data, dtype=np.int64).reshape(-1)
+        token = int(argmax[n_active - 1])
+        proof = None
+        if prove:
+            assert self.ctx is not None, "proving requires a Context"
+            proof = Prover(self.ctx, BasicTranscript(b"m2vec")).prove(trace)
+        return GenerationStep(token=token, trace=trace, proof=proof)
+
+    def generate(self, prompt: list[int], n_tokens: int, prove: bool = False):
+        tokens = list(prompt)
+        steps = []
+        for _ in range(n_tokens):
+            st = self.step(np.asarray(tokens, dtype=np.int64), prove=prove)
+            tokens.append(st.token)
+            steps.append(st)
+        return tokens, steps

@@ -1,0 +1,75 @@
+"""ConcatMatMul (batched per-head matmul) + Permute claim rewiring.
+
+Reference: zkml/src/layers/concat_matmul.rs, permute.rs.
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.fields import gf
+from deepprove_tpu.poly import mle as mle_mod
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.concat_matmul import (
+    ConcatMatMul,
+    Permute,
+    _rewire_point_host,
+)
+from deepprove_tpu.zkml.model import Edge, Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def test_permute_rewiring_math():
+    """in~(rewired(pt)) == out~(pt) for a random tensor + point."""
+    rng = np.random.default_rng(0)
+    shape = (2, 4, 8)
+    perm = (1, 0, 2)
+    x = rng.integers(0, 100, size=shape).astype(np.int64)
+    y = np.transpose(x, perm)
+    pt = [(int(rng.integers(1, 1 << 60)), int(rng.integers(1, 1 << 60))) for _ in range(6)]
+    out_eval = mle_mod.evaluate_pairs(gf.from_u64(Q.to_field(y.reshape(-1))), pt)
+    in_pt = _rewire_point_host(pt, perm, shape, y.shape)
+    in_eval = mle_mod.evaluate_pairs(gf.from_u64(Q.to_field(x.reshape(-1))), in_pt)
+    assert out_eval == in_eval
+
+
+def _attention_like(seed=0, transpose_b=True):
+    rng = np.random.default_rng(seed)
+    h, s, d = 2, 4, 8
+    q = rng.integers(Q.MIN, Q.MAX + 1, size=(s, h, d)).astype(np.int64)
+    k = rng.integers(Q.MIN, Q.MAX + 1, size=(s, h, d)).astype(np.int64)
+    model = Model(num_inputs=2)
+    n_pq = model.add_node(Permute((1, 0, 2), (s, h, d)), [Edge(node=None, index=0)])
+    n_pk = model.add_node(Permute((1, 0, 2), (s, h, d)), [Edge(node=None, index=1)])
+    model.add_node(
+        ConcatMatMul(transpose_b=transpose_b),
+        [Edge(node=n_pq, index=0), Edge(node=n_pk, index=0)],
+    )
+    trace = model.run([Tensor(q), Tensor(k)])
+    # semantics check: per-head Q_h @ K_h^T
+    qh = np.transpose(q, (1, 0, 2))
+    kh = np.transpose(k, (1, 0, 2))
+    want = np.einsum("hmk,hnk->hmn", qh, kh) if transpose_b else None
+    if want is not None:
+        np.testing.assert_array_equal(trace.outputs[0].data, want)
+    return model, trace, [Tensor(q), Tensor(k)]
+
+
+def test_concat_matmul_prove_verify():
+    model, trace, inputs = _attention_like()
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO(inputs, trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_concat_matmul_tamper_rejected():
+    model, trace, inputs = _attention_like(seed=1)
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    cm_proof = proof.steps[2]
+    e0, e1 = cm_proof.individual_claims[1]
+    cm_proof.individual_claims[1] = ((e0 + 1) % ((1 << 64) - (1 << 32) + 1), e1)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO(inputs, trace.outputs), BasicTranscript(b"m2vec"))

@@ -1,0 +1,67 @@
+"""LayerNorm layer: quantization sanity + prove/verify roundtrip + tamper.
+
+Reference: zkml/src/layers/transformer/layernorm.rs (+ InverseSQRT table,
+lookup/context.rs).
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.layernorm import LayerNorm
+from deepprove_tpu.zkml.lookup_context import LAYERNORM_OUTPUT_SCALE_FACTOR
+from deepprove_tpu.zkml.model import Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def _make(rows=4, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    s_in = 1.0 / 64.0
+    gamma_f = rng.normal(1.0, 0.2, size=dim).astype(np.float64)
+    beta_f = rng.normal(0.0, 0.1, size=dim).astype(np.float64)
+    ln = LayerNorm.from_float(gamma_f, beta_f, eps=1e-5, s_in=s_in)
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(rows, dim)).astype(np.int64)
+    return ln, x, gamma_f, beta_f, s_in
+
+
+def test_layernorm_quantization_tracks_float():
+    ln, x, gamma_f, beta_f, s_in = _make()
+    out = ln.evaluate([Tensor(x)])[0].data
+    # dequantize: out scale = s_in·s_gamma/2^10
+    s_gamma = np.abs(gamma_f).max() / Q.MAX
+    # float layernorm on dequantized input (biased variance, eps)
+    xf = x.astype(np.float64) * s_in
+    mu = xf.mean(axis=1, keepdims=True)
+    var = xf.var(axis=1, keepdims=True)
+    ref = gamma_f * (xf - mu) / np.sqrt(var + 1e-5) + beta_f
+    got = out.astype(np.float64) * (s_in * s_gamma / LAYERNORM_OUTPUT_SCALE_FACTOR)
+    assert np.max(np.abs(got[:, : ref.shape[1]] - ref)) < 0.15, (
+        np.max(np.abs(got[:, : ref.shape[1]] - ref))
+    )
+
+
+def test_layernorm_prove_verify_roundtrip():
+    ln, x, *_ = _make()
+    model = Model()
+    model.add_chain(ln)
+    trace = model.run([Tensor(x)])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([Tensor(x)], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_layernorm_tamper_rejected():
+    ln, x, *_ = _make(seed=3)
+    model = Model()
+    model.add_chain(ln)
+    trace = model.run([Tensor(x)])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    ln_proof = proof.steps[0]
+    e0, e1 = ln_proof.io_evals[2]
+    ln_proof.io_evals[2] = ((e0 + 1) % ((1 << 64) - (1 << 32) + 1), e1)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([Tensor(x)], trace.outputs), BasicTranscript(b"m2vec"))

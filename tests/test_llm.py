@@ -1,0 +1,56 @@
+"""GPT-2 graph builder + autoregressive driver e2e.
+
+Reference: zkml/src/parser/llm.rs:88-156 (GPT2Model::into_provable_model),
+zkml/src/model/llm.rs:29,97 (Driver). Uses a tiny synthetic GPT-2-shaped
+checkpoint (CI-hermetic, like the reference's gpt2_internal.py export).
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.llm import Driver, GPT2Builder, GPT2Weights, LLMConfig
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def _tiny():
+    c = LLMConfig(vocab=32, emb=16, heads=2, blocks=1, context=8)
+    w = GPT2Weights.synthetic(c, seed=0)
+    b = GPT2Builder(w, seq=4)
+    toks = np.array([3, 7, 1, 5], dtype=np.int64)
+    model, meta = b.build(toks)
+    return model, meta, toks
+
+
+def test_gpt2_generation_loop():
+    model, meta, toks = _tiny()
+    drv = Driver(model, meta)
+    out_tokens, steps = drv.generate([3, 7], n_tokens=2)
+    assert len(out_tokens) == 4
+    assert all(0 <= t < 32 for t in out_tokens)
+
+
+def test_gpt2_prove_one_step_e2e():
+    model, meta, toks = _tiny()
+    trace = model.run([Tensor(toks)])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    # residual fan-out must have produced same-poly merges
+    assert proof.merges, "transformer residuals require claim merging"
+    verify(ctx, proof, IO([Tensor(toks)], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_gpt2_tamper_rejected():
+    model, meta, toks = _tiny()
+    trace = model.run([Tensor(toks)])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    # corrupt a logits-layer claim
+    last = max(proof.steps)
+    lp = proof.steps[last]
+    e0, e1 = lp.z_evals[3]
+    lp.z_evals[3] = ((e0 + 1) % ((1 << 64) - (1 << 32) + 1), e1)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([Tensor(toks)], trace.outputs), BasicTranscript(b"m2vec"))

@@ -1,0 +1,66 @@
+"""Softmax layer: quantization sanity + prove/verify roundtrip + tamper.
+
+Reference: zkml/src/layers/transformer/softmax.rs (zkLLM scheme; exp
+multi-table + ErrorTable normalization + causal zeroifier mask).
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.softmax import Softmax
+from deepprove_tpu.zkml.lookup_context import OUTPUT_SCALE_FACTOR
+from deepprove_tpu.zkml.model import Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def _make(seq=8, seed=0, causal=True):
+    rng = np.random.default_rng(seed)
+    s_in = 1.0 / 32.0
+    sm = Softmax(s_in=s_in, max_size=64, seq=seq if causal else None)
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(seq, seq)).astype(np.int64)
+    return sm, x, s_in
+
+
+def test_softmax_quantization_tracks_float():
+    sm, x, s_in = _make()
+    out = sm.evaluate([Tensor(x)])[0].data.astype(np.float64) / OUTPUT_SCALE_FACTOR
+    # float causal softmax on dequantized input
+    xf = x.astype(np.float64) * s_in
+    seq = x.shape[0]
+    ref = np.zeros_like(xf)
+    for i in range(seq):
+        row = xf[i, : i + 1]
+        e = np.exp(row - row.max())
+        ref[i, : i + 1] = e / e.sum()
+    assert np.max(np.abs(out - ref)) < 0.02, np.max(np.abs(out - ref))
+    # rows sum to ≈ 1
+    sums = out.sum(axis=1)
+    assert np.max(np.abs(sums - 1.0)) < 0.02
+
+
+def test_softmax_prove_verify_roundtrip():
+    sm, x, _ = _make()
+    model = Model()
+    model.add_chain(sm)
+    trace = model.run([Tensor(x)])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([Tensor(x)], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_softmax_tamper_rejected():
+    sm, x, _ = _make(seed=2)
+    model = Model()
+    model.add_chain(sm)
+    trace = model.run([Tensor(x)])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    sp = proof.steps[0]
+    e0, e1 = sp.b_evals[2]
+    sp.b_evals[2] = ((e0 + 1) % ((1 << 64) - (1 << 32) + 1), e1)
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([Tensor(x)], trace.outputs), BasicTranscript(b"m2vec"))
