@@ -1,0 +1,72 @@
+"""Sharded full prover: multi-chip proving via sharded MLE/codeword arrays.
+
+The devirgo design (parallel/sumcheck.py) hand-writes the collective
+schedule for one sumcheck. For the FULL prover (Basefold commit/open
+NTTs, Merkle levels, logup trees, every layer sumcheck) the TPU-native
+route is the jax.sharding recipe: place every large flat array —
+hypercube evaluations, codewords, Merkle levels — with a
+NamedSharding over the mesh's data axis and run the SAME jitted kernels;
+XLA's SPMD partitioner inserts the psum/all-gather/all-to-all collectives
+(SURVEY.md §2.3 mapping: rayon data-parallel → per-chip partitions over
+ICI). The math is unchanged, so transcripts are bit-identical to the
+single-chip prover — asserted by tests/test_sharded_prover.py.
+
+Scaling note: the fused sumcheck kernels keep MLEs flat, so the leading
+hypercube variables land on the device axis exactly as in the devirgo
+partition (sumcheck/src/prover.rs:37-46); Merkle `_compress_level` calls
+halve locally until the level is smaller than the mesh, where XLA
+gathers — the per-level all-gather from SURVEY §7 step 6.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fields import gf
+
+
+def shard_flat(x, mesh: Mesh, axis: str = "x"):
+    """Place a GF/GF2 flat array with its leading dim sharded on `axis`.
+
+    Arrays smaller than the mesh stay replicated."""
+    def place(a):
+        if a.ndim >= 1 and a.shape[0] % mesh.devices.size == 0 and a.shape[0] >= mesh.devices.size:
+            spec = P(axis, *([None] * (a.ndim - 1)))
+        else:
+            spec = P(*([None] * a.ndim))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    if isinstance(x, gf.GF2):
+        return gf.GF2(shard_flat(x.a0, mesh, axis), shard_flat(x.a1, mesh, axis))
+    return gf.GF(place(x.lo), place(x.hi))
+
+
+def shard_commitment(comm, mesh: Mesh, axis: str = "x"):
+    """Shard a CommitmentWithWitness's codeword / evals / Merkle levels."""
+    comm.codeword = shard_flat(comm.codeword, mesh, axis)
+    comm.bh_evals = [shard_flat(b, mesh, axis) for b in comm.bh_evals]
+    comm.tree.leaves = shard_flat(comm.tree.leaves, mesh, axis)
+    comm.tree.levels = [shard_flat(l, mesh, axis) for l in comm.tree.levels]
+    return comm
+
+
+def shard_context(ctx, mesh: Mesh, axis: str = "x"):
+    """Shard every committed model polynomial in a zkml Context."""
+    cc = ctx.commitment_ctx
+    for node_id, polys in cc.model_comms.items():
+        for pid, (comm, poly) in list(polys.items()):
+            polys[pid] = (shard_commitment(comm, mesh, axis), shard_flat(poly, mesh, axis))
+    for tt, (comm, poly) in list(cc.table_comms.items()):
+        cc.table_comms[tt] = (
+            shard_commitment(comm, mesh, axis),
+            shard_flat(poly, mesh, axis),
+        )
+    return ctx
+
+
+def default_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=(axis,))

@@ -93,7 +93,15 @@ def _input_shape(graph: dict) -> tuple:
 
 
 def load_onnx(path: str) -> FloatModel:
-    """Parse an .onnx file into a FloatModel (linear-chain MLP/CNN)."""
+    """Parse an .onnx file into a FloatModel DAG.
+
+    Graph-structured (name-based edges) rather than chain-only: MatMul+Add
+    bias fusion, standalone residual Add between two node outputs, and the
+    reference's MLP/CNN op set (parser/mod.rs:213). Multi-consumer tensors
+    (fan-out) are supported by the prover's same-poly claim merging.
+    """
+    from ..zkml.float_model import FAdd
+
     with open(path, "rb") as f:
         model_msg = parse_message(f.read())
     graph = parse_message(model_msg[7][0])
@@ -106,12 +114,30 @@ def load_onnx(path: str) -> FloatModel:
     in_shape = _input_shape(graph)
     fm = FloatModel(input_shape=in_shape)
 
-    pending_matmul = None  # MatMul awaiting its Add(bias)
+    # graph-input tensor names map to node id −1
+    name_to_id: dict[str, int] = {}
+    for vi in graph.get(11, []):
+        m = parse_message(vi)
+        nm_ = m.get(1, [b""])[0].decode()
+        if nm_ and nm_ not in inits:
+            name_to_id[nm_] = -1
+
+    def src_id(name: str) -> int:
+        if name in name_to_id:
+            return name_to_id[name]
+        if not name_to_id:  # tolerate missing value_info: first use = input
+            return -1
+        raise KeyError(f"ONNX tensor {name!r} has no producer")
+
+    pending = {}  # output name -> transposed MatMul weight awaiting bias
+
     for nbuf in graph.get(1, []):
         nm = parse_message(nbuf)
         op_type = nm.get(4, [b""])[0].decode()
         node_inputs = [b.decode() for b in nm.get(1, [])]
+        node_outputs = [b.decode() for b in nm.get(2, [])]
         attrs = _parse_attributes(nm)
+        out_name = node_outputs[0] if node_outputs else ""
 
         if op_type == "Gemm":
             w = inits[node_inputs[1]]
@@ -122,22 +148,43 @@ def load_onnx(path: str) -> FloatModel:
             )
             if attrs.get("transB", 0) == 0:
                 w = w.T
-            fm.add(FDense(weight=w, bias=b))
+            nid = fm.add_node(FDense(weight=w, bias=b), [src_id(node_inputs[0])])
+            name_to_id[out_name] = nid
         elif op_type == "MatMul":
             w = inits[node_inputs[1]]
-            pending_matmul = w.T  # ONNX MatMul: x @ W
+            pending[out_name] = (w.T, src_id(node_inputs[0]))
         elif op_type == "Add":
-            if pending_matmul is not None:
-                b = inits[node_inputs[1]]
-                fm.add(FDense(weight=pending_matmul, bias=b.reshape(-1)))
-                pending_matmul = None
+            init_ins = [n for n in node_inputs if n in inits]
+            if len(init_ins) == 1 and any(n in pending for n in node_inputs):
+                # bias add fused into the preceding MatMul
+                mm_name = next(n for n in node_inputs if n in pending)
+                w, sid = pending.pop(mm_name)
+                b = inits[init_ins[0]].reshape(-1)
+                nid = fm.add_node(FDense(weight=w, bias=b), [sid])
             else:
-                raise NotImplementedError("standalone Add in ONNX chain")
+                # standalone residual add between two node outputs
+                sids = []
+                for n in node_inputs:
+                    if n in pending:
+                        w, sid0 = pending.pop(n)
+                        sids.append(
+                            fm.add_node(
+                                FDense(weight=w, bias=np.zeros(w.shape[0])), [sid0]
+                            )
+                        )
+                    else:
+                        sids.append(src_id(n))
+                nid = fm.add_node(FAdd(), sids)
+            name_to_id[out_name] = nid
         elif op_type == "Relu":
-            if pending_matmul is not None:
-                fm.add(FDense(weight=pending_matmul, bias=np.zeros(pending_matmul.shape[0])))
-                pending_matmul = None
-            fm.add(FRelu())
+            sname = node_inputs[0]
+            if sname in pending:
+                w, sid = pending.pop(sname)
+                sid = fm.add_node(FDense(weight=w, bias=np.zeros(w.shape[0])), [sid])
+            else:
+                sid = src_id(sname)
+            nid = fm.add_node(FRelu(), [sid])
+            name_to_id[out_name] = nid
         elif op_type == "Conv":
             w = inits[node_inputs[1]]
             b = (
@@ -149,17 +196,21 @@ def load_onnx(path: str) -> FloatModel:
             assert list(strides) == [1, 1], "conv stride 1 only"
             pads = attrs.get("pads", [0, 0, 0, 0])
             assert not any(pads), "conv padding 0 only"
-            fm.add(FConv(weight=w, bias=b))
+            nid = fm.add_node(FConv(weight=w, bias=b), [src_id(node_inputs[0])])
+            name_to_id[out_name] = nid
         elif op_type == "MaxPool":
             ks = attrs.get("kernel_shape", [2, 2])
             assert list(ks) == [2, 2], "2x2 maxpool only"
-            fm.add(FMaxpool())
+            nid = fm.add_node(FMaxpool(), [src_id(node_inputs[0])])
+            name_to_id[out_name] = nid
         elif op_type in ("Flatten", "Reshape"):
-            fm.add(FFlatten())
+            nid = fm.add_node(FFlatten(), [src_id(node_inputs[0])])
+            name_to_id[out_name] = nid
         elif op_type in ("Identity", "Dropout", "Cast"):
-            continue
+            name_to_id[out_name] = src_id(node_inputs[0])
         else:
             raise NotImplementedError(f"ONNX op {op_type}")
-    if pending_matmul is not None:
-        fm.add(FDense(weight=pending_matmul, bias=np.zeros(pending_matmul.shape[0])))
+
+    for out_name, (w, sid) in pending.items():
+        fm.add_node(FDense(weight=w, bias=np.zeros(w.shape[0])), [sid])
     return fm

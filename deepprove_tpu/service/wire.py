@@ -1,0 +1,135 @@
+"""Versioned, safe wire format for proofs and requests
+(deep-prove/src/middleware/mod.rs:8 DeepProveRequest/Response::V1).
+
+The reference ships msgpack+zstd; neither lib is in this image, so the
+format is JSON + zlib with an explicit version tag. Unlike pickle,
+decoding executes NO code: dataclasses are reconstructed only from an
+allowlist registry, everything else is plain JSON scalars, numpy arrays
+travel as dtype+shape+base64.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import json
+import zlib
+
+import numpy as np
+
+WIRE_VERSION = 1
+
+# allowlist: the only dataclasses the decoder will reconstruct
+_REGISTRY: dict[str, type] = {}
+
+
+def register(cls):
+    _REGISTRY[f"{cls.__module__}.{cls.__qualname__}"] = cls
+    return cls
+
+
+def _register_proof_types():
+    from ..lookup.logup import Claim, LogUpProof
+    from ..pcs.basefold import BasefoldProof, BatchEvaluation, QueryOpening
+    from ..sumcheck.prover import ProverOutput, SumcheckProof
+    from ..zkml.commit import SamePolyProof
+    from ..zkml.iop.prover import Proof, TableProof
+
+    for cls in (
+        Claim, LogUpProof, BasefoldProof, BatchEvaluation, QueryOpening,
+        ProverOutput, SumcheckProof, SamePolyProof, Proof, TableProof,
+    ):
+        register(cls)
+    # layer proof types
+    from ..zkml.layers import (  # noqa: F401
+        activation, add, concat_matmul, convolution, dense, embeddings,
+        layernorm, logits, matmul, pooling, requant, softmax,
+    )
+    import sys
+
+    for modname in list(sys.modules):
+        if ".zkml.layers." in modname:
+            mod = sys.modules[modname]
+            for name in dir(mod):
+                obj = getattr(mod, name)
+                if dataclasses.is_dataclass(obj) and isinstance(obj, type):
+                    register(obj)
+    from ..zkml.lookup_context import TableType
+
+    register(TableType)
+
+
+def _enc(obj):
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    if isinstance(obj, bytes):
+        return {"__b__": base64.b64encode(obj).decode()}
+    if isinstance(obj, np.ndarray):
+        return {
+            "__np__": str(obj.dtype),
+            "shape": list(obj.shape),
+            "data": base64.b64encode(np.ascontiguousarray(obj).tobytes()).decode(),
+        }
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, tuple):
+        return {"__t__": [_enc(v) for v in obj]}
+    if isinstance(obj, list):
+        return [_enc(v) for v in obj]
+    if isinstance(obj, dict):
+        return {"__d__": [[_enc(k), _enc(v)] for k, v in obj.items()]}
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        cls = type(obj)
+        key = f"{cls.__module__}.{cls.__qualname__}"
+        if key not in _REGISTRY:
+            register(cls)
+        return {
+            "__dc__": key,
+            "f": {
+                f.name: _enc(getattr(obj, f.name))
+                for f in dataclasses.fields(obj)
+            },
+        }
+    raise TypeError(f"cannot encode {type(obj)}")
+
+
+def _dec(obj):
+    if isinstance(obj, list):
+        return [_dec(v) for v in obj]
+    if isinstance(obj, dict):
+        if "__b__" in obj:
+            return base64.b64decode(obj["__b__"])
+        if "__np__" in obj:
+            a = np.frombuffer(
+                base64.b64decode(obj["data"]), dtype=np.dtype(obj["__np__"])
+            )
+            return a.reshape(obj["shape"]).copy()
+        if "__t__" in obj:
+            return tuple(_dec(v) for v in obj["__t__"])
+        if "__d__" in obj:
+            return {_dec(k): _dec(v) for k, v in obj["__d__"]}
+        if "__dc__" in obj:
+            cls = _REGISTRY.get(obj["__dc__"])
+            if cls is None:
+                _register_proof_types()
+                cls = _REGISTRY[obj["__dc__"]]
+            inst = object.__new__(cls)
+            for k, v in obj["f"].items():
+                setattr(inst, k, _dec(v))
+            return inst
+        return obj
+    return obj
+
+
+def serialize(obj, tag: str = "proof") -> bytes:
+    """obj → versioned compressed wire blob."""
+    _register_proof_types()
+    body = json.dumps({"v": WIRE_VERSION, "tag": tag, "body": _enc(obj)})
+    return zlib.compress(body.encode(), level=6)
+
+
+def deserialize(blob: bytes):
+    _register_proof_types()
+    msg = json.loads(zlib.decompress(blob).decode())
+    assert msg["v"] == WIRE_VERSION, f"unsupported wire version {msg['v']}"
+    return _dec(msg["body"])

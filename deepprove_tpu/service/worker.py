@@ -15,7 +15,6 @@ import base64
 import dataclasses
 import io
 import json
-import pickle
 import queue
 import tempfile
 import threading
@@ -44,7 +43,7 @@ class ProofRequest:
 
 @dataclasses.dataclass
 class ProofResponse:
-    proofs: list  # serialized proof blobs (pickle+b64)
+    proofs: list  # serialized proof blobs (versioned wire format + b64)
     outputs: list
     errors: list
 
@@ -83,7 +82,9 @@ def run_model_v1(store, request: ProofRequest, pcs_kw=None) -> ProofResponse:
             proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
             # sanity: verify before returning (cheap insurance, optional)
             verify(ctx, proof, IO([xq], trace.outputs), BasicTranscript(b"m2vec"))
-            blob = base64.b64encode(pickle.dumps(proof)).decode()
+            from .wire import serialize
+
+            blob = base64.b64encode(serialize(proof)).decode()
             proofs.append(blob)
             outputs.append(s_out.dequantize(trace.outputs[0].data).tolist())
         except Exception as e:  # worker must not crash (grpc.rs:55)

@@ -56,11 +56,11 @@ def stream_metrics(phase: str, span: MetricsSpan, path: str | None = None):
 
 
 def proof_size_bytes(proof) -> int:
-    """Serialized proof size (the reference reports proof KB per run,
-    zkml/README.md:144-152)."""
-    import pickle
+    """Serialized proof size on the versioned wire format (the reference
+    reports proof KB per run, zkml/README.md:144-152)."""
+    from ..service.wire import serialize
 
-    return len(pickle.dumps(proof))
+    return len(serialize(proof))
 
 
 class StatisticRecorder:

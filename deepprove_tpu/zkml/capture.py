@@ -1,0 +1,56 @@
+"""Quantization regression capture (zkml/src/capture.rs:35).
+
+Hashes every layer's quantized outputs from an inference trace so CI can
+diff base vs HEAD (the reference's `capture-layers-quant` feature +
+scripts/ci/cmp-layers-quant.sh). Set ZKML_CAPTURE=<dir> to write one
+JSON file per model run; `capture_trace` returns the digest map either
+way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+
+def capture_trace(model, trace) -> dict:
+    """{node_id: {op, shape, sha256(outputs)}} for every trace step."""
+    out = {}
+    for nid in sorted(trace.steps):
+        step = trace.steps[nid]
+        h = hashlib.sha256()
+        for t in step.outputs:
+            a = np.ascontiguousarray(np.asarray(t.data, dtype=np.int64))
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+        out[str(nid)] = {
+            "op": type(model.nodes[nid].op).__name__,
+            "shape": [list(t.data.shape) for t in step.outputs],
+            "sha256": h.hexdigest(),
+        }
+    return out
+
+
+def capture_to_dir(model, trace, tag: str, directory: str | None = None) -> str | None:
+    """Write the capture JSON when ZKML_CAPTURE (or `directory`) is set."""
+    directory = directory or os.environ.get("ZKML_CAPTURE")
+    if not directory:
+        return None
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"{tag}.json")
+    with open(path, "w") as f:
+        json.dump(capture_trace(model, trace), f, indent=1, sort_keys=True)
+    return path
+
+
+def diff_captures(a: dict, b: dict) -> list[str]:
+    """Node ids whose quantized outputs differ (cmp-layers-quant.sh)."""
+    keys = sorted(set(a) | set(b))
+    return [
+        k
+        for k in keys
+        if a.get(k, {}).get("sha256") != b.get(k, {}).get("sha256")
+    ]

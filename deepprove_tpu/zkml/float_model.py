@@ -74,32 +74,61 @@ class FFlatten:
         return x.reshape(-1)
 
 
+@dataclasses.dataclass
+class FAdd:
+    """Element-wise residual add of two producer outputs."""
+
+    def forward(self, a, b):
+        return a + b
+
+
 class FloatModel:
+    """DAG of float ops; `add(op)` keeps the chain API (inputs default to
+    the previous node), `add_node(op, inputs)` wires explicit edges
+    (input id −1 = the model input). Mirrors model/mod.rs Node/Edge."""
+
     def __init__(self, input_shape: tuple):
-        self.ops: list = []
+        self.ops: list = []  # list of (op, [input ids])
         self.input_shape = tuple(input_shape)
 
     def add(self, op):
-        self.ops.append(op)
+        prev = len(self.ops) - 1
+        self.ops.append((op, [prev]))
         return self
 
+    def add_node(self, op, inputs: list[int]) -> int:
+        self.ops.append((op, list(inputs)))
+        return len(self.ops) - 1
+
     def forward(self, x: np.ndarray, tracker=None) -> np.ndarray:
-        for i, op in enumerate(self.ops):
-            x = op.forward(x)
+        vals: dict[int, np.ndarray] = {-1: x}
+        out = x
+        for i, (op, inputs) in enumerate(self.ops):
+            args = [vals[j] for j in inputs]
+            out = op.forward(*args)
+            vals[i] = out
             if tracker is not None:
-                tracker.observe(i, x)
-        return x
+                tracker.observe(i, out)
+        return out
 
 
 class InferenceTracker:
-    """Per-op output max-abs observation (InferenceObserver strategy)."""
+    """Per-op output min/max observation (InferenceObserver strategy,
+    strategy.rs:51 — tracks the actual span, not just max-abs)."""
 
     def __init__(self):
         self.max_abs: dict[int, float] = {}
+        self.span: dict[int, tuple] = {}
 
     def observe(self, op_idx: int, out: np.ndarray):
         m = float(np.max(np.abs(out))) if out.size else 0.0
         self.max_abs[op_idx] = max(self.max_abs.get(op_idx, 0.0), m)
+        lo = float(out.min()) if out.size else 0.0
+        hi = float(out.max()) if out.size else 0.0
+        if op_idx in self.span:
+            plo, phi = self.span[op_idx]
+            lo, hi = min(lo, plo), max(hi, phi)
+        self.span[op_idx] = (lo, hi)
 
 
 def quantize(
@@ -107,12 +136,17 @@ def quantize(
     strategy: str = "absolute_max",
     calibration_inputs: list | None = None,
 ) -> tuple[Model, ScalingFactor, ScalingFactor]:
-    """FloatModel → provable quantized Model (+ input/output scales).
+    """FloatModel DAG → provable quantized Model (+ input/output scales).
 
     strategy: "absolute_max" (assumes activations in [−1,1] like the
     reference's AbsoluteMax, strategy.rs:190) or "inference" (observes
-    per-layer output ranges on the calibration inputs, strategy.rs:51).
+    per-layer output spans on the calibration inputs, strategy.rs:51).
+    Residual FAdd nodes get both branches requantized to a common scale
+    before the Add and a final requant after (model/mod.rs:170 analogue).
     """
+    from .layers.add import Add
+    from .model import Edge
+
     out_scales: dict[int, ScalingFactor] = {}
     if strategy == "inference":
         assert calibration_inputs, "inference observer needs calibration inputs"
@@ -120,58 +154,102 @@ def quantize(
         for x in calibration_inputs:
             model.forward(np.asarray(x, dtype=np.float64), tracker)
         for i in range(len(model.ops)):
-            out_scales[i] = ScalingFactor.from_absolute_max(
-                max(tracker.max_abs.get(i, 1.0), 1e-6)
-            )
+            lo, hi = tracker.span.get(i, (-1.0, 1.0))
+            mx = max(abs(lo), abs(hi), 1e-6)
+            out_scales[i] = ScalingFactor.from_absolute_max(mx)
     else:
         for i in range(len(model.ops)):
             out_scales[i] = ScalingFactor.from_absolute_max(1.0)
 
     input_scale = ScalingFactor.from_absolute_max(1.0)
     q = Model()
-    s_in = input_scale
-    cur_shape = model.input_shape
-    last_scale = s_in
-    for i, op in enumerate(model.ops):
+    # per float-node: (quantized node id producing its output, its scale,
+    # its logical output shape)
+    produced: dict[int, tuple] = {}
+
+    def shape_of(i):
+        return model.input_shape if i == -1 else produced[i][2]
+
+    def scale_of(i):
+        return input_scale if i == -1 else produced[i][1]
+
+    def edge_of(i):
+        return Edge(node=None, index=0) if i == -1 else Edge(node=produced[i][0], index=0)
+
+    last = None
+    for i, (op, inputs) in enumerate(model.ops):
         if isinstance(op, FDense):
+            (src_i,) = inputs
+            s_in = scale_of(src_i)
             s_w = ScalingFactor.from_tensor(op.weight)
             s_out = out_scales[i]
             w_q = s_w.quantize(op.weight)
-            # bias carries scale S_in·S_w so it adds directly to the accum
             b_q = np.clip(
-                np.round(op.bias / (s_in.scale * s_w.scale)),
-                -(1 << 25), 1 << 25,
+                np.round(op.bias / (s_in.scale * s_w.scale)), -(1 << 25), 1 << 25
             ).astype(np.int64)
             d = Dense(matrix=w_q, bias=b_q)
-            q.add_chain(d)
+            nid = q.add_node(d, [edge_of(src_i)])
             m = s_in.m(s_w, s_out)
-            q.add_chain(Requant(spec=RequantSpec.from_multiplier(m, d.output_bitsize())))
-            s_in = s_out
-            cur_shape = (op.weight.shape[0],)
+            nid = q.add_node(
+                Requant(spec=RequantSpec.from_multiplier(m, d.output_bitsize())),
+                [Edge(node=nid, index=0)],
+            )
+            produced[i] = (nid, s_out, (op.weight.shape[0],))
         elif isinstance(op, FConv):
+            (src_i,) = inputs
+            s_in = scale_of(src_i)
             s_w = ScalingFactor.from_tensor(op.weight)
             s_out = out_scales[i]
             w_q = s_w.quantize(op.weight)
             b_q = np.clip(
-                np.round(op.bias / (s_in.scale * s_w.scale)),
-                -(1 << 25), 1 << 25,
+                np.round(op.bias / (s_in.scale * s_w.scale)), -(1 << 25), 1 << 25
             ).astype(np.int64)
-            conv = Convolution(filter=w_q, bias=b_q, input_shape=cur_shape)
-            q.add_chain(conv)
+            conv = Convolution(filter=w_q, bias=b_q, input_shape=shape_of(src_i))
+            nid = q.add_node(conv, [edge_of(src_i)])
             m = s_in.m(s_w, s_out)
-            q.add_chain(Requant(spec=RequantSpec.from_multiplier(m, conv.output_bitsize())))
-            s_in = s_out
-            cur_shape = (conv.kw, conv.n, conv.n)
+            nid = q.add_node(
+                Requant(spec=RequantSpec.from_multiplier(m, conv.output_bitsize())),
+                [Edge(node=nid, index=0)],
+            )
+            produced[i] = (nid, s_out, (conv.kw, conv.n, conv.n))
         elif isinstance(op, FRelu):
-            q.add_chain(Relu())
+            (src_i,) = inputs
+            nid = q.add_node(Relu(), [edge_of(src_i)])
+            produced[i] = (nid, scale_of(src_i), shape_of(src_i))
         elif isinstance(op, FMaxpool):
-            q.add_chain(Maxpool2D())
-            c, h, w = cur_shape
-            cur_shape = (c, h // 2, w // 2)
+            (src_i,) = inputs
+            nid = q.add_node(Maxpool2D(), [edge_of(src_i)])
+            c, h, w = shape_of(src_i)
+            produced[i] = (nid, scale_of(src_i), (c, h // 2, w // 2))
         elif isinstance(op, FFlatten):
-            q.add_chain(Flatten())
-            cur_shape = (int(np.prod(cur_shape)),)
+            (src_i,) = inputs
+            nid = q.add_node(Flatten(), [edge_of(src_i)])
+            produced[i] = (nid, scale_of(src_i), (int(np.prod(shape_of(src_i))),))
+        elif isinstance(op, FAdd):
+            a_i, b_i = inputs
+            s_out = out_scales[i]
+            branch_edges = []
+            for src_i in (a_i, b_i):
+                s_b = scale_of(src_i)
+                m = s_b.scale / s_out.scale
+                rq = q.add_node(
+                    Requant(spec=RequantSpec.from_multiplier(m, Q.BIT_LEN + 2)),
+                    [edge_of(src_i)],
+                )
+                branch_edges.append(Edge(node=rq, index=0))
+            nid = q.add_node(Add(), branch_edges)
+            # renormalize the 9-bit sum back into the int8 domain
+            half = ScalingFactor.from_absolute_max(2.0 * abs(s_out.max))
+            nid = q.add_node(
+                Requant(
+                    spec=RequantSpec.from_multiplier(
+                        s_out.scale / half.scale, Q.BIT_LEN + 2
+                    )
+                ),
+                [Edge(node=nid, index=0)],
+            )
+            produced[i] = (nid, half, shape_of(a_i))
         else:
             raise NotImplementedError(type(op))
-        last_scale = s_in
-    return q, input_scale, last_scale
+        last = i
+    return q, input_scale, produced[last][1]

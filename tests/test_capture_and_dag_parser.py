@@ -1,0 +1,63 @@
+"""Capture harness (capture.rs analogue) + DAG float-model quantization.
+
+Covers: per-layer quantized-output hashing with stable diffs, and the
+graph-structured FloatModel with a residual FAdd quantizing into a
+provable DAG (requant branches + fan-out claim merge).
+"""
+
+import numpy as np
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml.capture import capture_trace, diff_captures
+from deepprove_tpu.zkml.float_model import FAdd, FDense, FRelu, FloatModel, quantize
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def _residual_float_model(dim=8, seed=0):
+    rng = np.random.default_rng(seed)
+    fm = FloatModel(input_shape=(dim,))
+    n0 = fm.add_node(
+        FDense(weight=rng.normal(0, 0.3, (dim, dim)), bias=rng.normal(0, 0.1, dim)),
+        [-1],
+    )
+    n1 = fm.add_node(FRelu(), [n0])
+    n2 = fm.add_node(
+        FDense(weight=rng.normal(0, 0.3, (dim, dim)), bias=rng.normal(0, 0.1, dim)),
+        [n1],
+    )
+    fm.add_node(FAdd(), [n0, n2])  # residual: n0 feeds relu AND the add
+    return fm
+
+
+def test_residual_float_dag_quantize_prove_verify():
+    fm = _residual_float_model()
+    rng = np.random.default_rng(1)
+    cal = [rng.uniform(-1, 1, 8) for _ in range(4)]
+    q, s_in, s_out = quantize(fm, strategy="inference", calibration_inputs=cal)
+    x = Tensor(s_in.quantize(cal[0]))
+    trace = q.run([x])
+    # quantized output tracks the float output
+    fl = fm.forward(np.asarray(cal[0]))
+    got = np.asarray(trace.outputs[0].data, dtype=np.float64) * s_out.scale
+    assert np.max(np.abs(got - fl)) < 0.25, (got, fl)
+    ctx = Context.generate(q, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    assert proof.merges, "residual graph must exercise claim merging"
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_capture_diffs_clean_and_dirty():
+    fm = _residual_float_model(seed=2)
+    rng = np.random.default_rng(3)
+    cal = [rng.uniform(-1, 1, 8) for _ in range(2)]
+    q, s_in, _ = quantize(fm, strategy="inference", calibration_inputs=cal)
+    x = Tensor(s_in.quantize(cal[0]))
+    t1 = q.run([x])
+    t2 = q.run([x])
+    c1, c2 = capture_trace(q, t1), capture_trace(q, t2)
+    assert diff_captures(c1, c2) == []
+    # different input → diffs flagged
+    t3 = q.run([Tensor(s_in.quantize(cal[1]))])
+    assert diff_captures(c1, capture_trace(q, t3))

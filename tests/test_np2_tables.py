@@ -1,0 +1,56 @@
+"""Non-pow2 tables: fractional multiplicities keep logup sound.
+
+Reference: zkml/src/lookup/context.rs:697-718 — tables padded by
+repeating rows stay sound because each repeated row's multiplicity is
+`count / repetitions` computed in the field: the α-merged fractional sum
+Σ mult_i/(α+row_i) still equals Σ count_v/(α+v).
+"""
+
+import numpy as np
+
+from deepprove_tpu.fields import gf, host
+from deepprove_tpu.lookup import logup
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+
+
+def test_fractional_multiplicities_balance():
+    # table of 6 distinct values, padded cyclically to 8 (rows 0,1 repeat)
+    table_vals = np.array([10, 11, 12, 13, 14, 15], dtype=np.int64)
+    pad_idx = np.arange(8) % 6
+    padded = table_vals[pad_idx]
+    # lookups: value 10 ×3, 12 ×1, 15 ×2
+    lookups = np.array([10, 10, 10, 12, 15, 15, 12, 10], dtype=np.int64)
+    counts = {}
+    for v in lookups:
+        counts[int(v)] = counts.get(int(v), 0) + 1
+    occ = {int(v): int((padded == v).sum()) for v in table_vals}
+    mult = np.zeros(8, dtype=np.uint64)
+    for i, v in enumerate(padded):
+        c = counts.get(int(v), 0)
+        if c:
+            mult[i] = (c % host.P) * pow(occ[int(v)], host.P - 2, host.P) % host.P
+
+    cc, sep = (17, 3), (1, 0)
+    table_in = logup.LogUpInput.new_table(
+        [gf.from_u64(Q.to_field(padded))], gf.from_u64(mult), cc, sep
+    )
+    lookup_in = logup.LogUpInput.new_lookup(
+        [gf.from_u64(Q.to_field(lookups))], cc, sep, 1
+    )
+    t = BasicTranscript(b"np2")
+    tp = logup.batch_prove(table_in, t)
+    lp = logup.batch_prove(lookup_in, t)
+
+    # global soundness: Σ (table nums + lookup nums)/(dens) == 0
+    nums, dens = [], []
+    for pr in (tp, lp):
+        n, d = logup.fractional_outputs(pr)
+        nums += n
+        dens += d
+    acc_n, acc_d = (0, 0), (1, 0)
+    for n, d in zip(nums, dens):
+        acc_n = host.ext_add(host.ext_mul(acc_n, d), host.ext_mul(n, acc_d))
+        acc_d = host.ext_mul(acc_d, d)
+    assert acc_n == (0, 0), "fractional multiplicities did not balance"
+    assert acc_d != (0, 0)

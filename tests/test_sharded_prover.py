@@ -1,0 +1,77 @@
+"""Sharded FULL prover: transcript identity vs single chip.
+
+A Dense layer prove (weight-poly commit at setup, dense sumcheck, requant
+and relu logups, table proofs, batched Basefold opening) runs with every
+committed polynomial / codeword / Merkle level sharded over the 8-device
+mesh — XLA SPMD inserts the collectives — and must produce EXACTLY the
+same proof (hence transcript) as the unsharded prover.
+"""
+
+import numpy as np
+
+from deepprove_tpu.parallel.prover import default_mesh, shard_context
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.activation import Relu
+from deepprove_tpu.zkml.layers.dense import Dense
+from deepprove_tpu.zkml.layers.requant import Requant
+from deepprove_tpu.zkml.model import Model
+from deepprove_tpu.zkml.quantization import RequantSpec
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def _flatten_pairs(obj, out):
+    if isinstance(obj, tuple) and len(obj) == 2 and all(isinstance(v, int) for v in obj):
+        out.append(obj)
+    elif isinstance(obj, (list, tuple)):
+        for v in obj:
+            _flatten_pairs(v, out)
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            _flatten_pairs(v, out)
+    elif hasattr(obj, "__dataclass_fields__"):
+        for f in obj.__dataclass_fields__:
+            _flatten_pairs(getattr(obj, f), out)
+
+
+def _build(dim=32):
+    rng = np.random.default_rng(7)
+    model = Model()
+    d = Dense(
+        matrix=rng.integers(Q.MIN, Q.MAX + 1, size=(dim, dim)).astype(np.int64),
+        bias=rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64),
+    )
+    model.add_chain(d)
+    spec = RequantSpec.from_multiplier(1.0 / (1 << (Q.BIT_LEN - 1)) / dim, d.output_bitsize())
+    model.add_chain(Requant(spec=spec))
+    model.add_chain(Relu())
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64))
+    trace = model.run([x])
+    return model, trace, x
+
+
+def test_sharded_prove_transcript_identity():
+    model, trace, x = _build()
+
+    ctx1 = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof1 = Prover(ctx1, BasicTranscript(b"m2vec")).prove(trace)
+
+    ctx2 = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    mesh = default_mesh(8)
+    shard_context(ctx2, mesh)
+    proof2 = Prover(ctx2, BasicTranscript(b"m2vec")).prove(trace)
+
+    p1, p2 = [], []
+    _flatten_pairs(proof1.steps, p1)
+    _flatten_pairs(proof2.steps, p2)
+    assert p1 == p2, "sharded layer proofs diverge from single-chip"
+    c1, c2 = [], []
+    _flatten_pairs(proof1.commit, c1)
+    _flatten_pairs(proof2.commit, c2)
+    assert c1 == c2, "sharded opening diverges from single-chip"
+    assert proof1.commit["batch"].query_indices == proof2.commit["batch"].query_indices
+
+    # the sharded proof also verifies
+    verify(ctx2, proof2, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
