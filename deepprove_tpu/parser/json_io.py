@@ -1,0 +1,39 @@
+"""Input/output JSON format (zkml/src/inputs.rs + parser/json.rs).
+
+The reference's bench/worker consume `{"input_data": [[...]], ...}` files
+(zkml/README.md bench flow); this mirrors that schema plus an optional
+`output_data` for accuracy checks.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def load_inputs(path: str) -> tuple[list[np.ndarray], list[np.ndarray] | None]:
+    """Returns (inputs, expected_outputs or None)."""
+    with open(path) as f:
+        obj = json.load(f)
+    if isinstance(obj, list):  # bare list of vectors
+        return [np.asarray(x, dtype=np.float64) for x in obj], None
+    inputs = [np.asarray(x, dtype=np.float64) for x in obj["input_data"]]
+    outputs = None
+    if "output_data" in obj:
+        outputs = [np.asarray(x, dtype=np.float64) for x in obj["output_data"]]
+    return inputs, outputs
+
+
+def save_inputs(path: str, inputs, outputs=None) -> None:
+    obj = {"input_data": [np.asarray(x).tolist() for x in inputs]}
+    if outputs is not None:
+        obj["output_data"] = [np.asarray(x).tolist() for x in outputs]
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def load_tensor_json(path: str) -> np.ndarray:
+    """parser/json.rs analogue: a single tensor as nested JSON lists."""
+    with open(path) as f:
+        return np.asarray(json.load(f), dtype=np.float64)

@@ -1,0 +1,92 @@
+"""Byte-level BPE tokenizer for GPT-2 checkpoints (the reference uses
+rust_tokenizers, zkml/src/parser/llm.rs; this reads the vocabulary and
+merge ranks straight out of GGUF metadata — `tokenizer.ggml.tokens` and
+`tokenizer.ggml.merges` — so no external tokenizer file is needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte→unicode table (openai/gpt-2 encoder.py)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+@dataclasses.dataclass
+class BPETokenizer:
+    vocab: dict  # token string -> id
+    merges: dict  # (a, b) -> rank
+    inv_vocab: dict = None
+
+    def __post_init__(self):
+        self.inv_vocab = {v: k for k, v in self.vocab.items()}
+        self._byte_enc = _bytes_to_unicode()
+        self._byte_dec = {v: k for k, v in self._byte_enc.items()}
+
+    @staticmethod
+    def from_gguf(g) -> "BPETokenizer":
+        tokens = g.metadata["tokenizer.ggml.tokens"]
+        merges_raw = g.metadata.get("tokenizer.ggml.merges", [])
+        vocab = {t: i for i, t in enumerate(tokens)}
+        merges = {}
+        for rank, m in enumerate(merges_raw):
+            a, b = m.split(" ", 1)
+            merges[(a, b)] = rank
+        return BPETokenizer(vocab=vocab, merges=merges)
+
+    def _bpe(self, token: str) -> list[str]:
+        word = list(token)
+        if not word:
+            return []
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.merges.get(p, 1 << 60))
+            if best not in self.merges:
+                break
+            a, b = best
+            out = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = out
+        return word
+
+    def encode(self, text: str) -> list[int]:
+        import re
+
+        # GPT-2 pre-tokenization regex
+        pat = re.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+",
+            re.UNICODE,
+        )
+        ids = []
+        for piece in pat.findall(text):
+            mapped = "".join(self._byte_enc[b] for b in piece.encode("utf-8"))
+            for tok in self._bpe(mapped):
+                if tok in self.vocab:
+                    ids.append(self.vocab[tok])
+        return ids
+
+    def decode(self, ids: list[int]) -> str:
+        text = "".join(self.inv_vocab.get(i, "") for i in ids)
+        data = bytes(self._byte_dec.get(ch, ord(" ")) for ch in text)
+        return data.decode("utf-8", errors="replace")

@@ -1,0 +1,83 @@
+"""Blake-based Fiat-Shamir transcript (transcript/src/blake.rs:10).
+
+The reference's `blake` feature swaps the Poseidon duplex for blake3;
+this image has no blake3, so BLAKE2b (stdlib hashlib) fills the role —
+same transcript interface, different hash (documented divergence; the
+Poseidon path is the protocol-compatible one, this is the cheap-host
+option for non-recursive settings).
+
+Design: an incremental absorb buffer; each squeeze hashes
+(state ‖ counter) and rejection-samples a canonical Goldilocks element
+from 8-byte windows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from ..fields.host import P
+
+
+class BlakeTranscript:
+    def __init__(self, label: bytes = b"m2vec"):
+        self._state = hashlib.blake2b(label).digest()
+        self._counter = 0
+
+    def clone(self) -> "BlakeTranscript":
+        t = BlakeTranscript.__new__(BlakeTranscript)
+        t._state = self._state
+        t._counter = self._counter
+        return t
+
+    # -- absorb -------------------------------------------------------------
+    def _absorb(self, data: bytes):
+        self._state = hashlib.blake2b(self._state + data).digest()
+
+    def append_message(self, msg: bytes):
+        self._absorb(msg)
+
+    def append_field_element(self, element: int):
+        self._absorb(int(element % P).to_bytes(8, "little"))
+
+    def append_field_elements(self, elements):
+        for e in elements:
+            self.append_field_element(int(e))
+
+    def append_field_element_ext(self, element):
+        a0, a1 = element
+        self.append_field_element(a0)
+        self.append_field_element(a1)
+
+    def append_field_element_exts(self, elements):
+        for e in elements:
+            self.append_field_element_ext(e)
+
+    # -- squeeze ------------------------------------------------------------
+    def _sample_base(self) -> int:
+        while True:
+            h = hashlib.blake2b(
+                self._state + self._counter.to_bytes(8, "little")
+            ).digest()
+            self._counter += 1
+            for off in range(0, len(h) - 7, 8):
+                v = int.from_bytes(h[off : off + 8], "little")
+                if v < P:
+                    return v
+
+    def read_challenge(self):
+        return (self._sample_base(), self._sample_base())
+
+    def get_and_append_challenge(self, label: bytes):
+        self.append_message(label)
+        return self.read_challenge()
+
+    def sample_vec(self, n: int):
+        return [self._sample_base() for _ in range(n)]
+
+    def fork(self, n: int):
+        forks = []
+        for i in range(n):
+            f = self.clone()
+            f.append_field_element(i)
+            forks.append(f)
+        return forks

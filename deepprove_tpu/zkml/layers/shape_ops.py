@@ -44,3 +44,35 @@ class Reshape:
 
     def step_info(self, node_id: int, aux):
         return FlattenCtx()
+
+
+@dataclasses.dataclass
+class SchoolBookConvolution:
+    """Direct (non-FFT) convolution — debug-only, NOT provable, mirroring
+    the reference's SchoolBookConvolution (layers/mod.rs:71: "debug-only,
+    no snark"). Used to cross-check the FFT conv's quantized outputs."""
+
+    filter: object  # (kw, kx, k, k) int64
+    bias: object  # (kw,) int64
+
+    @property
+    def is_provable(self) -> bool:
+        return False
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        import numpy as np
+
+        x = np.asarray(inputs[0].data)
+        w = np.asarray(self.filter)
+        kw, kx, k, _ = w.shape
+        _, n, _ = x.shape
+        v = n - k + 1
+        out = np.zeros((kw, n, n), dtype=np.int64)
+        for i in range(kw):
+            for y in range(v):
+                for c in range(v):
+                    out[i, y, c] = (x[:kx, y : y + k, c : c + k] * w[i]).sum() + self.bias[i]
+        return [Tensor(out)]
+
+    def step_info(self, node_id: int, aux):
+        return FlattenCtx()

@@ -1,0 +1,77 @@
+"""Aux components: BPE tokenizer, Blake transcript, JSON IO, wire format,
+SchoolBookConvolution vs FFT conv cross-check."""
+
+import numpy as np
+
+from deepprove_tpu.parser.json_io import load_inputs, save_inputs
+from deepprove_tpu.parser.tokenizer import BPETokenizer
+from deepprove_tpu.service.wire import deserialize, serialize
+from deepprove_tpu.transcript.blake import BlakeTranscript
+
+
+def test_bpe_tokenizer_roundtrip():
+    # tiny vocab: byte-level singles + one merge
+    from deepprove_tpu.parser.tokenizer import _bytes_to_unicode
+
+    enc = _bytes_to_unicode()
+    vocab = {}
+    for b in range(256):
+        vocab[enc[b]] = len(vocab)
+    he = enc[ord("h")] + enc[ord("e")]
+    vocab[he] = len(vocab)
+    merges = {(enc[ord("h")], enc[ord("e")]): 0}
+    tok = BPETokenizer(vocab=vocab, merges=merges)
+    ids = tok.encode("hello")
+    assert ids[0] == vocab[he], "merge must apply"
+    assert tok.decode(ids) == "hello"
+
+
+def test_blake_transcript_deterministic_and_labelled():
+    a = BlakeTranscript(b"t")
+    b = BlakeTranscript(b"t")
+    a.append_field_element(7)
+    b.append_field_element(7)
+    assert a.get_and_append_challenge(b"x") == b.get_and_append_challenge(b"x")
+    c = BlakeTranscript(b"t")
+    c.append_field_element(8)
+    assert c.get_and_append_challenge(b"x") != a.clone().get_and_append_challenge(b"x")
+
+
+def test_json_io_roundtrip(tmp_path):
+    p = str(tmp_path / "io.json")
+    save_inputs(p, [np.arange(4.0)], [np.ones(2)])
+    ins, outs = load_inputs(p)
+    np.testing.assert_array_equal(ins[0], np.arange(4.0))
+    np.testing.assert_array_equal(outs[0], np.ones(2))
+
+
+def test_wire_format_roundtrip_proof_tree():
+    from deepprove_tpu.lookup.logup import Claim
+
+    obj = {
+        "claims": [Claim(point=[(1, 2), (3, 4)], eval=(5, 6))],
+        "arr": np.arange(6, dtype=np.uint64).reshape(2, 3),
+        "nested": ((1, 2), [3, {"k": (4, 5)}]),
+    }
+    back = deserialize(serialize(obj))
+    assert back["claims"][0].point == [(1, 2), (3, 4)]
+    assert back["claims"][0].eval == (5, 6)
+    np.testing.assert_array_equal(back["arr"], obj["arr"])
+    assert back["nested"] == obj["nested"]
+
+
+def test_schoolbook_matches_fft_conv():
+    from deepprove_tpu.zkml.layers.convolution import Convolution
+    from deepprove_tpu.zkml.layers.shape_ops import SchoolBookConvolution
+    from deepprove_tpu.zkml.tensor import Tensor
+
+    rng = np.random.default_rng(0)
+    filt = rng.integers(-4, 5, size=(2, 2, 3, 3)).astype(np.int64)
+    bias = rng.integers(-4, 5, size=2).astype(np.int64)
+    x = rng.integers(-8, 9, size=(2, 8, 8)).astype(np.int64)
+    fft = Convolution(filter=filt, bias=bias, input_shape=(2, 8, 8))
+    sb = SchoolBookConvolution(filter=filt, bias=bias)
+    out_f = fft.evaluate([Tensor(x)])[0].data
+    out_s = sb.evaluate([Tensor(x)])[0].data
+    v = 8 - 3 + 1
+    np.testing.assert_array_equal(out_f[:, :v, :v], out_s[:, :v, :v])
