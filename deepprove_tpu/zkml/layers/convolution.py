@@ -16,17 +16,17 @@ Proof = four chained sumchecks, claims flowing backwards:
 with closed-form point rewrites for the reversal/slice/zero-padding.
 
 The FFT-matrix rows factor as φ_r[k] = Π_b ((1−r_b) + r_b·ω^{2^b k})
-(zkCNN; phi_g_init, iop/prover.rs:231-284) — both prover and verifier
-materialize them in O(N log N) device ops.
+(zkCNN; phi_g_init, iop/prover.rs:231-284); the prover materializes them
+in O(N log N) device ops, and the verifier's φ~(s) evaluations are
+proven by the zkCNN DELEGATION protocol (delegate_matrix_evaluation,
+iop/prover.rs:164-212): a chain of log N degree-3 sumchecks over the
+partial-product tables, leaving the verifier O(log²N) host work plus an
+O(1) base-table check — see `_phi_partials_kernel`/`_delegate_*` below.
 
 DEVIATIONS from the reference (documented for parity review):
   * weights are committed in the FREQUENCY domain (the reference commits
     time-domain filters and adds prove_batch_fft_weights; it itself notes
     "it is okay to ... commit to the FFT values", tensor.rs:436).
-  * the verifier evaluates φ-row MLEs directly on device (O(N)) instead
-    of the log-depth delegation protocol (iop/prover.rs:164-212) — same
-    soundness, linear verifier work for this step; delegation is a
-    planned optimization.
   * garbage clearing happens inside this layer (the reference defers the
     mask to the consumer boundary, padding.rs GarbagePad).
 """
@@ -92,6 +92,137 @@ def _phi_row_kernel(pt: gf.GF2, omega: int, n: int, scale: int, npt: int) -> gf.
 @_jax.jit
 def _one_minus_arr(pt: gf.GF2) -> gf.GF2:
     return gf.ext_sub(gf.ext_ones(pt.shape), pt)
+
+
+# ---------------------------------------------------------------------------
+# zkCNN FFT-matrix delegation (iop/prover.rs:164-284 phi_g_init /
+# delegate_matrix_evaluation, adapted to this layer's φ factorization):
+#
+#   φ(k) = scale·Π_{b=0}^{n−1} ((1−r_b) + r_b·ω^{2^b·k})
+#
+# Factor b has period 2^{n−b} in k, so the partial product over factors
+# b ≥ n−1−l is a table f_l of size 2^{l+1} and f_l(k) =
+# f_{l−1}(k mod 2^l)·h_l(k) with h_l(k) = (1−r') + r'·ω'^k
+# (r' = r_{n−1−l}, ω' = ω^{2^{n−1−l}}) whose MLE has a CLOSED form.
+# The verifier's O(N) φ-row evaluation becomes n−1 degree-3 sumchecks of
+# doubling sizes; verifier work drops to O(log²N).
+# ---------------------------------------------------------------------------
+
+
+@_partial(_jax.jit, static_argnames=("omega", "n", "scale"))
+def _phi_partials_kernel(pt: gf.GF2, omega: int, n: int, scale: int):
+    """All partial-product tables f_0 (2,) … f_{n−1} (2^n,) = φ row."""
+    fs = []
+    w_top = host.pow_const(np.uint64(omega % host.P), 1 << (n - 1))
+
+    def factor(b: int, size: int) -> gf.GF2:
+        w_b = host.pow_const(np.uint64(omega % host.P), 1 << b)
+        pows = gf.from_u64(ntt.geom_powers(w_b, size))
+        r = gf.GF2(
+            gf.GF(pt.a0.lo[b], pt.a0.hi[b]), gf.GF(pt.a1.lo[b], pt.a1.hi[b])
+        )
+        rb = gf.ext_broadcast_to(r.reshape((1,)), (size,))
+        return gf.ext_add(
+            gf.ext_sub(gf.ext_ones((size,)), rb), mle_mod.ext_mul_by_base(rb, pows)
+        )
+
+    f = mle_mod.ext_mul_by_base(
+        factor(n - 1, 2), gf.full((2,), scale % host.P)
+    )
+    fs.append(f)
+    for l in range(1, n):
+        b = n - 1 - l
+        h = factor(b, 1 << (l + 1))
+        f = gf.ext_mul(gf.ext_concatenate([f, f]), h)
+        fs.append(f)
+    return tuple(fs)
+
+
+def _delegate_prove(fs, q, omega: int, n: int, dt, prover):
+    """Chain of n−1 sumchecks reducing φ~(q) to the O(1) base table."""
+    from ... import glue
+    from ...sumcheck.fused import prove_device
+
+    proofs, evals = [], []
+    q_cur = q  # GF2 (n,)
+    one = glue.one()
+    for l in range(n - 1, 0, -1):
+        f_rep = gf.ext_concatenate([fs[l - 1], fs[l - 1]])  # (2^{l+1},)
+        b = n - 1 - l
+        h = _h_table_kernel(q, omega, n, b, l)  # only needs pt for r_b
+        eq = mle_mod._eq_table_kernel(q_cur, one, l + 1)
+        vp = VirtualPolynomial.new(l + 1)
+        i_eq = vp.add_mle(eq)
+        i_f = vp.add_mle(f_rep)
+        i_h = vp.add_mle(h)
+        vp.add_product((1, 0), [i_eq, i_f, i_h])
+        out = prove_device(vp, dt)
+        proofs.append(out.proof)
+        evals.append(out.final_evals)
+        q_cur = glue.prefix(out.proof.point, l)
+    return proofs, evals
+
+
+@_partial(_jax.jit, static_argnames=("omega", "n", "b", "l"))
+def _h_table_kernel(pt: gf.GF2, omega: int, n: int, b: int, l: int) -> gf.GF2:
+    size = 1 << (l + 1)
+    w_b = host.pow_const(np.uint64(omega % host.P), 1 << b)
+    pows = gf.from_u64(ntt.geom_powers(w_b, size))
+    r = gf.GF2(gf.GF(pt.a0.lo[b], pt.a0.hi[b]), gf.GF(pt.a1.lo[b], pt.a1.hi[b]))
+    rb = gf.ext_broadcast_to(r.reshape((1,)), (size,))
+    return gf.ext_add(
+        gf.ext_sub(gf.ext_ones((size,)), rb), mle_mod.ext_mul_by_base(rb, pows)
+    )
+
+
+def _h_closed_form(r_b: ExtPair, omega_b: int, u: list) -> ExtPair:
+    """h~(u) = (1−r') + r'·Π_j ((1−u_j) + u_j·ω'^{2^j}) (host, O(|u|))."""
+    prod = (1, 0)
+    w = omega_b % host.P
+    for uj in u:
+        term = host.ext_add(
+            host.ext_sub((1, 0), uj), host.ext_mul(uj, (w, 0))
+        )
+        prod = host.ext_mul(prod, term)
+        w = int(host.mul(np.uint64(w), np.uint64(w)))
+    return host.ext_add(host.ext_sub((1, 0), r_b), host.ext_mul(r_b, prod))
+
+
+def _delegate_verify(
+    proofs, evals, r1: list, omega: int, n: int, scale: int, q: list,
+    claimed: ExtPair, transcript,
+) -> None:
+    """Walk the delegation chain down to the O(1) base check."""
+    q_cur = list(q)
+    v = claimed
+    from ...sumcheck import verify as sumcheck_verify
+
+    assert len(proofs) == n - 1, "delegation chain length"
+    for i, l in enumerate(range(n - 1, 0, -1)):
+        sub = sumcheck_verify(v, proofs[i].round_messages, l + 1, 3, transcript)
+        u = list(sub.point)
+        b = n - 1 - l
+        eq_e = _eq(q_cur, u)
+        omega_b = int(host.pow_const(np.uint64(omega % host.P), 1 << b))
+        h_e = _h_closed_form(r1[b], omega_b, u)
+        f_eval = evals[i][1]
+        got = host.ext_mul(host.ext_mul(eq_e, f_eval), h_e)
+        assert got == sub.expected_evaluation, f"delegation level {l} mismatch"
+        assert evals[i][2] == h_e, f"delegation h claim mismatch at level {l}"
+        v = f_eval
+        q_cur = u[:l]
+    # base: f_0~(q_cur) = scale·((1−r_{n−1}) + r_{n−1}·[(1−q0) + q0·ω^{2^{n−1}}])
+    omega_top = int(host.pow_const(np.uint64(omega % host.P), 1 << (n - 1)))
+    (q0,) = q_cur
+    inner = host.ext_add(
+        host.ext_sub((1, 0), q0), host.ext_mul(q0, (omega_top, 0))
+    )
+    r_top = r1[n - 1]
+    f0 = host.ext_mul(
+        (scale % host.P, 0),
+        host.ext_add(host.ext_sub((1, 0), r_top), host.ext_mul(r_top, inner)),
+    )
+    assert v == f0, "delegation base-table mismatch"
 
 
 def phi_row_ext(point: list[ExtPair], omega: int, n: int, scale: int = 1) -> gf.GF2:
@@ -262,7 +393,8 @@ class Convolution:
         omega = ntt.subgroup_gen(log_t)
         n_inv = int(host.pow_const(np.uint64(self.N), host.P - 2))
         omega_inv = int(host.pow_const(np.uint64(omega), host.P - 2))
-        phi_inv = _phi_row_kernel(sigma_t, omega_inv, self.N, n_inv, log_p + 1)
+        fs_inv = _phi_partials_kernel(sigma_t, omega_inv, log_t, n_inv)
+        phi_inv = fs_inv[-1]
         # prod(k, i) with i fixed: prod rows = Σ_j X_j ∘ Ŵ_ij  (recompute)
         xt = self._x_tilde(x)
         x_gf = gf.from_u64(Q.to_field(xt.reshape(-1))).reshape(self.kx, self.N)
@@ -286,6 +418,8 @@ class Convolution:
         sc2 = prove_device(vp2, dt)
         s1 = sc2.proof.point
         prod_eval = glue.at(sc2.final_evals, 1)
+        # delegate the verifier's phi_inv~(s1) evaluation (zkCNN, log depth)
+        deleg_inv = _delegate_prove(fs_inv, s1, omega_inv, log_t, dt, prover)
 
         # 4. hadamard sumcheck over (k, j, i): eq_ki · X(j,k) · Ŵ(i,j,k)
         eq_k = mle_mod._eq_table_kernel(s1, one, log_t)
@@ -326,7 +460,8 @@ class Convolution:
 
         # 5. FFT sumcheck over t: X~(s2_k, s2_j) = Σ_t φ_fft[t]·x̃~(t, s2_j)
         s2_k = glue.prefix(s2, log_t)
-        phi_fft = _phi_row_kernel(s2_k, omega, self.N, 1, log_t)
+        fs_fft = _phi_partials_kernel(s2_k, omega, log_t, 1)
+        phi_fft = fs_fft[-1]
         xt_flat = gf.from_u64(Q.to_field(xt.reshape(-1)))  # (j high, t low)
         xt_fixed = mle_mod._fix_high_kernel(xt_flat, s2_j, log_j)
         vp4 = VirtualPolynomial.new(log_t)
@@ -336,6 +471,7 @@ class Convolution:
         sc4 = prove_device(vp4, dt)
         s3 = sc4.proof.point
         xt_eval = glue.at(sc4.final_evals, 1)
+        deleg_fft = _delegate_prove(fs_fft, s3, omega, log_t, dt, prover)
 
         # 6. x̃ → x closed form: x̃~(s3_p, s3_top, r_j) = (1−s3_top)·x~(1−s3_p, r_j)
         s3_p = glue.prefix(s3, log_t - 1)
@@ -352,6 +488,9 @@ class Convolution:
                 hadamard=sc3.proof, hadamard_evals=sc3.final_evals,
                 fft=sc4.proof, fft_evals=sc4.final_evals,
                 bias_eval=bias_eval,
+                delegation_inv=list(deleg_inv),
+                delegation_fft=list(deleg_fft),
+                sigma_t=sigma_t,
             ),
         )
         return [glue.DevClaim(point=x_point, eval=x_eval_final)]
@@ -368,6 +507,10 @@ class ConvProof:
     fft: object
     fft_evals: list[ExtPair]
     bias_eval: ExtPair
+    # zkCNN delegation chains: ([sumcheck proofs], [final evals]) each
+    delegation_inv: list = None
+    delegation_fft: list = None
+    sigma_t: object = None
 
     def get_lookup_data(self):
         return None
@@ -422,13 +565,16 @@ class ConvCtx:
         omega = ntt.subgroup_gen(log_t)
         omega_inv = int(host.pow_const(np.uint64(omega), host.P - 2))
         n_inv = int(host.pow_const(np.uint64(N), host.P - 2))
-        phi_inv = phi_row_ext(sigma_t, omega_inv, N, scale=n_inv)
-        phi_inv_eval = mle_mod.evaluate_pairs(phi_inv, s1)
+        # phi_inv~(s1) is prover-claimed and proven by the delegation chain
+        phi_inv_eval = proof.ifft_evals[0]
         prod_eval = proof.ifft_evals[1]
         assert host.ext_mul(phi_inv_eval, prod_eval) == sub2.expected_evaluation, (
             "conv ifft mismatch"
         )
-        assert proof.ifft_evals[0] == phi_inv_eval, "conv phi_inv claim mismatch"
+        _delegate_verify(
+            proof.delegation_inv[0], proof.delegation_inv[1], sigma_t,
+            omega_inv, log_t, n_inv, s1, phi_inv_eval, verifier.transcript,
+        )
 
         # 4. hadamard sumcheck
         sub3 = sumcheck_verify(
@@ -456,13 +602,15 @@ class ConvCtx:
             x_eval, proof.fft.round_messages, log_t, 2, verifier.transcript
         )
         s3 = sub4.point
-        phi_fft = phi_row_ext(s2_k, omega, N, scale=1)
-        phi_fft_eval = mle_mod.evaluate_pairs(phi_fft, s3)
+        phi_fft_eval = proof.fft_evals[0]
         xt_eval = proof.fft_evals[1]
         assert host.ext_mul(phi_fft_eval, xt_eval) == sub4.expected_evaluation, (
             "conv fft mismatch"
         )
-        assert proof.fft_evals[0] == phi_fft_eval, "conv phi_fft claim mismatch"
+        _delegate_verify(
+            proof.delegation_fft[0], proof.delegation_fft[1], s2_k,
+            omega, log_t, 1, s3, phi_fft_eval, verifier.transcript,
+        )
 
         # 6. closed-form input claim
         s3_p, s3_top = s3[:-1], s3[-1]
