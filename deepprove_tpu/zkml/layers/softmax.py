@@ -28,10 +28,9 @@ Proof layout (ours):
   public (verifier-evaluated), and the final evals giving the producer
   claim X~(v) (descaled by scalar⁻¹) and the committed shift claim.
 
-DEVIATION: the verifier evaluates the public tril/bias MLEs directly
-(O(N) device work) instead of the closed-form zeroifier
-(mha.rs eval_zeroifier_mle) — same soundness; closed form is a planned
-optimization.
+The verifier evaluates the public tril/bias MLEs with the closed-form
+zeroifier bit-fold (mha.rs:894 eval_zeroifier_mle) — O(log N) host work;
+non-square mask blocks fall back to direct table evaluation.
 """
 
 from __future__ import annotations
@@ -606,10 +605,9 @@ class SoftmaxCtx:
         verifier.transcript.append_field_element_exts(prov)
 
         # --- sumcheck B ---------------------------------------------------------
-        # bias~(u) = neg_inf·(1 − tril~(u)); tril evaluated as a public MLE
-        tril = _tril_np(self.seq, 1 << (n - k), 1 << k)
-        tril_gf = gf.from_u64(Q.to_field(tril.reshape(-1)))
-        tril_u = mle_mod.evaluate_pairs(tril_gf, u)
+        # bias~(u) = neg_inf·(1 − tril~(u)); tril via the closed-form
+        # zeroifier fold (mha.rs eval_zeroifier_mle) — O(log N) verifier work
+        tril_u = _tril_eval(self.seq, k, n, u)
         neg_inf_f = (self.neg_inf % p, 0)
         bias_u = host.ext_mul(neg_inf_f, host.ext_sub((1, 0), tril_u))
 
@@ -630,7 +628,7 @@ class SoftmaxCtx:
         v = list(sub2.point)
         bf = proof.b_evals
         eq_uv = _eq(u, v)
-        tril_v = mle_mod.evaluate_pairs(tril_gf, v)
+        tril_v = _tril_eval(self.seq, k, n, v)
         got2 = host.ext_mul(
             eq_uv,
             host.ext_mul(
@@ -654,3 +652,32 @@ def _tril_np(seq, r, c) -> np.ndarray:
         return np.ones((r, c), dtype=np.int64)
     ri = np.arange(r) % seq
     return (np.arange(c)[None, :] <= ri[:, None]).astype(np.int64)
+
+
+def _tril_eval(seq, k: int, n: int, point) -> tuple:
+    """Closed-form tril~(point): O(log N) verifier work.
+
+    The flattened tril mask (row·2^k + col, little-endian vars) is
+    [col ≤ row mod seq]; for the square per-channel block (2^k == seq) its
+    MLE factors bitwise into the ≤-indicator fold of
+    mha.rs:894 `eval_zeroifier_mle` — point[:k] are the column bits,
+    point[k:2k] the row-within-channel bits, and the channel bits drop out
+    (the function is independent of them). Non-square blocks fall back to
+    the direct O(N) table evaluation.
+    """
+    if seq is None:
+        return (1, 0)
+    ls = (seq - 1).bit_length() if seq > 1 else 0
+    if (1 << ls) != seq or ls != k or n < 2 * k:
+        tril_gf = gf.from_u64(Q.to_field(_tril_np(seq, 1 << (n - k), 1 << k).reshape(-1)))
+        return mle_mod.evaluate_pairs(tril_gf, point)
+    one = (1, 0)
+    acc = one
+    for c, r in zip(point[:k], point[k : 2 * k]):
+        cr = host.ext_mul(c, r)
+        eq_bit = host.ext_add(
+            host.ext_sub(host.ext_sub(one, c), r), host.ext_add(cr, cr)
+        )
+        lt_bit = host.ext_mul(host.ext_sub(one, c), r)
+        acc = host.ext_add(host.ext_mul(acc, eq_bit), lt_bit)
+    return acc

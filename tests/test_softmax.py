@@ -42,6 +42,32 @@ def test_softmax_quantization_tracks_float():
     assert np.max(np.abs(sums - 1.0)) < 0.02
 
 
+def test_tril_closed_form_matches_direct():
+    """_tril_eval bit-fold == direct MLE evaluation of the tril table
+    (mha.rs:894 eval_zeroifier_mle), incl. multi-channel (head) blocks."""
+    from deepprove_tpu.fields import gf, host
+    from deepprove_tpu.poly import mle as mle_mod
+    from deepprove_tpu.zkml.layers.softmax import _tril_eval, _tril_np
+
+    rng = np.random.default_rng(7)
+    p = (1 << 64) - (1 << 32) + 1
+    for seq, channels in [(4, 1), (8, 1), (4, 2), (8, 4)]:
+        k = seq.bit_length() - 1
+        r = seq * channels
+        n = k + (r.bit_length() - 1)
+        point = [
+            (
+                int(rng.integers(0, p, dtype=np.uint64)),
+                int(rng.integers(0, p, dtype=np.uint64)),
+            )
+            for _ in range(n)
+        ]
+        tril_gf = gf.from_u64(Q.to_field(_tril_np(seq, r, seq).reshape(-1)))
+        direct = mle_mod.evaluate_pairs(tril_gf, point)
+        closed = _tril_eval(seq, k, n, point)
+        assert closed == tuple(direct), (seq, channels, closed, direct)
+
+
 def test_softmax_prove_verify_roundtrip():
     sm, x, _ = _make()
     model = Model()
