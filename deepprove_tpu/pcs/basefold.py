@@ -77,6 +77,10 @@ class BasefoldParams:
     rate_log: int = 1
     num_queries: int = 200
     basecode_msg_size_log: int = 7
+    # encoding scheme: "rs" (encoding/rs.rs, the zkml default) or
+    # "basecode" (encoding/basecode.rs random foldable code).
+    encoding: str = "rs"
+    basecode_seed: int = 0
     # per-level fold weights, level = lg of folded codeword size:
     # x0[level][j], w[level][j] for bit-reversed pair index j (base field)
     _fold_x0: dict = dataclasses.field(default_factory=dict)
@@ -86,14 +90,42 @@ class BasefoldParams:
     def full_codeword_log(self) -> int:
         return self.max_message_size_log + self.rate_log
 
+    def basecode_table(self, level: int) -> np.ndarray:
+        """Random diagonal t for doubling a 2^level codeword (natural order).
+
+        basecode.rs get_table_aes draws the per-level tables from AES-CTR;
+        the table only needs to be a fixed uniformly-random nonzero diagonal
+        shared by prover and verifier, so we derive it from a seeded PCG
+        stream keyed by (seed, level) — a documented deviation that does not
+        change the code's structure or distance profile.
+        """
+        if not hasattr(self, "_bc_tables"):
+            self._bc_tables = {}
+        if level not in self._bc_tables:
+            rng = np.random.default_rng([self.basecode_seed, level])
+            t = rng.integers(1, host.P, size=1 << level, dtype=np.uint64)
+            self._bc_tables[level] = t
+        return self._bc_tables[level]
+
     def fold_coeffs_host(self, level: int) -> tuple[np.ndarray, np.ndarray]:
         """x0, w arrays for folding a 2^(level+1) codeword to 2^level.
 
-        x0[j] = ω_{2^(level+1)}^rev(j)·γ^{2^(full-level-1)}, w = −1/(2·x0)
+        RS: x0[j] = ω_{2^(level+1)}^rev(j)·γ^{2^(full-level-1)}, w = −1/(2·x0)
         (encoding/rs.rs:374-407 prover_folding_coeffs).
+        Basecode: x0[j] = t_level[rev(j)], x1 = −x0, w = 1/(x1−x0) = −1/(2·x0)
+        (basecode.rs:196-218 prover/verifier_folding_coeffs).
         """
         if level in self._fold_x0:
             return self._fold_x0[level], self._fold_w[level]
+        if self.encoding == "basecode":
+            t = self.basecode_table(level)
+            rev = bit_reverse_perm(level) if level > 0 else np.zeros(1, dtype=np.int64)
+            x0 = t[rev]
+            half = np.uint64((host.P + 1) >> 1)
+            w = host.neg(host.mul(host.batch_inv(x0), half))
+            self._fold_x0[level] = x0
+            self._fold_w[level] = w
+            return x0, w
         size = 1 << level
         # ω: generator of the 2^(level+1) subgroup; x0 = ω^rev(j)·γ^2^s and
         # w = −1/(2·x0) = −(1/2)·ω^{−rev(j)}·γ^{−2^s} — closed form, no
@@ -167,10 +199,79 @@ def _evals_to_rev_coeffs(evals, lg_n: int):
 
 def _encode(params: BasefoldParams, evals) -> tuple:
     """evals (little-endian) → (bit-reversed bh_evals, bit-reversed codeword)."""
+    if params.encoding == "basecode":
+        return _encode_basecode(params, evals)
     lg_n = evals.shape[0].bit_length() - 1
     rev_coeffs = _evals_to_rev_coeffs(evals, lg_n)
     codeword = ntt.encode_rs(rev_coeffs, params.max_message_size_log, params.rate_log)
     codeword = ntt.bit_reverse(codeword, lg_n + params.rate_log)
+    bh = ntt.bit_reverse(evals, lg_n)
+    return bh, codeword
+
+
+@partial(jax.jit, static_argnames=("c", "rate_log", "lg_n"))
+def _basecode_encode_kernel(coeffs, domain, tables, c: int, rate_log: int, lg_n: int):
+    """Natural-order coeffs (2^lg_n) → natural-order basecode codeword.
+
+    basecode.rs encode: chunk the coefficients into 2^c blocks, RS-encode
+    each naively over the domain {1..2^(c+rate_log)} (get_basecode horner),
+    then double up with the random diagonals: (a, b) → (a + t·b, a − t·b)
+    (evaluate_over_foldable_domain_generic_basecode). All device work:
+    the horner recurrence is a lax.scan over the 2^c coefficients
+    vectorised across every (chunk, domain point); each doubling level is
+    one fused elementwise step.
+    """
+    ext = isinstance(coeffs, gf.GF2)
+    k_chunks = 1 << (lg_n - c)
+    d = domain.shape[0]
+    ch = coeffs.reshape((k_chunks, 1 << c))
+    # (B, K) coefficient rows, highest degree first, for the scan
+    rows = jax.tree_util.tree_map(lambda l: jnp.flip(jnp.swapaxes(l, 0, 1), 0), ch)
+    dom_b = gf.broadcast_to(domain.reshape((1, d)), (k_chunks, d))
+
+    def horner(acc, coeff_row):
+        cb = (gf.ext_broadcast_to if ext else gf.broadcast_to)(
+            coeff_row.reshape((k_chunks, 1)), (k_chunks, d)
+        )
+        if ext:
+            return gf.ext_add(gf.ext_mul_base(acc, dom_b), cb), None
+        return gf.add(gf.mul(acc, dom_b), cb), None
+
+    init = (gf.ext_zeros if ext else gf.zeros)((k_chunks, d))
+    cur, _ = jax.lax.scan(horner, init, rows)
+    for i, t in enumerate(tables):
+        sz = cur.shape[1]
+        tb_row = gf.broadcast_to(t.reshape((1, sz)), (k_chunks >> (i + 1), sz))
+        a, b = cur[0::2], cur[1::2]
+        if ext:
+            tb = gf.ext_mul_base(b, tb_row)
+            cur = gf.ext_concatenate([gf.ext_add(a, tb), gf.ext_sub(a, tb)], axis=1)
+        else:
+            tb = gf.mul(b, tb_row)
+            cur = gf.concatenate([gf.add(a, tb), gf.sub(a, tb)], axis=1)
+    return cur.reshape(-1)
+
+
+def _encode_basecode(params: BasefoldParams, evals) -> tuple:
+    lg_n = evals.shape[0].bit_length() - 1
+    coeffs = ntt.interpolate_over_hypercube(evals)
+    c, r = params.basecode_msg_size_log, params.rate_log
+    if not hasattr(params, "_bc_dev"):
+        params._bc_dev = {}
+    if "domain" not in params._bc_dev:
+        params._bc_dev["domain"] = gf.from_u64(
+            np.arange(1, (1 << (c + r)) + 1, dtype=np.uint64)
+        )
+    tables = []
+    for lvl in range(c, lg_n):
+        key = ("t", lvl + r)
+        if key not in params._bc_dev:
+            params._bc_dev[key] = gf.from_u64(params.basecode_table(lvl + r))
+        tables.append(params._bc_dev[key])
+    codeword = _basecode_encode_kernel(
+        coeffs, params._bc_dev["domain"], tuple(tables), c, r, lg_n
+    )
+    codeword = ntt.bit_reverse(codeword, lg_n + r)
     bh = ntt.bit_reverse(evals, lg_n)
     return bh, codeword
 
@@ -469,6 +570,16 @@ def _sample_queries(params: BasefoldParams, transcript: BasicTranscript, size: i
     return idxs
 
 
+def _sample_queries_session(params: BasefoldParams, dt, size: int) -> list[int]:
+    """Query sampling with device-resident FS: ONE blocking pull (the raw
+    challenge words) instead of state sync → num_queries host permutations
+    → state re-put. Bit-identical to _sample_queries (the device
+    challenger is transcript-compatible by construction + tests)."""
+    e = dt.get_and_append_challenges(b"query indices", params.num_queries)
+    a0, _ = gf.ext_to_u64(e)
+    return [int(x) % size for x in np.atleast_1d(a0)]
+
+
 @jax.jit
 def _gather_pairs_kernel(arr, take):
     """Gather bit-reversed (lo, hi) element pairs — device, one dispatch."""
@@ -560,9 +671,7 @@ def open_session(
     trees, msgs, roots_dev, fm_dev = _commit_phase_session(
         params, point, comm.bh_evals[0], comm.codeword, dt, num_vars, num_rounds
     )
-    dt.sync_to_host(transcript)
-    indices = _sample_queries(params, transcript, comm.codeword_size())
-    dt.resync_from_host(transcript)
+    indices = _sample_queries_session(params, dt, comm.codeword_size())
     queries = _prover_queries_dev(comm, trees, indices)
     return BasefoldProof(
         msgs, [glue.TupleGF(r) for r in roots_dev], fm_dev, indices, queries
@@ -599,13 +708,29 @@ def _deg2_zero_plus_one(msg: list[ExtPair]) -> ExtPair:
 
 
 def _encode_final_message_host(params: BasefoldParams, final_message: list[ExtPair]):
-    """Re-encode the final message like the verifier (query_phase.rs:159-171)."""
+    """Re-encode the final message like the verifier (query_phase.rs:159-171).
+
+    For basecode the final message is exactly one base chunk, so the
+    verifier re-encodes with the naive-domain RS (basecode.rs encode_small).
+    """
     k = len(final_message).bit_length() - 1
     fm = gf.ext_from_u64(
         np.asarray([m[0] for m in final_message], dtype=np.uint64),
         np.asarray([m[1] for m in final_message], dtype=np.uint64),
     )
     coeffs = ntt.interpolate_over_hypercube(fm)
+    if params.encoding == "basecode":
+        cpairs = _pairs_host(coeffs)
+        d = len(final_message) << params.rate_log
+        cw = []
+        for x in range(1, d + 1):
+            acc = (0, 0)
+            xf = (x % host.P, 0)
+            for cf in reversed(cpairs):
+                acc = host.ext_add(host.ext_mul(acc, xf), cf)
+            cw.append(acc)
+        rev = bit_reverse_perm(k + params.rate_log)
+        return [cw[j] for j in rev]
     coeffs = ntt.bit_reverse(coeffs, k)
     cw = ntt.encode_rs(coeffs, params.max_message_size_log, params.rate_log)
     cw = ntt.bit_reverse(cw, k + params.rate_log)
@@ -799,9 +924,7 @@ def simple_batch_open_session(
     trees, msgs, roots_dev, fm_dev = _commit_phase_session(
         params, point, running_evals, running_oracle, dt, num_vars, num_rounds
     )
-    dt.sync_to_host(transcript)
-    indices = _sample_queries(params, transcript, comm.codeword_size())
-    dt.resync_from_host(transcript)
+    indices = _sample_queries_session(params, dt, comm.codeword_size())
 
     q = len(indices)
     pair0 = np.asarray([i >> 1 for i in indices], dtype=np.int64)
@@ -1084,9 +1207,7 @@ def batch_open_session(
         params, challenges, run_evals, oracle, dt, num_vars, num_rounds,
         oracle_merger=merger,
     )
-    dt.sync_to_host(transcript)
-    indices = _sample_queries(params, transcript, full_cw)
-    dt.resync_from_host(transcript)
+    indices = _sample_queries_session(params, dt, full_cw)
 
     # queries: per commitment pairs at shifted indices + fold-tree pairs —
     # all gathered on device, ONE pull

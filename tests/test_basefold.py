@@ -197,3 +197,62 @@ def test_batch_open_verify_multi_size(rng):
         basefold.write_commitment(c, t_v2)
     with pytest.raises(AssertionError):
         basefold.batch_verify(params, cms, points, bad, proof, t_v2)
+
+
+def bc_params(num_vars):
+    return basefold.setup(
+        num_vars, num_queries=17, basecode_msg_size_log=2, encoding="basecode"
+    )
+
+
+def test_basecode_commit_open_verify(rng):
+    """Basecode encoding variant (mpcs encoding/basecode.rs): random
+    foldable code; same commit/fold/query machinery as RS."""
+    n = 6
+    params = bc_params(n)
+    evals = gf.from_u64(rng.integers(0, P, size=1 << n, dtype=np.uint64))
+    comm = basefold.commit(params, evals)
+    point = rand_point(rng, n)
+    ev = mle.evaluate(evals, dev_point(point))
+    eval_pair = basefold._pairs_host(ev.reshape((1,)))[0]
+    t_p = BasicTranscript(b"bc")
+    basefold.write_commitment(comm.commitment, t_p)
+    proof = basefold.open(params, comm, point, t_p)
+    t_v = BasicTranscript(b"bc")
+    basefold.write_commitment(comm.commitment, t_v)
+    basefold.verify(params, comm.commitment, point, eval_pair, proof, t_v)
+
+
+def test_basecode_rejects_wrong_eval(rng):
+    n = 5
+    params = bc_params(n)
+    evals = gf.from_u64(rng.integers(0, P, size=1 << n, dtype=np.uint64))
+    comm = basefold.commit(params, evals)
+    point = rand_point(rng, n)
+    t_p = BasicTranscript(b"bc")
+    basefold.write_commitment(comm.commitment, t_p)
+    proof = basefold.open(params, comm, point, t_p)
+    t_v = BasicTranscript(b"bc")
+    basefold.write_commitment(comm.commitment, t_v)
+    with pytest.raises(AssertionError):
+        basefold.verify(params, comm.commitment, point, (12345, 678), proof, t_v)
+
+
+def test_basecode_simple_batch(rng):
+    n, k = 5, 3
+    params = bc_params(n)
+    evals_list = [
+        gf.from_u64(rng.integers(0, P, size=1 << n, dtype=np.uint64)) for _ in range(k)
+    ]
+    comm = basefold.simple_batch_commit(params, evals_list)
+    point = rand_point(rng, n)
+    pt = dev_point(point)
+    evals = [
+        basefold._pairs_host(mle.evaluate(e, pt).reshape((1,)))[0] for e in evals_list
+    ]
+    t_p = BasicTranscript(b"sbc")
+    basefold.write_commitment(comm.commitment, t_p)
+    proof = basefold.simple_batch_open(params, comm, point, t_p)
+    t_v = BasicTranscript(b"sbc")
+    basefold.write_commitment(comm.commitment, t_v)
+    basefold.simple_batch_verify(params, comm.commitment, point, evals, proof, t_v)
