@@ -36,7 +36,10 @@ def main():
     from deepprove_tpu.zkml.quantization import RequantSpec
     from deepprove_tpu.zkml.tensor import Tensor
 
-    dim = int(os.environ.get("BENCH_DIM", "64"))
+    # default = the reference's headline Dense-4M config (BASELINE.md:12 —
+    # dim 2048 → 2048·2048+2048 ≈ 4.2M params), measured directly rather
+    # than extrapolated from a latency-dominated small shape.
+    dim = int(os.environ.get("BENCH_DIM", "2048"))
     rng = np.random.default_rng(0)
 
     model = Model()

@@ -70,3 +70,24 @@ def default_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), axis_names=(axis,))
+
+
+def multihost_mesh(n_hosts: int, chips_per_host: int) -> Mesh:
+    """Two-axis mesh for multi-host scale-out: outer "dcn" (slow,
+    cross-host) × inner "ici" (fast, in-slice) axis.
+
+    Pass `axis=("dcn", "ici")` to shard_flat/shard_context so the flat
+    hypercube's leading dim shards over BOTH axes: adjacent shards land on
+    the same host's chips, so the tree-reduction collectives XLA inserts
+    do their first hops over ICI and only the final log2(n_hosts) hops
+    over DCN — the standard DCN-outer/ICI-inner layout (scaling-book
+    recipe; SURVEY §5 multi-host north star).
+    """
+    devs = jax.devices()
+    n = n_hosts * chips_per_host
+    if len(devs) < n:
+        raise RuntimeError(f"need {n} devices, have {len(devs)}")
+    return Mesh(
+        np.array(devs[:n]).reshape(n_hosts, chips_per_host),
+        axis_names=("dcn", "ici"),
+    )

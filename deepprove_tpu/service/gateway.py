@@ -1,0 +1,235 @@
+"""Gateway-mode prover worker (LPN protocol analogue).
+
+Reference: deep-prove/src/bin/worker/lpn/grpc.rs — the worker dials OUT to
+a gateway, authenticates, announces readiness, then loops: receive a task
+(task_id + compressed payload), prove locally, send WorkerDone with either
+the serialized proofs or the error string (grpc.rs:36-81). A small HTTP
+/health endpoint runs alongside (grpc.rs serve_health_check).
+
+TPU-native mapping:
+  * messages: protobuf (lagrange.proto, generated lagrange_pb2.py) with
+    gRPC wire framing (1 compressed-flag byte + u32 BE length) over TCP —
+    the tonic bidi stream without an HTTP/2 dependency (no grpcio in the
+    image; the framing and message schema are the compatible subset).
+  * auth: a metadata preamble line `authorization: Bearer <token>\n`
+    (grpc.rs:129-140 interceptor) sent before the first frame.
+  * payloads: versioned safe wire format (wire.py, JSON+zlib allowlist
+    decode) in place of zstd+msgpack — no pickle on the wire.
+
+`MockGateway` is the in-process test double standing in for the LPN
+gateway: accepts one worker, queues tasks, collects replies.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import socket
+import struct
+import threading
+import zlib
+
+from . import lagrange_pb2 as pb
+from .store import MemStore
+from .worker import ProofRequest, run_model_v1
+
+PROTO_VERSION = "1"
+
+
+# ---------------------------------------------------------------------------
+# framing (gRPC wire format: flag byte + u32 BE length + message)
+# ---------------------------------------------------------------------------
+
+
+def send_frame(sock: socket.socket, msg) -> None:
+    body = msg.SerializeToString()
+    sock.sendall(struct.pack(">BI", 0, len(body)) + body)
+
+
+def recv_frame(sock: socket.socket, msg_type):
+    header = _recv_exact(sock, 5)
+    if header is None:
+        return None
+    _flag, length = struct.unpack(">BI", header)
+    body = _recv_exact(sock, length)
+    if body is None:
+        return None
+    return msg_type.FromString(body)
+
+
+def _recv_exact(sock: socket.socket, n: int):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# task payload codec (middleware DeepProveRequest/Response analogue)
+# ---------------------------------------------------------------------------
+
+
+def encode_task(request: ProofRequest) -> bytes:
+    """DeepProveRequest::V1 → versioned compressed payload."""
+    doc = {
+        "v": 1,
+        "model": base64.b64encode(request.model_bytes).decode(),
+        "inputs": [list(map(float, x)) for x in request.inputs],
+        "scaling_strategy": request.scaling_strategy,
+    }
+    return zlib.compress(json.dumps(doc).encode())
+
+
+def decode_task(blob: bytes) -> ProofRequest:
+    doc = json.loads(zlib.decompress(blob))
+    if doc.get("v") != 1:
+        raise ValueError(f"unsupported task version {doc.get('v')!r}")
+    return ProofRequest(
+        model_bytes=base64.b64decode(doc["model"]),
+        inputs=doc["inputs"],
+        scaling_strategy=doc.get("scaling_strategy", "absolute_max"),
+    )
+
+
+def encode_result(resp) -> bytes:
+    """DeepProveResponse::V1 analogue."""
+    doc = {
+        "v": 1,
+        "proofs": resp.proofs,
+        "outputs": resp.outputs,
+        "errors": resp.errors,
+    }
+    return zlib.compress(json.dumps(doc).encode())
+
+
+def decode_result(blob: bytes) -> dict:
+    doc = json.loads(zlib.decompress(blob))
+    if doc.get("v") != 1:
+        raise ValueError(f"unsupported result version {doc.get('v')!r}")
+    return doc
+
+
+# ---------------------------------------------------------------------------
+# worker side
+# ---------------------------------------------------------------------------
+
+
+def run_worker(
+    gateway_addr: tuple[str, int],
+    token: str = "",
+    worker_class: str = "deepprove-tpu",
+    pcs_kw=None,
+    max_tasks: int | None = None,
+    store=None,
+) -> int:
+    """Dial the gateway and serve tasks until EOF (or max_tasks, for tests).
+
+    Returns the number of tasks processed. Task failures are reported as
+    WorkerDone.worker_error, never crash the loop (grpc.rs:55-66).
+    """
+    store = store if store is not None else MemStore()
+    processed = 0
+    with socket.create_connection(gateway_addr) as sock:
+        sock.sendall(f"authorization: Bearer {token}\n".encode())
+        send_frame(
+            sock,
+            pb.WorkerToGwRequest(
+                worker_ready=pb.WorkerReady(
+                    version=PROTO_VERSION, worker_class=worker_class
+                )
+            ),
+        )
+        while max_tasks is None or processed < max_tasks:
+            task = recv_frame(sock, pb.WorkerToGwResponse)
+            if task is None:
+                break
+            try:
+                request = decode_task(task.task)
+                resp = run_model_v1(store, request, pcs_kw)
+                done = pb.WorkerDone(
+                    task_id=task.task_id, task_output=encode_result(resp)
+                )
+            except Exception as e:
+                done = pb.WorkerDone(task_id=task.task_id, worker_error=str(e))
+            send_frame(sock, pb.WorkerToGwRequest(worker_done=done))
+            processed += 1
+    return processed
+
+
+# ---------------------------------------------------------------------------
+# mock gateway (test double for the LPN gateway)
+# ---------------------------------------------------------------------------
+
+
+class MockGateway:
+    """Accepts one worker connection; push tasks, await WorkerDone replies."""
+
+    def __init__(self, token: str = ""):
+        self.token = token
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.addr = self._srv.getsockname()
+        self.ready: pb.WorkerReady | None = None
+        self.replies: queue.Queue = queue.Queue()
+        self._conn = None
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    def _accept_loop(self):
+        conn, _ = self._srv.accept()
+        preamble = b""
+        while not preamble.endswith(b"\n"):
+            c = conn.recv(1)
+            if not c:
+                return
+            preamble += c
+        auth = preamble.decode().strip()
+        if auth != f"authorization: Bearer {self.token}":
+            conn.close()
+            return
+        msg = recv_frame(conn, pb.WorkerToGwRequest)
+        if msg is None or msg.WhichOneof("request") != "worker_ready":
+            conn.close()
+            return
+        self.ready = msg.worker_ready
+        self._conn = conn
+        while True:
+            try:
+                reply = recv_frame(conn, pb.WorkerToGwRequest)
+            except OSError:  # close() raced the blocking recv — teardown
+                return
+            if reply is None:
+                return
+            self.replies.put(reply.worker_done)
+
+    def wait_ready(self, timeout: float = 10.0) -> pb.WorkerReady:
+        import time
+
+        deadline = time.time() + timeout
+        while self._conn is None:
+            if time.time() > deadline:
+                raise TimeoutError("worker never registered")
+            time.sleep(0.01)
+        return self.ready
+
+    def push_task(self, task_id: str, request: ProofRequest) -> None:
+        send_frame(
+            self._conn,
+            pb.WorkerToGwResponse(task_id=task_id, task=encode_task(request)),
+        )
+
+    def next_reply(self, timeout: float = 300.0) -> pb.WorkerDone:
+        return self.replies.get(timeout=timeout)
+
+    def close(self):
+        try:
+            if self._conn is not None:
+                self._conn.close()
+        finally:
+            self._srv.close()

@@ -274,6 +274,13 @@ def prove_device(vp: VirtualPolynomial, dt) -> ProverOutput:
 
     stacked, m_pad, pn_pad, coeffs, idx = _prep(vp)
     n_bucket = _pick_bucket(n)
+    if n_bucket is None and jax.default_backend() == "cpu":
+        # CPU (tests): the statically-unrolled staircase kernel takes
+        # minutes of XLA compile at large n (n Poseidon permutes inlined
+        # in one graph). The while-loop kernel traces ONE round body and
+        # compiles in seconds; its n·2^n vs 2·2^n work overhead is
+        # irrelevant off-TPU. Transcripts are bit-identical either way.
+        n_bucket = n
     if n_bucket is not None:
         l, l_buf = 1 << n, 1 << n_bucket
         if l_buf > l:

@@ -75,34 +75,57 @@ def _sample_ext_scalar(state):
     return devt.sample_ext(state)
 
 
+def _set_base(buf: gf.GF, i, val: gf.GF) -> gf.GF:
+    return gf.GF(
+        jax.lax.dynamic_update_index_in_dim(buf.lo, val.lo, i, 0),
+        jax.lax.dynamic_update_index_in_dim(buf.hi, val.hi, i, 0),
+    )
+
+
+def _set_ext(buf: gf.GF2, i, val: gf.GF2) -> gf.GF2:
+    return gf.GF2(_set_base(buf.a0, i, val.a0), _set_base(buf.a1, i, val.a1))
+
+
+# The k-element squeeze kernels below MUST be rolled loops (fori_loop), not
+# python-unrolled: each sample embeds a full Poseidon2 permute in the trace,
+# so unrolling k=200 query-index challenges produced ~600-permute traces
+# (minutes of XLA tracing, GBs of jaxpr — the round-2 dim-2048 "claims 197s"
+# profile). Rolled, every variant traces exactly one loop body.
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _sample_ext_vec(state, k: int):
-    outs = []
-    for _ in range(k):
-        state, e = devt.sample_ext(state)
-        outs.append(e)
-    return state, gf.ext_stack(outs)
+    def body(i, carry):
+        st, buf = carry
+        st, e = devt.sample_ext(st)
+        return st, _set_ext(buf, i, e)
+
+    buf0 = gf.GF2(gf.zeros((k,)), gf.zeros((k,)))
+    return jax.lax.fori_loop(0, k, body, (state, buf0))
 
 
 @partial(jax.jit, static_argnames=("chunks", "k"))
 def _challenge_vec(state, chunks: tuple, k: int):
     """k× (absorb label, sample ext) — the get_and_append_challenge loop."""
-    outs = []
-    for _ in range(k):
+    def body(i, carry):
+        st, buf = carry
         for c in chunks:
-            state = devt.observe_u64_constant(state, c)
-        state, e = devt.sample_ext(state)
-        outs.append(e)
-    return state, gf.ext_stack(outs)
+            st = devt.observe_u64_constant(st, c)
+        st, e = devt.sample_ext(st)
+        return st, _set_ext(buf, i, e)
+
+    buf0 = gf.GF2(gf.zeros((k,)), gf.zeros((k,)))
+    return jax.lax.fori_loop(0, k, body, (state, buf0))
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _sample_base_vec(state, k: int):
-    outs = []
-    for _ in range(k):
-        state, e = devt.sample(state)
-        outs.append(e)
-    return state, gf.stack(outs)
+    def body(i, carry):
+        st, buf = carry
+        st, e = devt.sample(st)
+        return st, _set_base(buf, i, e)
+
+    return jax.lax.fori_loop(0, k, body, (state, gf.zeros((k,))))
 
 
 class DeviceTranscript:

@@ -106,6 +106,7 @@ class Prover:
 
         for nid in self.ctx.backward_order():
             node_ctx = self.ctx.steps_info[nid]
+            mn = Metrics(f"node{nid}")
             claims_for_prove = _claims_for_node(
                 self.ctx.model, nid, claims_by_layer, out_claims, out_nodes,
                 merger=merger,
@@ -118,11 +119,15 @@ class Prover:
             else:
                 claims = list(claims_for_prove)
             claims_by_layer[nid] = claims
+            stream_metrics(
+                f"node{nid}_{type(node_ctx.op).__name__}", mn.to_span()
+            )
 
         stream_metrics("claims", m.to_span())
         m = Metrics("tables_and_opening")
         # table proofs (iop/prover.rs:110)
         for tw in self.table_witness:
+            mt = Metrics("table")
             logup_input = tw.get_logup_input(self.challenge_storage)
             table_proof = logup.batch_prove_device(logup_input, self.dt)
             comm, poly = tw.commits[0]
@@ -139,14 +144,22 @@ class Prover:
                     lookup=table_proof,
                 )
             )
+            stream_metrics(
+                f"table_{type(tw.table_type).__name__}_{getattr(tw.table_type, 'kind', '')}",
+                mt.to_span(),
+            )
 
+        mo = Metrics("commit_open")
         commit_proof = self.commit_prover.prove(self.transcript, dt=self.dt)
+        stream_metrics("commit_open", mo.to_span())
+        mo = Metrics("materialize")
         self.dt.sync_to_host(self.transcript)
         proof = Proof(
             steps=self.proofs, table_proofs=self.table_proofs, commit=commit_proof,
             merges=self.merge_proofs,
         )
         proof = glue.materialize(proof)
+        stream_metrics("materialize", mo.to_span())
         stream_metrics("tables_and_opening", m.to_span())
         return proof
 

@@ -1,0 +1,58 @@
+"""DeviceTranscript ↔ host BasicTranscript bit-compatibility.
+
+The e2e tests assert transcript identity indirectly; this pins the
+vector squeeze kernels (rolled fori_loop implementations) directly
+against the host challenger for a spread of k values, including the
+parity-sensitive cases where successive sample_ext calls straddle a
+duplex refill. Mirrors transcript/src/basic.rs observe/sample
+discipline.
+"""
+
+import numpy as np
+
+from deepprove_tpu.fields import gf
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.transcript.session import DeviceTranscript
+
+
+def _ext_to_ints(e):
+    a0 = np.asarray(gf.to_u64(e.a0), dtype=np.uint64)
+    a1 = np.asarray(gf.to_u64(e.a1), dtype=np.uint64)
+    return list(zip(a0.reshape(-1).tolist(), a1.reshape(-1).tolist()))
+
+
+def test_sample_ext_vec_matches_host():
+    for k in (1, 2, 3, 5, 7, 16, 33):
+        host = BasicTranscript(b"m2vec")
+        host.append_message(b"seed")
+        dev = DeviceTranscript.from_host(host.clone())
+
+        want = [host.read_challenge() for _ in range(k)]
+        got = _ext_to_ints(dev.read_challenges(k))
+        assert got == want, f"k={k}"
+
+        # state advanced identically: next single challenge agrees too
+        dev.append_message(b"after")
+        host.append_message(b"after")
+        assert _ext_to_ints(dev.read_challenge())[0] == host.read_challenge()
+
+
+def test_challenge_vec_matches_host():
+    for k in (1, 4, 9, 40):
+        host = BasicTranscript(b"m2vec")
+        dev = DeviceTranscript.from_host(host.clone())
+        want = [host.get_and_append_challenge(b"query indices") for _ in range(k)]
+        got = _ext_to_ints(dev.get_and_append_challenges(b"query indices", k))
+        assert got == want, f"k={k}"
+
+
+def test_sample_base_vec_matches_host():
+    for k in (1, 3, 6, 11):
+        host = BasicTranscript(b"m2vec")
+        host.append_field_element(42)
+        dev = DeviceTranscript.from_host(host.clone())
+        want = host.sample_vec(k)
+        got = np.asarray(
+            gf.to_u64(dev.sample_bases(k)), dtype=np.uint64
+        ).tolist()
+        assert got == want, f"k={k}"

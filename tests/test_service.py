@@ -94,3 +94,50 @@ def test_proof_size_and_transcript_stats(rng):
     t.get_and_append_challenge(b"x")
     assert rec.count >= 3
     assert proof_size_bytes({"a": [1, 2, 3]}) > 0
+
+
+def test_gateway_worker_roundtrip(rng):
+    """LPN gateway protocol analogue (bin/worker/lpn/grpc.rs): worker dials
+    the gateway, registers, proves a pushed task, replies WorkerDone; a bad
+    task comes back as worker_error without killing the loop."""
+    import threading
+
+    from deepprove_tpu.service import gateway as gw
+
+    mock = gw.MockGateway(token="sekrit")
+    t = threading.Thread(
+        target=gw.run_worker,
+        args=(mock.addr,),
+        kwargs=dict(
+            token="sekrit",
+            pcs_kw={"num_queries": 7, "basecode_msg_size_log": 2},
+            max_tasks=2,
+        ),
+        daemon=True,
+    )
+    t.start()
+    ready = mock.wait_ready()
+    assert ready.worker_class == "deepprove-tpu"
+
+    req = ProofRequest(
+        model_bytes=_mlp_onnx_bytes(rng),
+        inputs=[list(rng.uniform(-1, 1, size=8))],
+    )
+    mock.push_task("task-1", req)
+    done = mock.next_reply(timeout=600.0)
+    assert done.task_id == "task-1"
+    assert done.WhichOneof("reply") == "task_output"
+    result = gw.decode_result(done.task_output)
+    assert result["errors"] == [] and len(result["proofs"]) == 1
+
+    # malformed task → worker_error reply, loop still alive
+    gw.send_frame(
+        mock._conn,
+        gw.pb.WorkerToGwResponse(task_id="task-2", task=b"not-a-task"),
+    )
+    done2 = mock.next_reply()
+    assert done2.task_id == "task-2"
+    assert done2.WhichOneof("reply") == "worker_error"
+    t.join(timeout=30)
+    assert not t.is_alive()
+    mock.close()

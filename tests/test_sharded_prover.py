@@ -75,3 +75,25 @@ def test_sharded_prove_transcript_identity():
 
     # the sharded proof also verifies
     verify(ctx2, proof2, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_multihost_mesh_transcript_identity():
+    """2-axis (DCN-outer × ICI-inner) mesh: the same prove sharded over
+    ("dcn","ici") is bit-identical to single-chip — the multi-host layout
+    (SURVEY §5) is just a resharding, not a protocol change."""
+    from deepprove_tpu.parallel.prover import multihost_mesh
+
+    model, trace, x = _build()
+    ctx1 = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof1 = Prover(ctx1, BasicTranscript(b"m2vec")).prove(trace)
+
+    ctx2 = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    mesh = multihost_mesh(2, 4)
+    shard_context(ctx2, mesh, axis=("dcn", "ici"))
+    proof2 = Prover(ctx2, BasicTranscript(b"m2vec")).prove(trace)
+
+    c1, c2 = [], []
+    _flatten_pairs(proof1.commit, c1)
+    _flatten_pairs(proof2.commit, c2)
+    assert c1 == c2, "multihost opening diverges from single-chip"
+    verify(ctx2, proof2, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
