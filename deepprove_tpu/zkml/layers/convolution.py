@@ -138,8 +138,13 @@ def _phi_partials_kernel(pt: gf.GF2, omega: int, n: int, scale: int):
     return tuple(fs)
 
 
-def _delegate_prove(fs, q, omega: int, n: int, dt, prover):
-    """Chain of n−1 sumchecks reducing φ~(q) to the O(1) base table."""
+def _delegate_prove(fs, q, row_pt, omega: int, n: int, dt, prover):
+    """Chain of n−1 sumchecks reducing φ~(q) to the O(1) base table.
+
+    `q` is the EVALUATION point (drives the eq tables); `row_pt` is the
+    point DEFINING the φ row (its r_b coordinates parameterize the level
+    quotient tables h_l — the same point the partial-product tables `fs`
+    were built from, and the point the verifier's `_h_closed_form` uses)."""
     from ... import glue
     from ...sumcheck.fused import prove_device
 
@@ -149,7 +154,7 @@ def _delegate_prove(fs, q, omega: int, n: int, dt, prover):
     for l in range(n - 1, 0, -1):
         f_rep = gf.ext_concatenate([fs[l - 1], fs[l - 1]])  # (2^{l+1},)
         b = n - 1 - l
-        h = _h_table_kernel(q, omega, n, b, l)  # only needs pt for r_b
+        h = _h_table_kernel(row_pt, omega, n, b, l)  # needs row_pt for r_b
         eq = mle_mod._eq_table_kernel(q_cur, one, l + 1)
         vp = VirtualPolynomial.new(l + 1)
         i_eq = vp.add_mle(eq)
@@ -262,6 +267,8 @@ class Convolution:
         self.k = self.filter.shape[2]
         self.n = n
         self.N = 2 * n * n
+        if self.bias.size < self.kw:  # pad bias over the pow2 channel pad
+            self.bias = np.pad(self.bias, (0, self.kw - self.bias.size))
 
     @property
     def is_provable(self) -> bool:
@@ -419,7 +426,7 @@ class Convolution:
         s1 = sc2.proof.point
         prod_eval = glue.at(sc2.final_evals, 1)
         # delegate the verifier's phi_inv~(s1) evaluation (zkCNN, log depth)
-        deleg_inv = _delegate_prove(fs_inv, s1, omega_inv, log_t, dt, prover)
+        deleg_inv = _delegate_prove(fs_inv, s1, sigma_t, omega_inv, log_t, dt, prover)
 
         # 4. hadamard sumcheck over (k, j, i): eq_ki · X(j,k) · Ŵ(i,j,k)
         eq_k = mle_mod._eq_table_kernel(s1, one, log_t)
@@ -471,7 +478,7 @@ class Convolution:
         sc4 = prove_device(vp4, dt)
         s3 = sc4.proof.point
         xt_eval = glue.at(sc4.final_evals, 1)
-        deleg_fft = _delegate_prove(fs_fft, s3, omega, log_t, dt, prover)
+        deleg_fft = _delegate_prove(fs_fft, s3, s2_k, omega, log_t, dt, prover)
 
         # 6. x̃ → x closed form: x̃~(s3_p, s3_top, r_j) = (1−s3_top)·x~(1−s3_p, r_j)
         s3_p = glue.prefix(s3, log_t - 1)
