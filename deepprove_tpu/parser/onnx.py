@@ -213,4 +213,8 @@ def load_onnx(path: str) -> FloatModel:
 
     for out_name, (w, sid) in pending.items():
         fm.add_node(FDense(weight=w, bias=np.zeros(w.shape[0])), [sid])
+
+    from ..zkml.padding import pad_pass
+
+    pad_pass(fm)  # garbage-pad rewrite (padding.rs pad_model analogue)
     return fm

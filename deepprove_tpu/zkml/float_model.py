@@ -42,16 +42,21 @@ class FConv:
     bias: np.ndarray
 
     def forward(self, x):
+        """Valid cross-correlation embedded in the padded n×n grid, output
+        channels pow2-padded — the same layout the quantized Convolution
+        computes (its in-layer mask clears positions ≥ n−k+1 to 0, so the
+        padded grid is deterministic on both sides)."""
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from .tensor import next_pow2
+
         kw, kx, k, _ = self.weight.shape
         _, n, _ = x.shape
         v = n - k + 1
-        out = np.zeros((kw, n, n), dtype=np.float64)
-        for i in range(kw):
-            for y in range(v):
-                for c in range(v):
-                    out[i, y, c] = (
-                        x[:, y : y + k, c : c + k] * self.weight[i]
-                    ).sum() + self.bias[i]
+        win = sliding_window_view(x[:kx], (k, k), axis=(1, 2))
+        res = np.einsum("cyxij,ocij->oyx", win, self.weight)
+        out = np.zeros((next_pow2(kw), n, n), dtype=np.float64)
+        out[:kw, :v, :v] = res + self.bias[:, None, None]
         return out
 
 
@@ -148,6 +153,7 @@ def quantize(
     from .model import Edge
 
     out_scales: dict[int, ScalingFactor] = {}
+    input_scale = ScalingFactor.from_absolute_max(1.0)
     if strategy == "inference":
         assert calibration_inputs, "inference observer needs calibration inputs"
         tracker = InferenceTracker()
@@ -157,11 +163,17 @@ def quantize(
             lo, hi = tracker.span.get(i, (-1.0, 1.0))
             mx = max(abs(lo), abs(hi), 1e-6)
             out_scales[i] = ScalingFactor.from_absolute_max(mx)
+        # the model INPUT is observed too (the reference quantizes the
+        # input tensor from its calibrated range, strategy.rs:51) —
+        # iris-style features are nowhere near [−1, 1]
+        mx_in = max(
+            max(float(np.max(np.abs(np.asarray(x)))) for x in calibration_inputs),
+            1e-6,
+        )
+        input_scale = ScalingFactor.from_absolute_max(mx_in)
     else:
         for i in range(len(model.ops)):
             out_scales[i] = ScalingFactor.from_absolute_max(1.0)
-
-    input_scale = ScalingFactor.from_absolute_max(1.0)
     q = Model()
     # per float-node: (quantized node id producing its output, its scale,
     # its logical output shape)

@@ -1,0 +1,105 @@
+"""Model-level padding / garbage pass (reference zkml/src/padding.rs —
+`pad_model`, GarbagePad at padding.rs:130).
+
+The quantized pipeline computes on PADDED grids: `Convolution` embeds the
+valid (n−k+1)² cross-correlation window in the full n×n grid and pow2-pads
+output channels. Unlike the reference — which leaves cross-correlation
+garbage live in the tensor and defers cleanup to the consumer boundary
+(GarbagePad inserts zero columns in the downstream dense matrix) — our
+Convolution layer *clears* garbage to 0 in-layer (convolution.py mask()),
+so every padded position holds a deterministic value and float↔quantized
+semantics agree position-by-position on the padded grid.
+
+What remains model-level is the shape bookkeeping the reference does in
+its pad pass:
+
+  * track, per node, the PADDED shape the pipeline computes on and the
+    VALID sub-shape holding real data;
+  * at a conv→(pool…)→flatten→dense boundary, zero-expand the dense
+    weight's columns from the valid layout to the padded layout (the
+    reference's padded_matrix_from_conv / GarbagePad rewrite);
+  * reject maxpools whose 2×2 windows would straddle the valid/garbage
+    boundary (the reference implicitly relies on even valid dims too).
+
+`pad_pass(model)` mutates FDense weights in place and returns
+{node_id: (padded_shape, valid_shape)} for diagnostics; it is idempotent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .float_model import FAdd, FConv, FDense, FFlatten, FMaxpool, FRelu
+from .tensor import next_pow2
+
+
+def pad_pass(model) -> dict[int, tuple]:
+    """Shape-infer the float DAG and rewrite dense weights over garbage.
+
+    Shapes are kept STRUCTURED through FFlatten (flatten is a relayout,
+    not a shape-semantics change) so the dense rule can remap columns.
+    """
+    padded: dict[int, tuple] = {-1: tuple(model.input_shape)}
+    valid: dict[int, tuple] = {-1: tuple(model.input_shape)}
+
+    for i, (op, inputs) in enumerate(model.ops):
+        if isinstance(op, FDense):
+            (s,) = inputs
+            fp = int(np.prod(padded[s]))
+            fv = int(np.prod(valid[s]))
+            rows, cols = op.weight.shape
+            if cols == fp:
+                pass  # no garbage (or already padded layout)
+            elif cols == fv:
+                pshape, vshape = padded[s], valid[s]
+                w = op.weight.reshape((rows,) + tuple(vshape))
+                wp = np.zeros((rows,) + tuple(pshape), dtype=op.weight.dtype)
+                wp[(slice(None),) + tuple(slice(0, d) for d in vshape)] = w
+                op.weight = wp.reshape(rows, fp)
+            else:
+                raise ValueError(
+                    f"dense weight has {cols} columns; input is "
+                    f"{fv} valid / {fp} padded"
+                )
+            padded[i] = valid[i] = (rows,)
+        elif isinstance(op, FConv):
+            (s,) = inputs
+            cp, n, n2 = padded[s]
+            if n != n2:
+                raise NotImplementedError("conv inputs must be square")
+            cv, hv, wv = valid[s]
+            co, ci, k, _ = op.weight.shape
+            if ci != cv:
+                raise ValueError(
+                    f"conv expects {ci} input channels, valid input has {cv}"
+                )
+            padded[i] = (next_pow2(co), n, n)
+            valid[i] = (co, hv - k + 1, wv - k + 1)
+        elif isinstance(op, FMaxpool):
+            (s,) = inputs
+            c, h, w = padded[s]
+            cv, hv, wv = valid[s]
+            if (hv < h and hv % 2) or (wv < w and wv % 2):
+                raise NotImplementedError(
+                    "maxpool window would straddle the valid/garbage boundary"
+                )
+            padded[i] = (c, h // 2, w // 2)
+            valid[i] = (cv, hv // 2, wv // 2)
+        elif isinstance(op, (FRelu, FFlatten)):
+            (s,) = inputs
+            padded[i] = padded[s]
+            valid[i] = valid[s]
+        elif isinstance(op, FAdd):
+            a, b = inputs
+            if padded[a] != padded[b] or valid[a] != valid[b]:
+                raise NotImplementedError(
+                    "residual add across differing padded/valid shapes"
+                )
+            padded[i] = padded[a]
+            valid[i] = valid[a]
+        else:
+            # ops without spatial garbage semantics: pass shapes through
+            (s,) = inputs
+            padded[i] = padded[s]
+            valid[i] = valid[s]
+    return {i: (padded[i], valid[i]) for i in padded}

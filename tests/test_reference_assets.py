@@ -1,0 +1,170 @@
+"""The reference repo's shipped model assets parse, quantize, prove and
+verify end-to-end (VERDICT r1 item 10; reference zkml/benches/prove-model.rs
+uses exactly these files + input.json.zst samples).
+
+Assets are read-only inputs from /root/reference — they are data (ONNX
+weights + test vectors), not code. The CNN is the cnn-cifar-01 (LeNet-ish)
+CIFAR-10 model behind the reference's headline CNN bench; the MLP is
+mlp-iris-01.
+
+Accuracy note: the shipped pytorch_output vectors do NOT correspond to a
+forward pass of the shipped ONNX weights (a faithful numpy forward of
+mlp-iris-01.onnx disagrees with them — the two files evidently come from
+different training runs of assets/scripts/MLP/mlp.py). So the meaningful
+check here is QUANTIZATION FIDELITY: the quantized provable model's argmax
+and logit correlation against our float forward of the same weights
+(measured: MLP corr 1.0000, CNN corr 0.998).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.parser.onnx import load_onnx
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml.float_model import quantize
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.tensor import Tensor
+
+ASSETS = "/root/reference/zkml/assets/scripts"
+
+
+def _inputs(kind: str):
+    import zstandard
+
+    raw = zstandard.ZstdDecompressor().decompress(
+        open(f"{ASSETS}/{kind}/input.json.zst", "rb").read(),
+        max_output_size=200_000_000,
+    )
+    return json.loads(raw)
+
+
+needs_assets = pytest.mark.skipif(
+    not os.path.isdir(ASSETS), reason="reference assets not present"
+)
+
+
+def _fidelity(m, q, s_in, xs, n_out, n_samples):
+    """(argmax agreements, mean logit correlation) quantized vs float."""
+    agree, corrs = 0, []
+    for x in xs[:n_samples]:
+        f = m.forward(x).reshape(-1)[:n_out]
+        tr = q.run([Tensor(s_in.quantize(x).astype(np.int64))])
+        g = np.asarray(tr.outputs[0].data).reshape(-1)[:n_out]
+        agree += int(np.argmax(g) == np.argmax(f))
+        if np.std(g) > 0 and np.std(f) > 0:
+            corrs.append(np.corrcoef(g, f)[0, 1])
+    return agree, float(np.mean(corrs))
+
+
+@needs_assets
+def test_mlp_iris_asset_proves_with_quantization_fidelity():
+    m = load_onnx(f"{ASSETS}/MLP/mlp-iris-01.onnx")
+    doc = _inputs("MLP")
+    xs = [np.asarray(x, dtype=np.float64).reshape(-1) for x in doc["input_data"]]
+
+    q, s_in, s_out = quantize(m, "inference", xs[:8])
+    agree, corr = _fidelity(m, q, s_in, xs, 3, 12)
+    assert agree >= 10, f"quant-vs-float argmax agreement {agree}/12"
+    assert corr > 0.99, f"quant-vs-float logit correlation {corr}"
+
+    # one full prove/verify roundtrip on the first sample
+    x = Tensor(s_in.quantize(xs[0]).astype(np.int64))
+    trace = q.run([x])
+    ctx = Context.generate(q, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+@needs_assets
+def test_cnn_cifar_asset_proves_with_quantization_fidelity():
+    m = load_onnx(f"{ASSETS}/CNN/cnn-cifar-01.onnx")
+    doc = _inputs("CNN")
+    xs = [
+        np.asarray(x, dtype=np.float64).reshape(m.input_shape)
+        for x in doc["input_data"]
+    ]
+
+    q, s_in, s_out = quantize(m, "inference", xs[:2])
+    agree, corr = _fidelity(m, q, s_in, xs, 10, 4)
+    assert agree >= 3, f"quant-vs-float argmax agreement {agree}/4"
+    assert corr > 0.98, f"quant-vs-float logit correlation {corr}"
+
+    x = Tensor(s_in.quantize(xs[0]).astype(np.int64))
+    trace = q.run([x])
+    ctx = Context.generate(q, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_pad_pass_expands_dense_over_garbage():
+    """conv(valid 28²→pool 14²→conv 10²→pool 5²)→flatten→dense: the dense
+    weight gets zero-expanded from the valid to the padded layout, and the
+    padded float forward matches a plain valid-convolution computation."""
+    from deepprove_tpu.zkml.float_model import (
+        FConv,
+        FDense,
+        FFlatten,
+        FMaxpool,
+        FloatModel,
+    )
+    from deepprove_tpu.zkml.padding import pad_pass
+
+    rng = np.random.default_rng(1)
+    fm = FloatModel(input_shape=(3, 32, 32))
+    w1 = rng.uniform(-1, 1, size=(6, 3, 5, 5))
+    fm.add(FConv(weight=w1, bias=np.zeros(6)))
+    fm.add(FMaxpool())
+    w2 = rng.uniform(-1, 1, size=(16, 6, 5, 5))
+    fm.add(FConv(weight=w2, bias=np.zeros(16)))
+    fm.add(FMaxpool())
+    fm.add(FFlatten())
+    wd = rng.uniform(-1, 1, size=(10, 16 * 5 * 5))
+    fm.add(FDense(weight=wd, bias=np.zeros(10)))
+
+    shapes = pad_pass(fm)
+    assert shapes[0] == ((8, 32, 32), (6, 28, 28))
+    assert shapes[1] == ((8, 16, 16), (6, 14, 14))
+    assert shapes[2] == ((16, 16, 16), (16, 10, 10))
+    assert shapes[3] == ((16, 8, 8), (16, 5, 5))
+    dense = fm.ops[5][0]
+    assert dense.weight.shape == (10, 16 * 8 * 8)
+
+    # pad_pass is idempotent
+    pad_pass(fm)
+    assert dense.weight.shape == (10, 16 * 8 * 8)
+
+    # padded forward == plain valid-region pipeline
+    x = rng.uniform(-1, 1, size=(3, 32, 32))
+    got = fm.forward(x)
+
+    def valid_conv(x, w):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(x, (w.shape[2], w.shape[3]), axis=(1, 2))
+        return np.einsum("cyxij,ocij->oyx", win, w)
+
+    def pool(x):
+        c, h, w = x.shape
+        return x.reshape(c, h // 2, 2, w // 2, 2).max(axis=(2, 4))
+
+    ref = valid_conv(x, w1)
+    ref = pool(ref)
+    ref = valid_conv(ref, w2)
+    ref = pool(ref)
+    ref = wd @ ref.reshape(-1)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_pad_pass_rejects_straddling_pool():
+    from deepprove_tpu.zkml.float_model import FConv, FloatModel, FMaxpool
+    from deepprove_tpu.zkml.padding import pad_pass
+
+    fm = FloatModel(input_shape=(1, 8, 8))
+    fm.add(FConv(weight=np.zeros((1, 1, 4, 4)), bias=np.zeros(1)))  # valid 5×5
+    fm.add(FMaxpool())  # 5 odd < 8 → window straddles garbage
+    with pytest.raises(NotImplementedError):
+        pad_pass(fm)
