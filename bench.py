@@ -1,11 +1,18 @@
 """Benchmark entry point (driver-run, real TPU).
 
-Proves a quantized MLP end-to-end (Dense → Requant → Relu), measures the
-second (warm) prove wall time, and prints ONE JSON line. Baseline:
-reference Dense-4M CPU prove = 2335 ms (BASELINE.md); vs_baseline
-extrapolates our per-parameter prove cost to 4M parameters (sumcheck +
-commit cost is linear in parameter count), so >1 means faster than the
+Default mode proves the reference's headline Dense-4M config end-to-end
+and prints ONE JSON line. Baseline: reference Dense-4M CPU prove =
+2335 ms (BASELINE.md:12); vs_baseline > 1 means faster than the
 reference at equal size.
+
+Secondary modes via BENCH_MODEL (each still prints one JSON line):
+  BENCH_MODEL=cnn   — the reference's other headline: cnn-cifar-01
+                      (CNN-264k, CIFAR-10) parsed from the shipped ONNX
+                      asset; baseline 1242 ms (BASELINE.md:10).
+  BENCH_MODEL=gpt2  — one autoregressive generation step of a
+                      GPT-2-124M-shaped model (synthetic weights — no
+                      public checkpoint in this image), seq=BENCH_SEQ
+                      (default 64). No reference baseline published.
 """
 
 import json
@@ -17,14 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+BASELINES_MS = {"dense": 2335.0, "cnn": 1242.0}
 
-def main():
-    import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/deepprove_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+def _timed_warm(prove):
+    """(warm wall seconds, proof): warmup run compiles, second run counts."""
+    prove()
+    t0 = time.time()
+    proof = prove()
+    return time.time() - t0, proof
 
+
+def bench_dense():
     from deepprove_tpu.transcript import BasicTranscript
     from deepprove_tpu.zkml import quantization as Q
     from deepprove_tpu.zkml.iop import Context, Prover, verify
@@ -36,9 +47,9 @@ def main():
     from deepprove_tpu.zkml.quantization import RequantSpec
     from deepprove_tpu.zkml.tensor import Tensor
 
-    # default = the reference's headline Dense-4M config (BASELINE.md:12 —
-    # dim 2048 → 2048·2048+2048 ≈ 4.2M params), measured directly rather
-    # than extrapolated from a latency-dominated small shape.
+    # the reference's headline Dense-4M config (BASELINE.md:12 — dim 2048
+    # → 2048·2048+2048 ≈ 4.2M params), measured directly rather than
+    # extrapolated from a latency-dominated small shape.
     dim = int(os.environ.get("BENCH_DIM", "2048"))
     rng = np.random.default_rng(0)
 
@@ -58,26 +69,86 @@ def main():
     trace = model.run([x])
     ctx = Context.generate(model, num_queries=200, basecode_msg_size_log=4)
 
-    def prove_once():
-        t0 = time.time()
-        proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
-        return time.time() - t0, proof
-
-    _, proof = prove_once()  # warmup (compiles)
-    prove_s, proof = prove_once()
+    prove_s, proof = _timed_warm(
+        lambda: Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    )
     verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
 
-    prove_ms = prove_s * 1000.0
     params = dim * dim + dim
-    extrapolated_4m_ms = prove_ms * (4_000_000 / params)
-    baseline_ms = 2335.0
+    extrapolated_4m_ms = prove_s * 1000.0 * (4_000_000 / params)
+    return f"mlp_{dim}x{dim}_prove_ms", prove_s * 1000.0, BASELINES_MS[
+        "dense"
+    ] / extrapolated_4m_ms
+
+
+def bench_cnn():
+    from deepprove_tpu.parser.onnx import load_onnx
+    from deepprove_tpu.transcript import BasicTranscript
+    from deepprove_tpu.zkml.float_model import quantize
+    from deepprove_tpu.zkml.iop import Context, Prover, verify
+    from deepprove_tpu.zkml.iop.verifier import IO
+    from deepprove_tpu.zkml.tensor import Tensor
+
+    asset = "/root/reference/zkml/assets/scripts/CNN/cnn-cifar-01.onnx"
+    m = load_onnx(asset)
+    rng = np.random.default_rng(0)
+    xs = [rng.uniform(-1, 1, size=m.input_shape) for _ in range(2)]
+    q, s_in, _ = quantize(m, "inference", xs)
+    x = Tensor(s_in.quantize(xs[0]).astype(np.int64))
+    trace = q.run([x])
+    ctx = Context.generate(q, num_queries=200, basecode_msg_size_log=4)
+
+    prove_s, proof = _timed_warm(
+        lambda: Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    )
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+    return "cnn_cifar_264k_prove_ms", prove_s * 1000.0, BASELINES_MS["cnn"] / (
+        prove_s * 1000.0
+    )
+
+
+def bench_gpt2():
+    from deepprove_tpu.transcript import BasicTranscript
+    from deepprove_tpu.zkml.iop import Context, Prover
+    from deepprove_tpu.zkml.llm import Driver, GPT2Builder, GPT2Weights, LLMConfig
+
+    seq = int(os.environ.get("BENCH_SEQ", "64"))
+    cfg = LLMConfig(vocab=50257, emb=768, heads=12, blocks=12, context=1024)
+    w = GPT2Weights.synthetic(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab, size=seq // 2).astype(np.int64)
+    model, meta = GPT2Builder(w, seq).build(prompt)
+    ctx = Context.generate(model, num_queries=200, basecode_msg_size_log=4)
+    drv = Driver(model, meta, ctx)
+
+    def prove():
+        st = drv.step(prompt, prove=True)
+        assert st.proof is not None
+        return st.proof
+
+    prove_s, _ = _timed_warm(prove)
+    # no public reference number for GPT-2 proving; vs_baseline omitted (0)
+    return f"gpt2_124m_seq{seq}_step_prove_ms", prove_s * 1000.0, 0.0
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/deepprove_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    mode = os.environ.get("BENCH_MODEL", "dense")
+    metric, prove_ms, vs = {"dense": bench_dense, "cnn": bench_cnn, "gpt2": bench_gpt2}[
+        mode
+    ]()
     print(
         json.dumps(
             {
-                "metric": f"mlp_{dim}x{dim}_prove_ms",
+                "metric": metric,
                 "value": round(prove_ms, 2),
                 "unit": "ms",
-                "vs_baseline": round(baseline_ms / extrapolated_4m_ms, 4),
+                "vs_baseline": round(vs, 4),
             }
         )
     )

@@ -570,18 +570,46 @@ def _sample_queries(params: BasefoldParams, transcript: BasicTranscript, size: i
     return idxs
 
 
-def _sample_queries_session(params: BasefoldParams, dt, size: int) -> list[int]:
-    """Query sampling with device-resident FS: ONE blocking pull (the raw
-    challenge words) instead of state sync → num_queries host permutations
-    → state re-put. Bit-identical to _sample_queries (the device
-    challenger is transcript-compatible by construction + tests)."""
+def _sample_queries_session(
+    params: BasefoldParams, dt, size: int, transcript=None
+) -> list[int]:
+    """Query-index sampling (basefold.rs query phase FS).
+
+    Duplex Fiat-Shamir is inherently sequential, and num_queries=200
+    batch-1 Poseidon permutes on a (tunneled) TPU are latency-bound —
+    measured 4.3 s of the dim-2048 prove. With the host transcript
+    available the state is synced ONCE (one pull), the 200 permutes run
+    on the host C kernel (µs each), and the state is re-put — bit-identical
+    either way (same challenger, asserted by transcript-identity tests)."""
+    if transcript is not None:
+        dt.sync_to_host(transcript)
+        out = [
+            int(transcript.get_and_append_challenge(b"query indices")[0]) % size
+            for _ in range(params.num_queries)
+        ]
+        dt.resync_from_host(transcript)
+        return out
     e = dt.get_and_append_challenges(b"query indices", params.num_queries)
     a0, _ = gf.ext_to_u64(e)
     return [int(x) % size for x in np.atleast_1d(a0)]
 
 
+@partial(jax.jit, static_argnames=("shift",))
+def _gather_pairs_shift_kernel(arr, idx0, shift: int):
+    """Gather pairs at pair indices (idx0 >> shift), idx0 device-resident.
+
+    Shifting on device (static shift) instead of host keeps the whole
+    query phase free of per-tree host→device index puts (~28 ms each
+    over the tunnel)."""
+    return _gather_pairs_body(arr, idx0 >> shift)
+
+
 @jax.jit
 def _gather_pairs_kernel(arr, take):
+    return _gather_pairs_body(arr, take)
+
+
+def _gather_pairs_body(arr, take):
     """Gather bit-reversed (lo, hi) element pairs — device, one dispatch."""
     if isinstance(arr, gf.GF2):
         lo = gf.GF2(
@@ -620,6 +648,16 @@ def _paths_entry(tree: MerkleTree, pair_idx: np.ndarray, q: int):
     return glue.NpGF(p)
 
 
+def _paths_entry_dev(tree: MerkleTree, idx0_dev, shift: int, q: int):
+    """Like _paths_entry, but from a device-resident index vector."""
+    from .. import glue
+
+    p = tree.paths_dev_from(idx0_dev, shift)
+    if p is None:
+        return np.empty((q, 0, 4), dtype=np.uint64)
+    return glue.NpGF(p)
+
+
 def _prover_queries_dev(
     comm: CommitmentWithWitness, trees: list[MerkleTree], indices: list[int]
 ):
@@ -627,15 +665,13 @@ def _prover_queries_dev(
     from .. import glue
 
     q = len(indices)
-    pair0 = np.asarray([i >> 1 for i in indices], dtype=np.int64)
-    lo0, hi0 = _gather_pairs_dev(comm.codeword, pair0)
-    entry0 = [lo0, hi0, _paths_entry(comm.tree, pair0, q)]
+    idx0 = jnp.asarray(np.asarray(indices, dtype=np.int32))
+    lo0, hi0 = _gather_pairs_shift_kernel(comm.codeword, idx0, 1)
+    entry0 = [lo0, hi0, _paths_entry_dev(comm.tree, idx0, 1, q)]
     per_tree = []
-    idx = pair0
-    for t in trees:
-        idx = idx >> 1
-        lo, hi = _gather_pairs_dev(t.leaves, idx)
-        per_tree.append([lo, hi, _paths_entry(t, idx, q)])
+    for t_i, t in enumerate(trees):
+        lo, hi = _gather_pairs_shift_kernel(t.leaves, idx0, t_i + 2)
+        per_tree.append([lo, hi, _paths_entry_dev(t, idx0, t_i + 2, q)])
     (lo0, hi0, paths0), per_tree_h = glue.materialize([entry0, per_tree])
     out = []
     for i in range(q):
@@ -671,7 +707,7 @@ def open_session(
     trees, msgs, roots_dev, fm_dev = _commit_phase_session(
         params, point, comm.bh_evals[0], comm.codeword, dt, num_vars, num_rounds
     )
-    indices = _sample_queries_session(params, dt, comm.codeword_size())
+    indices = _sample_queries_session(params, dt, comm.codeword_size(), transcript)
     queries = _prover_queries_dev(comm, trees, indices)
     return BasefoldProof(
         msgs, [glue.TupleGF(r) for r in roots_dev], fm_dev, indices, queries
@@ -924,21 +960,19 @@ def simple_batch_open_session(
     trees, msgs, roots_dev, fm_dev = _commit_phase_session(
         params, point, running_evals, running_oracle, dt, num_vars, num_rounds
     )
-    indices = _sample_queries_session(params, dt, comm.codeword_size())
+    indices = _sample_queries_session(params, dt, comm.codeword_size(), transcript)
 
     q = len(indices)
-    pair0 = np.asarray([i >> 1 for i in indices], dtype=np.int64)
+    idx0 = jnp.asarray(np.asarray(indices, dtype=np.int32))
     col_entries = []
     for i in range(k):
-        lo, hi = _gather_pairs_dev(comm.codeword[i], pair0)
+        lo, hi = _gather_pairs_shift_kernel(comm.codeword[i], idx0, 1)
         col_entries.append([lo, hi])
-    entry0 = _paths_entry(comm.tree, pair0, q)
+    entry0 = _paths_entry_dev(comm.tree, idx0, 1, q)
     per_tree = []
-    idx = pair0
-    for t in trees:
-        idx = idx >> 1
-        lo, hi = _gather_pairs_dev(t.leaves, idx)
-        per_tree.append([lo, hi, _paths_entry(t, idx, q)])
+    for t_i, t in enumerate(trees):
+        lo, hi = _gather_pairs_shift_kernel(t.leaves, idx0, t_i + 2)
+        per_tree.append([lo, hi, _paths_entry_dev(t, idx0, t_i + 2, q)])
     col_h, paths0, per_tree_h = glue.materialize([col_entries, entry0, per_tree])
     queries = []
     for qi in range(q):
@@ -1130,7 +1164,9 @@ def batch_open_session(
     from .. import glue
     from ..sumcheck.fused import prove_device
     from ..sumcheck import VirtualPolynomial
+    from ..utils import Metrics, stream_metrics
 
+    _m = Metrics("open_merge")
     num_vars = max(c.num_vars for c in comms)
     batch_size_log = max(1, (len(evals) - 1).bit_length()) if len(evals) > 1 else 0
     ts = dt.get_and_append_challenges(b"batch coeffs", batch_size_log)
@@ -1168,8 +1204,12 @@ def batch_open_session(
         i_eq = vp.add_mle(eq_full)
         i_m = vp.add_mle(m_full)
         vp.add_product((1, 0), [i_eq, i_m])
+    stream_metrics("open_merge_build", _m.to_span())
+    _m = Metrics("open_sumcheck")
     sc_out = prove_device(vp, dt)
     challenges = sc_out.proof.point  # GF2 (num_vars,)
+    stream_metrics("open_sumcheck", _m.to_span())
+    _m = Metrics("open_fold")
 
     # per-commitment RLC coefficients (verifier recomputes these)
     coeffs = [glue.zero() for _ in comms]
@@ -1207,24 +1247,32 @@ def batch_open_session(
         params, challenges, run_evals, oracle, dt, num_vars, num_rounds,
         oracle_merger=merger,
     )
-    indices = _sample_queries_session(params, dt, full_cw)
+    stream_metrics("open_fold", _m.to_span())
+    _m = Metrics("open_queries")
+    _ms = Metrics("open_q_sample")
+    indices = _sample_queries_session(params, dt, full_cw, transcript)
+    stream_metrics("open_q_sample", _ms.to_span())
+    _ms = Metrics("open_q_gather")
 
     # queries: per commitment pairs at shifted indices + fold-tree pairs —
-    # all gathered on device, ONE pull
+    # ONE index put, one jitted dispatch per gather/path set, ONE pull
     q = len(indices)
+    idx0 = jnp.asarray(np.asarray(indices, dtype=np.int32))
     comm_entries = []
     for comm in comms:
         shift = num_vars - comm.num_vars
-        pair_idx = np.asarray([(i >> shift) >> 1 for i in indices], dtype=np.int64)
-        lo, hi = _gather_pairs_dev(comm.codeword, pair_idx)
-        comm_entries.append([lo, hi, _paths_entry(comm.tree, pair_idx, q)])
+        lo, hi = _gather_pairs_shift_kernel(comm.codeword, idx0, shift + 1)
+        comm_entries.append(
+            [lo, hi, _paths_entry_dev(comm.tree, idx0, shift + 1, q)]
+        )
     per_tree = []
-    idx = np.asarray([i >> 1 for i in indices], dtype=np.int64)
-    for t in trees:
-        idx = idx >> 1
-        lo, hi = _gather_pairs_dev(t.leaves, idx)
-        per_tree.append([lo, hi, _paths_entry(t, idx, q)])
+    for t_i, t in enumerate(trees):
+        lo, hi = _gather_pairs_shift_kernel(t.leaves, idx0, t_i + 2)
+        per_tree.append([lo, hi, _paths_entry_dev(t, idx0, t_i + 2, q)])
+    stream_metrics(f"open_q_gather_c{len(comms)}_t{len(trees)}", _ms.to_span())
+    _ms = Metrics("open_q_pull")
     comm_h, per_tree_h = glue.materialize([comm_entries, per_tree])
+    stream_metrics("open_q_pull", _ms.to_span())
     queries = []
     for qi in range(q):
         queries.append(
@@ -1235,6 +1283,7 @@ def batch_open_session(
                 oracle_paths=[pt[2][qi] for pt in per_tree_h],
             )
         )
+    stream_metrics("open_queries", _m.to_span())
     return BasefoldProof(
         msgs, [glue.TupleGF(r) for r in roots_dev], fm_dev, indices, queries,
         batch_sumcheck=sc_out.proof,

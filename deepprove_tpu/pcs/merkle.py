@@ -87,6 +87,22 @@ def _leaf_digests_batch_base(leaves: gf.GF) -> gf.GF:
     return st2[:, :4][:, ::-1]
 
 
+@partial(jax.jit, static_argnames=("shift",))
+def _paths_from_idx_kernel(levels: tuple, idx0, shift: int) -> gf.GF:
+    """Sibling digests for pair indices (idx0 >> shift) across all levels
+    in ONE jitted dispatch. `levels` = tuple of GF (M, 4) digest planes
+    (the root level excluded)."""
+    idx = idx0 >> shift
+    outs = []
+    for lvl in levels:
+        sib = idx ^ 1
+        outs.append(
+            gf.GF(jnp.take(lvl.lo, sib, axis=0), jnp.take(lvl.hi, sib, axis=0))
+        )
+        idx = idx >> 1
+    return gf.stack(outs, axis=1)  # (Q, depth, 4)
+
+
 @dataclasses.dataclass
 class MerkleTree:
     """Levels of digests; levels[0] = leaf-pair digests, levels[-1] = root."""
@@ -121,20 +137,21 @@ class MerkleTree:
 
         Path level ℓ holds the sibling digest of the node on the way up;
         None when depth == 0."""
-        idx = np.asarray(pair_indices, dtype=np.int64)
-        per_level = []
-        for lvl in range(self.depth):
-            sib = jnp.asarray(idx ^ 1)
-            per_level.append(
-                gf.GF(
-                    jnp.take(self.levels[lvl].lo, sib, axis=0),
-                    jnp.take(self.levels[lvl].hi, sib, axis=0),
-                )
-            )
-            idx = idx >> 1
-        if not per_level:
+        if self.depth == 0:
             return None
-        return gf.stack(per_level, axis=1)  # (Q, depth, 4)
+        idx = jnp.asarray(np.asarray(pair_indices, dtype=np.int32))
+        return self.paths_dev_from(idx, 0)
+
+    def paths_dev_from(self, idx0_dev, shift: int) -> gf.GF | None:
+        """Paths for pair indices (idx0 >> shift) with idx0 ALREADY on
+        device — one fused dispatch for all levels, zero host puts.
+
+        Eager per-level takes cost ~5 ms each over a tunneled device and a
+        put per tree; at 200 queries × ~30 trees that was ~4.5 s of the
+        dim-2048 prove (the round-2 `open_queries` profile)."""
+        if self.depth == 0:
+            return None
+        return _paths_from_idx_kernel(tuple(self.levels[:-1]), idx0_dev, shift)
 
     def paths(self, pair_indices: np.ndarray) -> np.ndarray:
         """Host (Q, depth, 4) uint64 paths — ONE pull."""
