@@ -1,0 +1,59 @@
+"""Central runtime configuration (the reference scatters equivalents over
+env vars + clap flags; zkml/src/quantization/mod.rs:20 reads ZKML_BIT_LEN
+the same way — kept name-compatible).
+
+Every knob is an environment variable read lazily at use time (not
+import time), so tests can monkeypatch and A/B runs can flip paths
+without re-importing. This module is the single documented inventory.
+
+| Variable          | Default        | Effect |
+|-------------------|----------------|--------|
+| ZKML_BIT_LEN      | 8              | quantization bit width (range [-(2^(b-1)-1), 2^(b-1)-1]) — read once at import of zkml.quantization, matching the reference's static |
+| ZKML_FUSE         | auto           | 1/0 force mega-fused device kernels on/off; default = on for non-CPU backends (dispatch latency dominates over a tunneled TPU), off on CPU (XLA CPU compiles each fused module in ~minutes) |
+| ZKML_SYNC_PROFILE | off            | 1 = block on the device queue at each metrics span so async dispatch time is charged to the phase that enqueued it |
+| ZKML_CAPTURE      | off            | directory for per-layer quantized-output hash capture (quantization regression CI, reference capture.rs:35) |
+| TIMED_OUTPUT      | off            | CSV path for metrics spans (reference bench CSV analogue) |
+| ZKML_RUN_FUSE_TESTS | off          | opt-in: run the fused-vs-per-op transcript-identity tests (slow XLA CPU compiles) |
+| BENCH_MODEL/BENCH_DIM/BENCH_SEQ | dense/2048/64 | bench.py workload selection |
+"""
+
+import os
+
+import jax
+
+
+def bool_flag(name: str, default: bool = False) -> bool:
+    """'1'/'true' → True, '0'/'false'/'' → False, unset → default."""
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() not in ("", "0", "false", "no")
+
+
+def fuse_kernels() -> bool:
+    """Mega-fused device kernels (one dispatch per proof phase).
+
+    On a tunneled TPU each kernel execution costs ~5-10 ms of latency, so
+    fusing entire proof phases into one dispatch wins big; on CPU (tests)
+    the same modules take minutes of XLA compile (~linear in inlined
+    Poseidon instances) for zero benefit. ZKML_FUSE=1/0 overrides for
+    A/B runs; default = backend-based.
+    """
+    v = os.environ.get("ZKML_FUSE")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def sync_profile() -> bool:
+    return bool_flag("ZKML_SYNC_PROFILE")
+
+
+def capture_dir() -> str | None:
+    return os.environ.get("ZKML_CAPTURE") or None
+
+
+def timed_output() -> str | None:
+    return os.environ.get("TIMED_OUTPUT") or None

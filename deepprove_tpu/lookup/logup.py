@@ -24,12 +24,13 @@ import dataclasses
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..fields import gf, host
 from ..poly import mle as mle_mod
 from ..sumcheck import VirtualPolynomial, prove as sumcheck_prove, verify as sumcheck_verify
-from ..transcript import BasicTranscript
+from ..transcript import BasicTranscript, device as devt
 
 ExtPair = tuple[int, int]
 
@@ -313,15 +314,185 @@ def _level_coeffs_kernel(alpha, lam, kinds: tuple, pn_pad: int) -> gf.GF2:
     return gf.ext_stack(out)
 
 
+@partial(
+    jax.jit, static_argnames=("num_instances", "k", "is_table", "total_layers")
+)
+def _batch_prove_kernel(
+    columns: tuple, mult, const_c, sep_c, t_state,
+    num_instances: int, k: int, is_table: bool, total_layers: int,
+):
+    """The ENTIRE logup batch_prove as ONE kernel: fraction-tree build,
+    every GKR level sumcheck (inlined `_fused_kernel` with on-device FS),
+    inter-level claim algebra, and the final batched base-MLE evaluation.
+
+    Rationale: a logup proof is ~10 levels × ~8 small dispatches; over a
+    tunneled TPU each kernel execution costs ~5-10 ms of latency, so the
+    per-level path spent ~2.7 s on a 2^11 Requant (BENCH r2 sync profile)
+    for microseconds of actual math. One dispatch removes all of it.
+    Transcript-bit-identical to the per-level path (same op sequence).
+
+    columns: tuple of GF (L,) base columns (I·k of them); mult: GF (L,)
+    multiplicities for table circuits, None otherwise.
+    """
+    from ..sumcheck.fused import _fused_kernel, _pick_bucket
+    from ..transcript.session import _label_chunks
+
+    def obs_const(ts, v: int):
+        return devt.observe_u64_constant(ts, int(v) % host.P)
+
+    def challenge(ts, label: bytes):
+        for c in _label_chunks(label):
+            ts = devt.observe_u64_constant(ts, c)
+        return devt.sample_ext(ts)
+
+    one = gf.ext_ones(())
+
+    circuits = []
+    for i in range(num_instances):
+        den = merge_columns(
+            tuple(columns[i * k : (i + 1) * k]), const_c, sep_c, k
+        )
+        if is_table:
+            nums, dens = _table_tree(gf.ext_from_base(mult), den)
+            circuits.append(_Circuit(nums, dens, initial_lookup=False))
+        else:
+            nums, dens = _lookup_tree(den)
+            circuits.append(_Circuit(nums, dens, initial_lookup=True))
+    out_ext = gf.ext_concatenate(
+        [gf.ext_concatenate([c.nums[-1], c.dens[-1]]) for c in circuits]
+    )
+
+    ts = obs_const(t_state, num_instances)
+    for i in range(4 * num_instances):
+        ts = devt.observe_ext(ts, mle_mod._pt_at(out_ext, i))
+    ts, bc = challenge(ts, b"initial_batching")
+    ts, alpha = challenge(ts, b"initial_alpha")
+    ts, lam = challenge(ts, b"initial_lambda")
+
+    claim = _initial_claim_kernel(out_ext, bc, alpha, lam, num_instances)
+    point = bc.reshape((1,))
+    msgs_all, chals_all, evals_all = [], [], []
+
+    for level in range(1, total_layers + 1):
+        ts = devt.observe_ext(ts, claim)
+        ts = obs_const(ts, level)
+        ts = obs_const(ts, 3)
+        eq = mle_mod._eq_table_kernel(point, one, level)
+        rows = [eq]
+        kinds: list[str] = []
+        prods: list[list[int]] = []
+        for c in circuits:
+            kind, mles = c.level_mles(level)
+            kinds.append(kind)
+            base = len(rows)
+            if kind == "generic":
+                # vp order [n_lo, d_hi, n_hi, d_lo] (matches the per-level
+                # path's add_mle sequence — claim algebra depends on it)
+                rows += [mles[0], mles[3], mles[1], mles[2]]
+                prods += [
+                    [0, base, base + 1],
+                    [0, base + 2, base + 3],
+                    [0, base + 3, base + 1],
+                ]
+            else:
+                rows += [mles[1], mles[0]]  # [d_hi, d_lo]
+                prods += [[0, base], [0, base + 1], [0, base + 1, base]]
+        m = len(rows) + 1  # constant-ones pad row
+        width = 1 << level
+        stacked = gf.ext_stack(rows + [gf.ext_ones((width,))], axis=0)
+        pn = len(prods)
+        idx = np.full((pn, 3), m - 1, dtype=np.int32)
+        for pi, fs in enumerate(prods):
+            idx[pi, : len(fs)] = fs
+        coeffs = _level_coeffs_kernel(alpha, lam, tuple(kinds), pn)
+        n_bucket = _pick_bucket(level) or level
+        if (1 << n_bucket) > width:
+            stacked = gf.ext_concatenate(
+                [stacked, gf.ext_zeros((m, (1 << n_bucket) - width))], axis=1
+            )
+        msgs, chals, finals, ts = _fused_kernel(
+            stacked, coeffs, jnp.asarray(idx), ts, jnp.int32(level),
+            n_points=4, degree=3, n_bucket=n_bucket, m_pad=m, pn_pad=pn,
+        )
+        msgs, chals = msgs[:level], chals[:level]
+        evals = finals[1 : len(rows)]
+
+        ts, bc = challenge(ts, b"logup_batching")
+        ts, alpha_next = challenge(ts, b"logup_alpha")
+        ts, lam_next = challenge(ts, b"logup_lambda")
+        point = gf.ext_concatenate([chals, bc.reshape((1,))])
+        if level != total_layers or is_table:
+            claim = _next_claim_kernel(evals, bc, alpha_next, lam_next, num_instances)
+        else:
+            claim = _final_lookup_claim_kernel(evals, bc, alpha_next, num_instances)
+        alpha, lam = alpha_next, lam_next
+        msgs_all.append(msgs)
+        chals_all.append(chals)
+        evals_all.append(evals)
+
+    base = ([gf.ext_from_base(mult)] if is_table else []) + [
+        gf.ext_from_base(c) for c in columns
+    ]
+    base_evals = _batch_eval_kernel(
+        gf.ext_stack(base, axis=0), point, total_layers + 1
+    )
+    return (
+        ts, out_ext, tuple(msgs_all), tuple(chals_all), tuple(evals_all),
+        point, base_evals,
+    )
+
+
 def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
     """batch_prove against a DeviceTranscript: zero host synchronization.
 
-    All level sumchecks, claim algebra and FS run as async device
-    dispatches; the returned LogUpProof holds device arrays (lower with
-    glue.materialize). Transcript-bit-identical to batch_prove.
+    Equal-size instances (the universal case) run the fully-fused
+    `_batch_prove_kernel` — ONE device dispatch for the whole proof;
+    otherwise the per-level path below. Transcript-bit-identical either
+    way (asserted by transcript-identity tests).
     """
     from .. import glue
     from ..sumcheck.fused import prove_device
+    from ..sumcheck.prover import SumcheckProof
+
+    from ..config import fuse_kernels
+
+    sizes = {int(c.shape[0]) for c in inp.column_evals}
+    # the mega-fused kernel trades XLA module size for dispatch count: on
+    # a tunneled TPU each kernel execution costs ~5-10 ms of latency, so
+    # one dispatch wins big; on CPU (tests) the same module takes minutes
+    # of XLA compile (~linear in inlined Poseidon instances) for zero
+    # benefit — gate by backend (ZKML_FUSE=1/0 overrides, config.py).
+    if fuse_kernels() and len(sizes) == 1 and next(iter(sizes)) >= 4:
+        L = next(iter(sizes))
+        total_layers = L.bit_length() - 2
+        num_instances = inp.num_instances
+        (
+            dt.state, out_ext, msgs_all, chals_all, evals_all, point, base_evals,
+        ) = _batch_prove_kernel(
+            tuple(inp.column_evals),
+            inp.multiplicities if inp.is_table else None,
+            _ext_scalar(inp.constant_challenge),
+            _ext_scalar(inp.column_separation_challenge),
+            dt.state,
+            num_instances=num_instances,
+            k=inp.columns_per_instance,
+            is_table=inp.is_table,
+            total_layers=total_layers,
+        )
+        output_claims = [
+            glue.DevClaim(point=point, eval=glue.at(base_evals, i))
+            for i in range(len(inp.base_mles()))
+        ]
+        return LogUpProof(
+            sumcheck_proofs=[
+                SumcheckProof(point=c, round_messages=m)
+                for m, c in zip(msgs_all, chals_all)
+            ],
+            round_evaluations=list(evals_all),
+            output_claims=output_claims,
+            circuit_outputs=out_ext.reshape(num_instances, 4),
+            is_table=inp.is_table,
+        )
 
     circuits = make_circuits(inp)
     num_instances = len(circuits)

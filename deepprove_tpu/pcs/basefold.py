@@ -480,6 +480,47 @@ def _commit_phase_session(
     msgs_dev = []
     roots_dev = []
     oracle = codeword
+
+    from ..config import fuse_kernels
+
+    fuse = fuse_kernels()
+    # fused: ONE kernel per fold round (absorb+sample+fold+whole tree+root
+    # absorb) — the per-op path is ~25 dispatches/round (~5-10 ms each
+    # over a tunneled TPU, ~1.9 s of the dim-2048 prove). On CPU (tests)
+    # the fused modules take minutes of XLA compile; keep per-op there.
+    if fuse:
+        for i in range(num_rounds):
+            msgs_dev.append(msg_dev)
+            if i == num_rounds - 1:
+                t_state, fm_dev = _final_round_kernel(
+                    t_state, msg_dev, running_evals
+                )
+                break
+            if oracle_merger is not None and i > 0:
+                # the merger must see the pre-fold oracle after r is
+                # sampled: sample → merge → fused fold+tree tail
+                t_state, r_dev = _absorb_msg_and_sample(t_state, msg_dev)
+                oracle = oracle_merger(i, oracle)
+                level = (oracle.shape[0].bit_length() - 1) - 1
+                x0, w = params.fold_coeffs_device(level)
+                t_state, oracle, eq, running_evals, msg_dev, levels = (
+                    _fold_tree_tail_kernel(
+                        t_state, oracle, eq, running_evals, r_dev, x0, w
+                    )
+                )
+            else:
+                level = (oracle.shape[0].bit_length() - 1) - 1
+                x0, w = params.fold_coeffs_device(level)
+                t_state, oracle, eq, running_evals, msg_dev, levels = (
+                    _fold_tree_round_kernel(
+                        t_state, msg_dev, oracle, eq, running_evals, x0, w
+                    )
+                )
+            trees.append(MerkleTree(leaves=oracle, levels=list(levels)))
+            roots_dev.append(levels[-1][0])
+        dt.state = t_state
+        return trees, msgs_dev, roots_dev, fm_dev
+
     pending_tree = None
     for i in range(num_rounds):
         msgs_dev.append(msg_dev)
@@ -520,6 +561,89 @@ _COMMIT_LABEL_CHUNKS = [
     int.from_bytes(b"commit r", "little"),
     int.from_bytes(b"ound\x00\x00\x00\x00", "little"),
 ]
+
+
+@jax.jit
+def _fold_tree_round_kernel(t_state, msg, oracle, eq, evals, x0, w):
+    """One full commit-phase round in ONE dispatch: absorb the round
+    message + sample r, FRI-fold the oracle, fold eq/evals, derive the
+    next sumcheck message, build the ENTIRE Merkle tree over the folded
+    oracle and absorb its root.
+
+    The eager per-op path cost ~12 gf dispatches + ~20 per-level tree
+    dispatches per round over the tunnel (~1.9 s of the dim-2048 warm
+    prove, BENCH r2 sync profile)."""
+    from ..transcript import device as devt
+    from .merkle import tree_levels
+
+    def absorb_msg(ts, i):
+        m = gf.GF2(
+            gf.GF(msg.a0.lo[i], msg.a0.hi[i]), gf.GF(msg.a1.lo[i], msg.a1.hi[i])
+        )
+        return devt.observe_ext(ts, m)
+
+    for i in range(3):
+        t_state = absorb_msg(t_state, i)
+    for chunk in _COMMIT_LABEL_CHUNKS:
+        t_state = devt.observe_u64_constant(t_state, chunk)
+    t_state, r = devt.sample_ext(t_state)
+
+    new_oracle = _fri_fold(oracle, r, x0, w)
+    eq2 = _fold_pair_linear(eq, r)
+    ev2 = _fold_pair_linear(evals, r)
+    next_msg = _sumcheck_first_round(eq2, ev2)
+    levels = tree_levels(new_oracle)
+    root = levels[-1][0]
+    for i in range(4):
+        t_state = devt.observe(t_state, gf.GF(root.lo[i], root.hi[i]))
+    return t_state, new_oracle, eq2, ev2, next_msg, levels
+
+
+@jax.jit
+def _fold_tree_tail_kernel(t_state, oracle, eq, evals, r, x0, w):
+    """The fold+tree tail of a round whose challenge was sampled outside
+    (batch-open merger rounds): fold, next message, tree, root absorb."""
+    from ..transcript import device as devt
+    from .merkle import tree_levels
+
+    new_oracle = _fri_fold(oracle, r, x0, w)
+    eq2 = _fold_pair_linear(eq, r)
+    ev2 = _fold_pair_linear(evals, r)
+    next_msg = _sumcheck_first_round(eq2, ev2)
+    levels = tree_levels(new_oracle)
+    root = levels[-1][0]
+    for i in range(4):
+        t_state = devt.observe(t_state, gf.GF(root.lo[i], root.hi[i]))
+    return t_state, new_oracle, eq2, ev2, next_msg, levels
+
+
+@jax.jit
+def _final_round_kernel(t_state, msg, evals):
+    """Last commit round in ONE dispatch: absorb msg + sample, fold the
+    running evals, bit-reverse to the final message and absorb it.
+    (The last oracle fold is skipped — the final message replaces it.)"""
+    from ..transcript import device as devt
+
+    for i in range(3):
+        m = gf.GF2(
+            gf.GF(msg.a0.lo[i], msg.a0.hi[i]), gf.GF(msg.a1.lo[i], msg.a1.hi[i])
+        )
+        t_state = devt.observe_ext(t_state, m)
+    for chunk in _COMMIT_LABEL_CHUNKS:
+        t_state = devt.observe_u64_constant(t_state, chunk)
+    t_state, r = devt.sample_ext(t_state)
+
+    ev2 = _fold_pair_linear(evals, r)
+    k = ev2.shape[0].bit_length() - 1
+    fm = ntt.bit_reverse(ev2, k) if k > 0 else ev2
+    fm_dev = mle_mod.to_ext(fm) if not isinstance(fm, gf.GF2) else fm
+    for i in range(fm_dev.shape[0]):
+        e = gf.GF2(
+            gf.GF(fm_dev.a0.lo[i], fm_dev.a0.hi[i]),
+            gf.GF(fm_dev.a1.lo[i], fm_dev.a1.hi[i]),
+        )
+        t_state = devt.observe_ext(t_state, e)
+    return t_state, fm_dev
 
 
 @jax.jit

@@ -103,6 +103,36 @@ def _paths_from_idx_kernel(levels: tuple, idx0, shift: int) -> gf.GF:
     return gf.stack(outs, axis=1)  # (Q, depth, 4)
 
 
+def tree_levels(leaves) -> tuple:
+    """All digest levels of a tree — callable inside a jit trace.
+
+    Shapes are static under trace, so the halving loop unrolls; the whole
+    tree (leaf digests + every compress level) lowers into the enclosing
+    computation instead of one dispatch per level (~5 ms each over a
+    tunneled device; a 2^22 tree has 21 levels)."""
+    if isinstance(leaves, gf.GF2):
+        lvl = _leaf_digests_ext(leaves)
+    elif leaves.ndim == 2:
+        lvl = _leaf_digests_batch_base(leaves)
+    else:
+        lvl = _leaf_digests_base(leaves)
+    levels = [lvl]
+    while levels[-1].shape[0] > 1:
+        levels.append(_compress_level(levels[-1]))
+    return tuple(levels)
+
+
+_tree_kernel = jax.jit(tree_levels)
+
+
+def _fuse() -> bool:
+    """Mega-fused kernels on TPU (dispatch latency dominates); per-op on
+    CPU (XLA CPU compile of permute-heavy modules takes minutes)."""
+    from ..config import fuse_kernels
+
+    return fuse_kernels()
+
+
 @dataclasses.dataclass
 class MerkleTree:
     """Levels of digests; levels[0] = leaf-pair digests, levels[-1] = root."""
@@ -112,6 +142,8 @@ class MerkleTree:
 
     @staticmethod
     def from_leaves(leaves) -> "MerkleTree":
+        if _fuse():
+            return MerkleTree(leaves=leaves, levels=list(_tree_kernel(leaves)))
         if isinstance(leaves, gf.GF2):
             lvl = _leaf_digests_ext(leaves)
         elif leaves.ndim == 2:

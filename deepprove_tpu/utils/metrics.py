@@ -34,6 +34,15 @@ class Metrics:
         self.rss0 = _rss_mb()
 
     def to_span(self) -> MetricsSpan:
+        from ..config import sync_profile
+
+        if sync_profile():
+            # drain the device queue so async dispatch time is charged to
+            # the phase that enqueued it (TPU executes in launch order; a
+            # fresh trivial computation completes only after prior work)
+            import jax.numpy as jnp
+
+            jnp.zeros(()).block_until_ready()
         return MetricsSpan(
             name=self.name, wall_s=time.time() - self.t0, rss_mb=_rss_mb()
         )
@@ -44,7 +53,9 @@ _CSV_HEADER_WRITTEN: set[str] = set()
 
 def stream_metrics(phase: str, span: MetricsSpan, path: str | None = None):
     """Append a CSV row (phase, wall_ms, rss_mb) to $TIMED_OUTPUT."""
-    path = path or os.environ.get("TIMED_OUTPUT")
+    from ..config import timed_output
+
+    path = path or timed_output()
     if not path:
         return
     new = path not in _CSV_HEADER_WRITTEN and not os.path.exists(path)

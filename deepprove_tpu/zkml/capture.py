@@ -36,7 +36,9 @@ def capture_trace(model, trace) -> dict:
 
 def capture_to_dir(model, trace, tag: str, directory: str | None = None) -> str | None:
     """Write the capture JSON when ZKML_CAPTURE (or `directory`) is set."""
-    directory = directory or os.environ.get("ZKML_CAPTURE")
+    from ..config import capture_dir
+
+    directory = directory or capture_dir()
     if not directory:
         return None
     os.makedirs(directory, exist_ok=True)

@@ -1,0 +1,127 @@
+"""Mega-fused kernels (ZKML_FUSE=1) must be transcript-bit-identical to
+the per-op device paths they replace.
+
+The fused paths — `logup._batch_prove_kernel` (whole logup-GKR proof in
+one dispatch) and basefold's `_fold_tree_round_kernel` family (one
+dispatch per commit-phase round) — are selected by backend on TPU and
+skipped on CPU; these tests force them on with ZKML_FUSE=1 at tiny sizes
+and assert bit-identity against the per-op path (and host verification
+of the fused proofs). Guards the same invariant as the reference's
+fixed transcript layout (transcript/src/basic.rs append order).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.fields import gf, host
+
+# XLA CPU takes ~5 min to compile EACH mega-fused module (measured: 285 s
+# for a 2^3 logup) — far too slow for the default suite. Opt in with
+# ZKML_RUN_FUSE_TESTS=1 (CI-style full validation); on TPU the bench's
+# host-side verification independently enforces the same bit-identity
+# every run (a fused-FS drift would fail verify()).
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("ZKML_RUN_FUSE_TESTS"),
+    reason="fused-kernel CPU compiles take ~5 min each; set ZKML_RUN_FUSE_TESTS=1",
+)
+from deepprove_tpu.lookup import logup
+from deepprove_tpu.pcs import basefold
+from deepprove_tpu.poly import mle
+from deepprove_tpu.transcript import BasicTranscript
+
+P = host.P
+
+
+def rand_ext(rng):
+    return (
+        int(rng.integers(0, P, dtype=np.uint64)),
+        int(rng.integers(0, P, dtype=np.uint64)),
+    )
+
+
+def _logup_prove(inp, fuse, monkeypatch):
+    monkeypatch.setenv("ZKML_FUSE", "1" if fuse else "0")
+    t = BasicTranscript(b"fuse")
+    proof = logup.batch_prove(inp, t)  # materialized: host pairs throughout
+    return proof, t.read_challenge()
+
+
+def _assert_logup_equal(pa, pb):
+    assert pa.circuit_outputs == pb.circuit_outputs
+    assert len(pa.sumcheck_proofs) == len(pb.sumcheck_proofs)
+    for sa, sb in zip(pa.sumcheck_proofs, pb.sumcheck_proofs):
+        assert sa.round_messages == sb.round_messages
+        assert sa.point == sb.point
+    assert pa.round_evaluations == pb.round_evaluations
+    for ca, cb in zip(pa.output_claims, pb.output_claims):
+        assert ca.eval == cb.eval
+        assert ca.point == cb.point
+
+
+def test_fused_logup_lookup_identity(rng, monkeypatch):
+    cols = [
+        gf.from_u64(rng.integers(0, 1 << 8, size=1 << 4, dtype=np.uint64))
+        for _ in range(4)
+    ]
+    inp = logup.LogUpInput.new_lookup(cols, rand_ext(rng), rand_ext(rng), 2)
+    p0, c0 = _logup_prove(inp, False, monkeypatch)
+    p1, c1 = _logup_prove(inp, True, monkeypatch)
+    assert c0 == c1  # post-prove FS state identical
+    _assert_logup_equal(p0, p1)
+    # and the fused proof verifies on the (host) verifier
+    monkeypatch.setenv("ZKML_FUSE", "0")
+    logup.verify_logup_proof(
+        p1,
+        inp.num_instances,
+        inp.constant_challenge,
+        inp.column_separation_challenge,
+        BasicTranscript(b"fuse"),
+    )
+
+
+def test_fused_logup_table_identity(rng, monkeypatch):
+    n = 4
+    cols = [
+        gf.from_u64(rng.integers(0, 1 << 8, size=1 << n, dtype=np.uint64))
+        for _ in range(2)
+    ]
+    mult = gf.from_u64(rng.integers(0, 5, size=1 << n, dtype=np.uint64))
+    inp = logup.LogUpInput.new_table(cols, mult, rand_ext(rng), rand_ext(rng))
+    p0, c0 = _logup_prove(inp, False, monkeypatch)
+    p1, c1 = _logup_prove(inp, True, monkeypatch)
+    assert c0 == c1
+    _assert_logup_equal(p0, p1)
+
+
+def _basefold_open(params, comm, point, fuse, monkeypatch):
+    monkeypatch.setenv("ZKML_FUSE", "1" if fuse else "0")
+    t = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t)
+    proof = basefold.open(params, comm, point, t)
+    return proof, t.read_challenge()
+
+
+def test_fused_basefold_open_identity(rng, monkeypatch):
+    n = 6
+    params = basefold.setup(n, num_queries=9, basecode_msg_size_log=2)
+    evals = gf.from_u64(rng.integers(0, P, size=1 << n, dtype=np.uint64))
+    monkeypatch.setenv("ZKML_FUSE", "0")
+    comm0 = basefold.commit(params, evals)
+    monkeypatch.setenv("ZKML_FUSE", "1")
+    comm1 = basefold.commit(params, evals)
+    assert comm0.commitment.root == comm1.commitment.root
+
+    point = [rand_ext(rng) for _ in range(n)]
+    p0, c0 = _basefold_open(params, comm0, point, False, monkeypatch)
+    p1, c1 = _basefold_open(params, comm1, point, True, monkeypatch)
+    assert c0 == c1  # identical absorbs: roots, round msgs, final message
+
+    # fused proof verifies on the per-op verifier
+    monkeypatch.setenv("ZKML_FUSE", "0")
+    ev = mle.evaluate(evals, [basefold._ext_scalar(p) for p in point])
+    eval_pair = basefold._pairs_host(ev.reshape((1,)))[0]
+    t_v = BasicTranscript(b"bf")
+    basefold.write_commitment(comm1.commitment, t_v)
+    basefold.verify(params, comm1.commitment, point, eval_pair, p1, t_v)
