@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# prove/verify ms: reference README.md:17-18 (Dense-4M 2335/520, CNN-264k
+# 1242/599); the full CSV schema (setup/inference/proving/verify ms,
+# proof KB) follows zkml/README.md:144-152.
 BASELINES_MS = {"dense": 2335.0, "cnn": 1242.0}
+VERIFY_BASELINES_MS = {"dense": 520.0, "cnn": 599.0}
 
 
 def _timed_warm(prove):
@@ -33,6 +37,12 @@ def _timed_warm(prove):
     t0 = time.time()
     proof = prove()
     return time.time() - t0, proof
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
 
 
 def bench_dense():
@@ -66,19 +76,23 @@ def bench_dense():
     model.add_chain(Relu())
 
     x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64))
-    trace = model.run([x])
-    ctx = Context.generate(model, num_queries=200, basecode_msg_size_log=4)
+    infer_s, trace = _timed(lambda: model.run([x]))
+    setup_s, ctx = _timed(
+        lambda: Context.generate(model, num_queries=200, basecode_msg_size_log=4)
+    )
 
     prove_s, proof = _timed_warm(
         lambda: Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
     )
-    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+    verify_s, _ = _timed(
+        lambda: verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+    )
 
     params = dim * dim + dim
     extrapolated_4m_ms = prove_s * 1000.0 * (4_000_000 / params)
     return f"mlp_{dim}x{dim}_prove_ms", prove_s * 1000.0, BASELINES_MS[
         "dense"
-    ] / extrapolated_4m_ms
+    ] / extrapolated_4m_ms, _extras(setup_s, infer_s, verify_s, proof, "dense")
 
 
 def bench_cnn():
@@ -95,16 +109,20 @@ def bench_cnn():
     xs = [rng.uniform(-1, 1, size=m.input_shape) for _ in range(2)]
     q, s_in, _ = quantize(m, "inference", xs)
     x = Tensor(s_in.quantize(xs[0]).astype(np.int64))
-    trace = q.run([x])
-    ctx = Context.generate(q, num_queries=200, basecode_msg_size_log=4)
+    infer_s, trace = _timed(lambda: q.run([x]))
+    setup_s, ctx = _timed(
+        lambda: Context.generate(q, num_queries=200, basecode_msg_size_log=4)
+    )
 
     prove_s, proof = _timed_warm(
         lambda: Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
     )
-    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+    verify_s, _ = _timed(
+        lambda: verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+    )
     return "cnn_cifar_264k_prove_ms", prove_s * 1000.0, BASELINES_MS["cnn"] / (
         prove_s * 1000.0
-    )
+    ), _extras(setup_s, infer_s, verify_s, proof, "cnn")
 
 
 def bench_gpt2():
@@ -126,9 +144,33 @@ def bench_gpt2():
         assert st.proof is not None
         return st.proof
 
-    prove_s, _ = _timed_warm(prove)
+    prove_s, proof = _timed_warm(prove)
     # no public reference number for GPT-2 proving; vs_baseline omitted (0)
-    return f"gpt2_124m_seq{seq}_step_prove_ms", prove_s * 1000.0, 0.0
+    return f"gpt2_124m_seq{seq}_step_prove_ms", prove_s * 1000.0, 0.0, _extras(
+        0.0, 0.0, 0.0, proof, None
+    )
+
+
+def _extras(setup_s, infer_s, verify_s, proof, mode):
+    """The reference's full per-run CSV schema (zkml/README.md:144-152:
+    setup/inference/proving/verify ms + proof KB) as extra JSON keys."""
+    from deepprove_tpu.utils import proof_size_bytes
+
+    try:
+        proof_kb = proof_size_bytes(proof) / 1024.0
+    except Exception:
+        proof_kb = 0.0
+    out = {
+        "setup_ms": round(setup_s * 1000.0, 2),
+        "inference_ms": round(infer_s * 1000.0, 2),
+        "verify_ms": round(verify_s * 1000.0, 2),
+        "proof_kb": round(proof_kb, 1),
+    }
+    if mode in VERIFY_BASELINES_MS and verify_s > 0:
+        out["verify_vs_baseline"] = round(
+            VERIFY_BASELINES_MS[mode] / (verify_s * 1000.0), 4
+        )
+    return out
 
 
 def main():
@@ -139,19 +181,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     mode = os.environ.get("BENCH_MODEL", "dense")
-    metric, prove_ms, vs = {"dense": bench_dense, "cnn": bench_cnn, "gpt2": bench_gpt2}[
-        mode
-    ]()
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(prove_ms, 2),
-                "unit": "ms",
-                "vs_baseline": round(vs, 4),
-            }
-        )
-    )
+    metric, prove_ms, vs, extras = {
+        "dense": bench_dense, "cnn": bench_cnn, "gpt2": bench_gpt2
+    }[mode]()
+    line = {
+        "metric": metric,
+        "value": round(prove_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(vs, 4),
+    }
+    line.update(extras)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
