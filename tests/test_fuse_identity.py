@@ -125,3 +125,51 @@ def test_fused_basefold_open_identity(rng, monkeypatch):
     t_v = BasicTranscript(b"bf")
     basefold.write_commitment(comm1.commitment, t_v)
     basefold.verify(params, comm1.commitment, point, eval_pair, p1, t_v)
+
+
+def _batch_open(params, polys, comms, points, evals, fuse, monkeypatch):
+    monkeypatch.setenv("ZKML_FUSE", "1" if fuse else "0")
+    t = BasicTranscript(b"bo")
+    for c in comms:
+        basefold.write_commitment(c.commitment, t)
+    proof = basefold.batch_open(params, polys, comms, points, evals, t)
+    return proof, t.read_challenge()
+
+
+def test_fused_basefold_batch_open_identity(rng, monkeypatch):
+    """Multi-size batch open exercises the merger rounds, i.e. the
+    sampled-outside `_fold_tree_tail_kernel` fused path."""
+    params = basefold.setup(6, num_queries=9, basecode_msg_size_log=2)
+    n_big, n_small = 6, 5
+    polys = [
+        gf.from_u64(rng.integers(0, P, size=1 << n_big, dtype=np.uint64)),
+        gf.from_u64(rng.integers(0, P, size=1 << n_small, dtype=np.uint64)),
+    ]
+    monkeypatch.setenv("ZKML_FUSE", "0")
+    comms = basefold.batch_commit(params, polys)
+    points = [
+        [rand_ext(rng) for _ in range(n_big)],
+        [rand_ext(rng) for _ in range(n_small)],
+    ]
+    evals = []
+    for poly_i, pt_i in [(0, 0), (1, 1)]:
+        ev = mle.evaluate(
+            polys[poly_i], [basefold._ext_scalar(p) for p in points[pt_i]]
+        )
+        evals.append(
+            basefold.BatchEvaluation(
+                poly=poly_i, point=pt_i,
+                value=basefold._pairs_host(ev.reshape((1,)))[0],
+            )
+        )
+    p0, c0 = _batch_open(params, polys, comms, points, evals, False, monkeypatch)
+    p1, c1 = _batch_open(params, polys, comms, points, evals, True, monkeypatch)
+    assert c0 == c1  # identical FS state after the whole batch open
+
+    # fused proof verifies on the per-op verifier
+    monkeypatch.setenv("ZKML_FUSE", "0")
+    cms = [c.commitment for c in comms]
+    t_v = BasicTranscript(b"bo")
+    for c in cms:
+        basefold.write_commitment(c, t_v)
+    basefold.batch_verify(params, cms, points, evals, p1, t_v)
