@@ -9,7 +9,7 @@ without re-importing. This module is the single documented inventory.
 | Variable          | Default        | Effect |
 |-------------------|----------------|--------|
 | ZKML_BIT_LEN      | 8              | quantization bit width (range [-(2^(b-1)-1), 2^(b-1)-1]) — read once at import of zkml.quantization, matching the reference's static |
-| ZKML_FUSE         | auto           | 1/0 force mega-fused device kernels on/off; default = on for non-CPU backends (dispatch latency dominates over a tunneled TPU), off on CPU (XLA CPU compiles each fused module in ~minutes) |
+| ZKML_FUSE         | 0              | 1 re-enables the mega-fused device kernels (one dispatch per proof phase). Off by default: measured dispatch cost is ~0.04 ms while the fused modules take XLA tens of minutes to compile cold at Dense-4M sizes |
 | ZKML_SYNC_PROFILE | off            | 1 = block on the device queue at each metrics span so async dispatch time is charged to the phase that enqueued it |
 | ZKML_CAPTURE      | off            | directory for per-layer quantized-output hash capture (quantization regression CI, reference capture.rs:35) |
 | TIMED_OUTPUT      | off            | CSV path for metrics spans (reference bench CSV analogue) |
@@ -33,18 +33,20 @@ def bool_flag(name: str, default: bool = False) -> bool:
 def fuse_kernels() -> bool:
     """Mega-fused device kernels (one dispatch per proof phase).
 
-    On a tunneled TPU each kernel execution costs ~5-10 ms of latency, so
-    fusing entire proof phases into one dispatch wins big; on CPU (tests)
-    the same modules take minutes of XLA compile (~linear in inlined
-    Poseidon instances) for zero benefit. ZKML_FUSE=1/0 overrides for
-    A/B runs; default = backend-based.
+    DEFAULT OFF. Measured on the current tunneled TPU (round 3): async
+    dispatch ≈ 0.04 ms and chained kernels pipeline freely, so per-op
+    dispatch overhead is negligible — while the mega-fused modules
+    (whole logup proofs, whole commit rounds with inlined Merkle trees)
+    took XLA 15-30 **minutes** each to compile at Dense-4M sizes, which
+    is what timed out the round-2 cold-start bench. The per-op path
+    compiles small shape-bucketed kernels in seconds and is transcript-
+    bit-identical (asserted by tests). ZKML_FUSE=1 re-enables fusion for
+    A/B runs on setups where per-dispatch latency actually dominates.
     """
     v = os.environ.get("ZKML_FUSE")
     if v == "1":
         return True
-    if v == "0":
-        return False
-    return jax.default_backend() != "cpu"
+    return False
 
 
 def sync_profile() -> bool:

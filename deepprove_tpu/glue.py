@@ -10,7 +10,7 @@ profile (~50-200 ms per blocking sync) from the dominant cost into a
 constant.
 
 Host pairs `(a0, a1)` and device `gf.GF2` scalars coexist: `scalar()`
-lifts host pairs to device constants (compile-time baked, no put);
+lifts host pairs to cached device scalars (tiny ~0.1 ms puts);
 `materialize()` lowers any proof/claim tree back to host ints.
 """
 
@@ -34,21 +34,35 @@ ExtPair = tuple[int, int]
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("a0", "a1"))
+from functools import lru_cache
+
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=65536)
 def _const_scalar(a0: int, a1: int) -> gf.GF2:
+    """Host pair → device GF2 scalar via four tiny puts (~0.1 ms each),
+    cached per value. (A value-static jit here compiled a fresh XLA
+    executable for EVERY distinct claim/eval — run-dependent values made
+    even warm proves recompile constantly.)"""
     return gf.GF2(
-        gf.GF(np.uint32(a0 & 0xFFFFFFFF), np.uint32(a0 >> 32)),
-        gf.GF(np.uint32(a1 & 0xFFFFFFFF), np.uint32(a1 >> 32)),
+        gf.GF(jnp.uint32(a0 & 0xFFFFFFFF), jnp.uint32(a0 >> 32)),
+        gf.GF(jnp.uint32(a1 & 0xFFFFFFFF), jnp.uint32(a1 >> 32)),
     )
 
 
-@partial(jax.jit, static_argnames=("pairs",))
 def _const_vec(pairs: tuple) -> gf.GF2:
     a0 = np.asarray([p[0] for p in pairs], dtype=np.uint64)
     a1 = np.asarray([p[1] for p in pairs], dtype=np.uint64)
     return gf.GF2(
-        gf.GF((a0 & 0xFFFFFFFF).astype(np.uint32), (a0 >> 32).astype(np.uint32)),
-        gf.GF((a1 & 0xFFFFFFFF).astype(np.uint32), (a1 >> 32).astype(np.uint32)),
+        gf.GF(
+            jnp.asarray((a0 & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((a0 >> 32).astype(np.uint32)),
+        ),
+        gf.GF(
+            jnp.asarray((a1 & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((a1 >> 32).astype(np.uint32)),
+        ),
     )
 
 

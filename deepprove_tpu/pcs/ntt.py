@@ -31,8 +31,20 @@ def bit_reverse_perm(lg_n: int) -> np.ndarray:
     return rev
 
 
+def _bit_reverse_perm_dev(lg_n: int):
+    """Device-computed bit-reverse permutation: lg_n shift/or ops on an
+    iota instead of a 2^lg_n literal baked into the jitted graph (an
+    8M-element constant made the FFT kernels ~100 MB and pushed XLA
+    compile into the tens of minutes)."""
+    idx = jnp.arange(1 << lg_n, dtype=jnp.int32)
+    rev = jnp.zeros_like(idx)
+    for b in range(lg_n):
+        rev = rev | (((idx >> b) & 1) << (lg_n - 1 - b))
+    return rev
+
+
 def bit_reverse(values, lg_n: int):
-    perm = jnp.asarray(bit_reverse_perm(lg_n))
+    perm = _bit_reverse_perm_dev(lg_n)
     if isinstance(values, gf.GF2):
         return gf.GF2(bit_reverse(values.a0, lg_n), bit_reverse(values.a1, lg_n))
     if isinstance(values, gf.GF):

@@ -160,79 +160,36 @@ def _fused_kernel(
     return msgs, chals, finals, t_state
 
 
-@partial(
-    jax.jit, static_argnames=("n", "n_points", "degree", "m_pad", "pn_pad")
-)
-def _staircase_kernel(
-    stacked, coeffs, prod_idx, t_state, n: int, n_points: int, degree: int,
-    m_pad: int, pn_pad: int,
-):
-    """All-rounds fused sumcheck with STATICALLY halving buffers.
+@partial(jax.jit, static_argnames=("n_points", "degree"))
+def _round_step_kernel(stacked, coeffs, prod_idx, t_state, n_points, degree):
+    """ONE big sumcheck round with on-device FS: message → absorb →
+    squeeze → fold (true halving). Compiled once per (shape, degree)
+    and reused by every sumcheck whose current size matches; large
+    sumchecks chain these until the active size reaches a fused-tail
+    bucket. (The round-2 "staircase" kernel unrolled ALL rounds of a
+    large sumcheck into one graph — at Dense-4M sizes XLA took tens of
+    minutes to compile it, which timed out the cold-start bench.)"""
+    from .prover import _round_kernel
 
-    Unlike `_fused_kernel` (while_loop over a fixed-width bucket, total
-    work n·2^n_bucket), rounds are unrolled in Python so each fold truly
-    halves the array — total work 2·2^n, the same as the unfused path,
-    with ZERO host synchronization. Compiled once per exact n; used for
-    large sumchecks where bucket padding would dominate.
-    """
-    idx_flat = prod_idx.reshape(-1)
-
-    def take_rows(a: gf.GF2, idx) -> gf.GF2:
-        return gf.GF2(
-            gf.GF(jnp.take(a.a0.lo, idx, axis=0), jnp.take(a.a0.hi, idx, axis=0)),
-            gf.GF(jnp.take(a.a1.lo, idx, axis=0), jnp.take(a.a1.hi, idx, axis=0)),
+    _, msg = _round_kernel(
+        stacked, coeffs, prod_idx, gf.ext_zeros(()),
+        n_points=n_points, degree=degree, fold=False,
+    )
+    def absorb(i, ts):
+        m = gf.GF2(
+            gf.GF(msg.a0.lo[i], msg.a0.hi[i]), gf.GF(msg.a1.lo[i], msg.a1.hi[i])
         )
+        return devt.observe_ext(ts, m)
 
-    def round_message(stacked):
-        lo, hi = _pairs_view(stacked)
-        diff = gf.ext_sub(hi, lo)
-        msgs = []
-        cur = lo
-        for t in range(n_points):
-            if t == 1:
-                cur = hi
-            elif t >= 2:
-                cur = gf.ext_add(cur, diff)
-            g = take_rows(cur, idx_flat).reshape(pn_pad, degree, lo.shape[1])
-            p = g[:, 0]
-            for d in range(1, degree):
-                p = gf.ext_mul(p, g[:, d])
-            s = gf.ext_sum_axis(p, axis=1)
-            msgs.append(gf.ext_sum_axis(gf.ext_mul(coeffs, s), axis=0))
-        return gf.ext_stack(msgs)
+    t_state = jax.lax.fori_loop(0, n_points, absorb, t_state)
+    for chunk in _LABEL_CHUNKS:
+        t_state = devt.observe_u64_constant(t_state, chunk)
+    t_state, r = devt.sample_ext(t_state)
 
-    def fold(stacked, r: gf.GF2):
-        lo, hi = _pairs_view(stacked)
-        rb = gf.ext_broadcast_to(r.reshape((1, 1)), lo.shape)
-        return gf.ext_add(lo, gf.ext_mul(rb, gf.ext_sub(hi, lo)))
-
-    msgs, chals = [], []
-    for _ in range(n):
-        msg = round_message(stacked)
-        t_state = jax.lax.fori_loop(
-            0, n_points,
-            lambda i, ts: devt.observe_ext(
-                ts,
-                gf.GF2(
-                    gf.GF(msg.a0.lo[i], msg.a0.hi[i]),
-                    gf.GF(msg.a1.lo[i], msg.a1.hi[i]),
-                ),
-            ),
-            t_state,
-        )
-        for chunk in _LABEL_CHUNKS:
-            t_state = devt.observe_u64_constant(t_state, chunk)
-        t_state, r = devt.sample_ext(t_state)
-        stacked = fold(stacked, r)
-        msgs.append(msg)
-        chals.append(r)
-    finals = stacked[:, 0]
-    return gf.ext_stack(msgs, axis=0), gf.ext_stack(chals), finals, t_state
-
-
-# Above this, the while-loop bucket kernel wins compile reuse; above
-# STAIRCASE_MIN the bucket's n_bucket/2× work overhead wins instead.
-STAIRCASE_MIN = max(N_BUCKETS) + 1
+    lo, hi = _pairs_view(stacked)
+    rb = gf.ext_broadcast_to(r.reshape((1, 1)), lo.shape)
+    folded = gf.ext_add(lo, gf.ext_mul(rb, gf.ext_sub(hi, lo)))
+    return folded, msg, r, t_state
 
 
 def _prep(vp: VirtualPolynomial):
@@ -274,32 +231,40 @@ def prove_device(vp: VirtualPolynomial, dt) -> ProverOutput:
 
     stacked, m_pad, pn_pad, coeffs, idx = _prep(vp)
     n_bucket = _pick_bucket(n)
-    if n_bucket is None and jax.default_backend() == "cpu":
-        # CPU (tests): the statically-unrolled staircase kernel takes
-        # minutes of XLA compile at large n (n Poseidon permutes inlined
-        # in one graph). The while-loop kernel traces ONE round body and
-        # compiles in seconds; its n·2^n vs 2·2^n work overhead is
-        # irrelevant off-TPU. Transcripts are bit-identical either way.
-        n_bucket = n
-    if n_bucket is not None:
-        l, l_buf = 1 << n, 1 << n_bucket
-        if l_buf > l:
-            stacked = gf.ext_concatenate(
-                [stacked, gf.ext_zeros((m_pad, l_buf - l))], axis=1
+
+    big_msgs: list = []
+    big_chals: list = []
+    if n_bucket is None:
+        # large sumcheck: true-halving per-round kernels (one async
+        # dispatch each, compiled once per size and shared across call
+        # sites) until the active size fits the largest fused bucket,
+        # then the rolled while-loop tail finishes with zero extra
+        # compiles. Transcript-identical to the all-fused/host paths.
+        n_bucket = max(N_BUCKETS)
+        for _ in range(n - n_bucket):
+            stacked, msg, r, dt.state = _round_step_kernel(
+                stacked, coeffs, idx, dt.state,
+                n_points=max_degree + 1, degree=max_degree,
             )
-        msgs, chals, finals, dt.state = _fused_kernel(
-            stacked, coeffs, idx, dt.state, jnp.int32(n),
-            n_points=max_degree + 1, degree=max_degree,
-            n_bucket=n_bucket, m_pad=m_pad, pn_pad=pn_pad,
+            big_msgs.append(msg)
+            big_chals.append(r)
+
+    n_tail = min(n, n_bucket)
+    l, l_buf = stacked.shape[1], 1 << n_bucket
+    if l_buf > l:
+        stacked = gf.ext_concatenate(
+            [stacked, gf.ext_zeros((m_pad, l_buf - l))], axis=1
         )
-        msgs = msgs[:n]
-        chals = chals[:n]
-    else:
-        msgs, chals, finals, dt.state = _staircase_kernel(
-            stacked, coeffs, idx, dt.state, n,
-            n_points=max_degree + 1, degree=max_degree,
-            m_pad=m_pad, pn_pad=pn_pad,
-        )
+    msgs, chals, finals, dt.state = _fused_kernel(
+        stacked, coeffs, idx, dt.state, jnp.int32(n_tail),
+        n_points=max_degree + 1, degree=max_degree,
+        n_bucket=n_bucket, m_pad=m_pad, pn_pad=pn_pad,
+    )
+    msgs = msgs[:n_tail]
+    chals = chals[:n_tail]
+    if big_msgs:
+        msgs = gf.ext_concatenate([gf.ext_stack(big_msgs, axis=0), msgs], axis=0)
+        chals = gf.ext_concatenate([gf.ext_stack(big_chals), chals])
     return ProverOutput(
         proof=SumcheckProof(point=chals, round_messages=msgs),
         final_evals=finals[: len(vp.mles)],

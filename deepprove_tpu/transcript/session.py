@@ -41,9 +41,23 @@ def _label_chunks(msg: bytes) -> tuple[int, ...]:
 
 @partial(jax.jit, static_argnames=("chunks",))
 def _absorb_constants(state, chunks: tuple):
-    for c in chunks:
-        state = devt.observe_u64_constant(state, c)
-    return state
+    if len(chunks) <= 4:
+        for c in chunks:
+            state = devt.observe_u64_constant(state, c)
+        return state
+    # long constant runs: roll the loop so the trace holds ONE observe
+    # body instead of len(chunks) inlined duplex permutes (the unrolled
+    # variant compiled a ~0.5 MB executable per distinct tuple)
+    arr = np.asarray(chunks, dtype=np.uint64)
+    vals = gf.GF(
+        jnp.asarray((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((arr >> np.uint64(32)).astype(np.uint32)),
+    )
+
+    def body(i, ts):
+        return devt.observe(ts, gf.GF(vals.lo[i], vals.hi[i]))
+
+    return jax.lax.fori_loop(0, len(chunks), body, state)
 
 
 @jax.jit

@@ -140,10 +140,11 @@ class Embeddings:
         r_d = glue.prefix(last_claim.point, log_d)
         r_t = glue.suffix(last_claim.point, log_d)
 
-        # S(r_t, ·): scatter eq(r_t) rows at token columns (device; tokens
-        # are static so the scatter unrolls to static-index adds)
+        # S(r_t, ·): scatter eq(r_t) rows at token columns (device)
         eq_t = mle_mod._eq_table_kernel(r_t, glue.one(), log_t)  # (T,)
-        s_fixed = _scatter_tokens_kernel(eq_t, tuple(int(t) for t in tokens), v)
+        s_fixed = _scatter_tokens_kernel(
+            eq_t, _jnp.asarray(np.asarray(tokens, dtype=np.int32)), v
+        )
 
         e_gf = prover.ctx.commitment_ctx.model_comms[node_id][EMB_POLY_ID][1]
         e_fixed = mle_mod._fix_low_kernel(e_gf, r_d, log_d)  # over v vars
@@ -177,11 +178,18 @@ class Embeddings:
 from functools import partial as _partial
 
 import jax as _jax
+import jax.numpy as _jnp
 
 
-@_partial(_jax.jit, static_argnames=("tokens", "v"))
-def _scatter_tokens_kernel(eq_t: gf.GF2, tokens: tuple, v: int) -> gf.GF2:
-    """S~(·, r_t) column: out[vocab] = Σ_{t: token_t = vocab} eq_t[t]."""
+@_partial(_jax.jit, static_argnames=("v",))
+def _scatter_tokens_kernel(eq_t: gf.GF2, tokens_dev, v: int) -> gf.GF2:
+    """S~(·, r_t) column: out[vocab] = Σ_{t: token_t = vocab} eq_t[t].
+
+    tokens_dev is a DEVICE int32 array so the kernel compiles once per
+    (token count, v) — a static token tuple recompiled per prompt, which
+    made the LLM driver pay a fresh XLA compile every generation step.
+    The scatter is a fori_loop of dynamic gather/update pairs (field adds
+    are modular, so a plain integer scatter-add cannot be used)."""
     import jax
 
     out = gf.ext_zeros((v,))
@@ -189,19 +197,25 @@ def _scatter_tokens_kernel(eq_t: gf.GF2, tokens: tuple, v: int) -> gf.GF2:
     def upd(arr, i, val):
         return jax.lax.dynamic_update_index_in_dim(arr, val, i, 0)
 
-    for t, tok in enumerate(tokens):
+    def idx(arr, i):
+        return jax.lax.dynamic_index_in_dim(arr, i, 0, keepdims=False)
+
+    def body(t, out):
+        tok = tokens_dev[t]
         e = gf.GF2(
             gf.GF(eq_t.a0.lo[t], eq_t.a0.hi[t]), gf.GF(eq_t.a1.lo[t], eq_t.a1.hi[t])
         )
         cur = gf.GF2(
-            gf.GF(out.a0.lo[tok], out.a0.hi[tok]), gf.GF(out.a1.lo[tok], out.a1.hi[tok])
+            gf.GF(idx(out.a0.lo, tok), idx(out.a0.hi, tok)),
+            gf.GF(idx(out.a1.lo, tok), idx(out.a1.hi, tok)),
         )
         s = gf.ext_add(cur, e)
-        out = gf.GF2(
+        return gf.GF2(
             gf.GF(upd(out.a0.lo, tok, s.a0.lo), upd(out.a0.hi, tok, s.a0.hi)),
             gf.GF(upd(out.a1.lo, tok, s.a1.lo), upd(out.a1.hi, tok, s.a1.hi)),
         )
-    return out
+
+    return jax.lax.fori_loop(0, tokens_dev.shape[0], body, out)
 
 
 def _tokens_eval_dev(tokens: np.ndarray, r_t: gf.GF2) -> gf.GF2:
