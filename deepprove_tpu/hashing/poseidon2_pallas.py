@@ -1,0 +1,247 @@
+"""Pallas TPU kernel for the Merkle two-to-one Poseidon2 compression.
+
+The Merkle levels are the prover's single heaviest execution cost (a
+Dense-4M opening hashes ~12M permutes). The generic `permute_device`
+(poseidon2.py) runs rounds under `lax.scan` over a (N, 8) state — each
+round is a separate HBM round trip and the 8-wide trailing axis wastes
+VPU lanes. This kernel instead:
+
+  * lays the 8 state elements out as full-width (S, 128) planes so every
+    op runs at full VPU utilization;
+  * keeps BOTH two-to-one permutes (hash.rs:52 two_to_one = fresh duplex,
+    observe 8 @ rate 4 → 2 permutations) resident in VMEM for all 30
+    rounds — one HBM read of the children and one write of the parents;
+  * rolls the round loops with `lax.fori_loop` reading round constants
+    from an SMEM ref, so the Mosaic module stays one-round-sized and
+    compiles in ~20 s ONCE (fixed chunk shape) instead of minutes per
+    Merkle level size.
+
+Measured (TPU v5e via axon, 1M compresses): 38.6 ms vs 134 ms for the
+scan-based path — 3.5×, bit-identical to `compress_host` (asserted in
+tests/test_pallas_poseidon.py and by every proof verification).
+
+Protocol citations: poseidon/src/poseidon_hash.rs:67 (two_to_one),
+ff_ext/src/lib.rs:169-244 (width-8 HL Goldilocks Poseidon2 constants).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import gf
+from .poseidon2 import _DIAG, _INIT_RC, _INT_RC, _TERM_RC
+
+# Packed round constants, (32, 8) u64:
+#   rows 0-3   initial external round constants
+#   rows 4-25  internal round constants (column 0)
+#   rows 26-29 terminal external round constants
+#   row  30    internal-matrix diagonal
+_RC = np.zeros((32, 8), dtype=np.uint64)
+_RC[0:4] = np.asarray(_INIT_RC)
+_RC[4:26, 0] = np.asarray(_INT_RC)
+_RC[26:30] = np.asarray(_TERM_RC)
+_RC[30] = np.asarray(_DIAG)
+_RC_LO = (_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+_RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
+
+# Fixed chunk: levels ≥ this many pairs run through the kernel in
+# equal chunks (power-of-two levels divide evenly — zero padding waste);
+# smaller levels use the scan path. One compile serves every call site.
+CHUNK_PAIRS = 1 << 17
+_SUBLANES = 32  # block = (_SUBLANES, 128) states
+
+
+def _sbox(x: gf.GF) -> gf.GF:
+    x2 = gf.mul(x, x)
+    x4 = gf.mul(x2, x2)
+    return gf.mul(gf.mul(x4, x2), x)
+
+
+def _ext_lin(s: list) -> list:
+    """MDS-light external linear layer over 8 full-width planes."""
+
+    def m4(s0, s1, s2, s3):
+        t01 = gf.add(s0, s1)
+        t23 = gf.add(s2, s3)
+        t0123 = gf.add(t01, t23)
+        t01123 = gf.add(t0123, s1)
+        t01233 = gf.add(t0123, s3)
+        return [
+            gf.add(t01123, t01),
+            gf.add(t01123, gf.add(s2, s2)),
+            gf.add(t01233, t23),
+            gf.add(t01233, gf.add(s0, s0)),
+        ]
+
+    a = m4(*s[:4])
+    b = m4(*s[4:])
+    out = [None] * 8
+    for k in range(4):
+        tot = gf.add(a[k], b[k])
+        out[k] = gf.add(a[k], tot)
+        out[4 + k] = gf.add(b[k], tot)
+    return out
+
+
+def _permute_rolled(s: list, rclo, rchi) -> list:
+    """Poseidon2 permutation over 8 plane GFs; rclo/rchi are SMEM refs."""
+
+    def rc(r, i) -> gf.GF:  # dynamic row, static col → scalar GF
+        return gf.GF(rclo[r, i], rchi[r, i])
+
+    def bc(x: gf.GF, like: gf.GF) -> gf.GF:
+        return gf.GF(
+            jnp.broadcast_to(x.lo, like.lo.shape),
+            jnp.broadcast_to(x.hi, like.hi.shape),
+        )
+
+    def pack(s):
+        return tuple(x.lo for x in s) + tuple(x.hi for x in s)
+
+    def unpack(t):
+        return [gf.GF(t[i], t[8 + i]) for i in range(8)]
+
+    s = _ext_lin(s)
+
+    def ext_body(r, carry):
+        s = unpack(carry)
+        s = [_sbox(gf.add(s[i], bc(rc(r, i), s[i]))) for i in range(8)]
+        return pack(_ext_lin(s))
+
+    s = unpack(jax.lax.fori_loop(0, 4, ext_body, pack(s)))
+
+    def int_body(r, carry):
+        s = unpack(carry)
+        s0 = _sbox(gf.add(s[0], bc(rc(4 + r, 0), s[0])))
+        s = [s0] + s[1:]
+        t = gf.add(
+            gf.add(gf.add(s[0], s[1]), gf.add(s[2], s[3])),
+            gf.add(gf.add(s[4], s[5]), gf.add(s[6], s[7])),
+        )
+        return pack([gf.add(gf.mul(s[i], bc(rc(30, i), s[i])), t) for i in range(8)])
+
+    s = unpack(jax.lax.fori_loop(0, 22, int_body, pack(s)))
+
+    def term_body(r, carry):
+        s = unpack(carry)
+        s = [_sbox(gf.add(s[i], bc(rc(26 + r, i), s[i]))) for i in range(8)]
+        return pack(_ext_lin(s))
+
+    return unpack(jax.lax.fori_loop(0, 4, term_body, pack(s)))
+
+
+def _compress_kernel(*refs):
+    """two_to_one over plane blocks: ins = left lo0-3, right lo0-3,
+    left hi0-3, right hi0-3, rclo, rchi; outs = digest lo0-3, hi0-3."""
+    ins, outs = refs[:18], refs[18:]
+    llo, rlo, lhi, rhi = ins[0:4], ins[4:8], ins[8:12], ins[12:16]
+    rclo, rchi = ins[16], ins[17]
+    z = jnp.zeros_like(llo[0][:])
+    s = [gf.GF(llo[i][:], lhi[i][:]) for i in range(4)] + [gf.GF(z, z)] * 4
+    s = _permute_rolled(s, rclo, rchi)
+    s = [gf.GF(rlo[i][:], rhi[i][:]) for i in range(4)] + s[4:]
+    s = _permute_rolled(s, rclo, rchi)
+    # digest = sample_array::<4>() = [s3, s2, s1, s0]
+    for i in range(4):
+        outs[i][:] = s[3 - i].lo
+        outs[4 + i][:] = s[3 - i].hi
+
+
+@jax.jit
+def _compress_chunk(llo, lhi, rlo, rhi):
+    """One fixed-size chunk: 4-lists of (CHUNK/128, 128) u32 planes."""
+    m = llo[0].shape[0]
+    grid = (m // _SUBLANES,)
+    bs = pl.BlockSpec((_SUBLANES, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rcs = pl.BlockSpec((32, 8), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        _compress_kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((m, 128), jnp.uint32) for _ in range(8)
+        ),
+        grid=grid,
+        in_specs=[bs] * 16 + [rcs, rcs],
+        out_specs=tuple([bs] * 8),
+    )(*llo, *rlo, *lhi, *rhi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI))
+
+
+@jax.jit
+def _to_planes(digests: gf.GF):
+    """(2M, 4) digests → (2, 4, M) lo/hi planes via ONE transpose each
+    (strided per-column gathers were ~4× slower than the kernel itself)."""
+    m = digests.shape[0] // 2
+    lo = jnp.transpose(digests.lo.reshape(m, 2, 4), (1, 2, 0))
+    hi = jnp.transpose(digests.hi.reshape(m, 2, 4), (1, 2, 0))
+    return lo, hi
+
+
+@jax.jit
+def _from_planes(lo_planes, hi_planes) -> gf.GF:
+    """(4, M) planes → (M, 4) digests."""
+    return gf.GF(
+        jnp.transpose(lo_planes, (1, 0)), jnp.transpose(hi_planes, (1, 0))
+    )
+
+
+@jax.jit
+def _slice_chunk(lo, hi, c):
+    """Chunk c of (2, 4, M) planes → 16 (crows, 128) arrays, ONE dispatch
+    (eager slicing cost ~3.6 ms PER slice over the tunnel)."""
+    crows = CHUNK_PAIRS // 128
+    slo = jax.lax.dynamic_slice(lo, (0, 0, c * CHUNK_PAIRS), (2, 4, CHUNK_PAIRS))
+    shi = jax.lax.dynamic_slice(hi, (0, 0, c * CHUNK_PAIRS), (2, 4, CHUNK_PAIRS))
+    r = lambda a: a.reshape(crows, 128)
+    llo = [r(slo[0, i]) for i in range(4)]
+    rlo = [r(slo[1, i]) for i in range(4)]
+    lhi = [r(shi[0, i]) for i in range(4)]
+    rhi = [r(shi[1, i]) for i in range(4)]
+    return llo, lhi, rlo, rhi
+
+
+@jax.jit
+def _assemble(outs):
+    """chunks × 8 × (crows, 128) kernel outputs → (M, 4) digests."""
+    lo_p = jnp.stack(
+        [jnp.concatenate([o[i].reshape(-1) for o in outs]) for i in range(4)],
+        axis=0,
+    )
+    hi_p = jnp.stack(
+        [jnp.concatenate([o[4 + i].reshape(-1) for o in outs]) for i in range(4)],
+        axis=0,
+    )
+    return _from_planes(lo_p, hi_p)
+
+
+def _compress_level_planes(digests: gf.GF, chunks: int) -> gf.GF:
+    """(2M, 4) digests → (M, 4) parents via `chunks` fixed-size kernel
+    calls. NOT jitted as a whole: `_compress_chunk` must stay the only
+    pallas-containing jit so Mosaic compiles exactly once, not once per
+    Merkle level shape; the slicing/assembly helpers are cheap per-shape
+    jits with no pallas inside."""
+    lo, hi = _to_planes(digests)  # (2, 4, M)
+    outs = []
+    for c in range(chunks):
+        llo, lhi, rlo, rhi = _slice_chunk(lo, hi, jnp.int32(c))
+        outs.append(_compress_chunk(llo, lhi, rlo, rhi))
+    return _assemble(tuple(outs))
+
+
+def use_pallas(num_pairs: int) -> bool:
+    """Kernel eligibility: TPU backend, level at least one chunk."""
+    return (
+        jax.default_backend() != "cpu"
+        and num_pairs >= CHUNK_PAIRS
+        and num_pairs % CHUNK_PAIRS == 0
+    )
+
+
+def compress_level_pallas(digests: gf.GF) -> gf.GF:
+    """(2M, 4) → (M, 4); caller must have checked use_pallas(M)."""
+    m = digests.shape[0] // 2
+    return _compress_level_planes(digests, m // CHUNK_PAIRS)

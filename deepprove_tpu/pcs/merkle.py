@@ -28,7 +28,7 @@ Digest = tuple[int, int, int, int]
 
 
 @partial(jax.jit)
-def _compress_level(digests: gf.GF) -> gf.GF:
+def _compress_level_scan(digests: gf.GF) -> gf.GF:
     """(2M, 4) digests -> (M, 4) parents via batched two_to_one."""
     m2 = digests.shape[0]
     pairs = digests.reshape(m2 // 2, 2, 4)
@@ -40,6 +40,17 @@ def _compress_level(digests: gf.GF) -> gf.GF:
     # digest = sample_array::<4>() = [s3, s2, s1, s0] (pop from end)
     out = st2[:, :4]
     return out[:, ::-1]
+
+
+def _compress_level(digests: gf.GF) -> gf.GF:
+    """(2M, 4) -> (M, 4): Pallas VMEM-resident kernel for big TPU levels
+    (3.5× the scan path — poseidon2_pallas.py), scan path otherwise.
+    Callable from inside a jit trace (both branches are traced ops)."""
+    from ..hashing import poseidon2_pallas as pp
+
+    if pp.use_pallas(digests.shape[0] // 2):
+        return pp.compress_level_pallas(digests)
+    return _compress_level_scan(digests)
 
 
 @partial(jax.jit)

@@ -1,0 +1,63 @@
+"""Pallas Poseidon2 compress kernel vs host/scan ground truth.
+
+The kernel only runs on TPU (poseidon2_pallas.use_pallas gates on
+backend); on the CPU test mesh these tests exercise the dispatch logic
+and skip the kernel itself. Run on a real TPU (no JAX_PLATFORMS
+override) for full coverage — bench.py's proof verification also
+asserts it end-to-end (a wrong digest breaks every Merkle root).
+"""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.fields import gf
+from deepprove_tpu.hashing import poseidon2
+from deepprove_tpu.hashing import poseidon2_pallas as pp
+from deepprove_tpu.pcs.merkle import MerkleTree, _compress_level_scan
+
+
+def test_use_pallas_gates_on_backend_and_size():
+    import jax
+
+    if jax.default_backend() == "cpu":
+        assert not pp.use_pallas(pp.CHUNK_PAIRS)
+    assert not pp.use_pallas(pp.CHUNK_PAIRS // 2)
+    assert not pp.use_pallas(pp.CHUNK_PAIRS + 1)
+
+
+def test_packed_round_constants_match_module():
+    assert np.array_equal(pp._RC[0:4], np.asarray(poseidon2._INIT_RC))
+    assert np.array_equal(pp._RC[4:26, 0], np.asarray(poseidon2._INT_RC))
+    assert np.array_equal(pp._RC[26:30], np.asarray(poseidon2._TERM_RC))
+    assert np.array_equal(pp._RC[30], np.asarray(poseidon2._DIAG))
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() == "cpu",
+    reason="Pallas TPU kernel; CPU mesh runs the scan path",
+)
+def test_compress_level_pallas_matches_scan():
+    rng = np.random.default_rng(0)
+    m2 = 2 * pp.CHUNK_PAIRS
+    dig = gf.from_u64(rng.integers(0, 2**63, size=(m2, 4), dtype=np.uint64))
+    want = np.asarray(gf.to_u64(_compress_level_scan(dig)))
+    got = np.asarray(gf.to_u64(pp.compress_level_pallas(dig)))
+    assert np.array_equal(want, got)
+
+
+def test_tree_root_stable_small():
+    """Root of a small tree (scan path everywhere) vs host recompute."""
+    rng = np.random.default_rng(1)
+    leaves = gf.ext_from_u64(
+        rng.integers(0, 2**63, size=8, dtype=np.uint64),
+        rng.integers(0, 2**63, size=8, dtype=np.uint64),
+    )
+    tree = MerkleTree.from_leaves(leaves)
+    # recompute root on host
+    lv = np.asarray(gf.to_u64(tree.levels[0]))
+    while lv.shape[0] > 1:
+        nxt = np.zeros((lv.shape[0] // 2, 4), dtype=np.uint64)
+        for i in range(nxt.shape[0]):
+            nxt[i] = poseidon2.compress_host(lv[2 * i], lv[2 * i + 1])
+        lv = nxt
+    assert tuple(int(x) for x in lv[0]) == tree.root
