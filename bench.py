@@ -95,6 +95,16 @@ def _timed(fn):
     return time.time() - t0, out
 
 
+def _timed_warm2(fn):
+    """Warm wall seconds for a side computation (verify): first run
+    compiles, second run counts — the reference reports steady-state
+    per-run verify ms."""
+    fn()
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
 def bench_dense():
     from deepprove_tpu.transcript import BasicTranscript
     from deepprove_tpu.zkml import quantization as Q
@@ -127,8 +137,10 @@ def bench_dense():
 
     x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64))
     infer_s, trace = _timed(lambda: model.run([x]))
+    # reference protocol params: 200 queries, rate 1/2, basecode msg 2^7
+    # (BASELINE.md:18 / mpcs encoding/rs.rs:203-214)
     setup_s, ctx = _timed(
-        lambda: Context.generate(model, num_queries=200, basecode_msg_size_log=4)
+        lambda: Context.generate(model, num_queries=200, basecode_msg_size_log=7)
     )
 
     params = dim * dim + dim
@@ -137,7 +149,7 @@ def bench_dense():
         metric=f"mlp_{dim}x{dim}_prove_ms", baseline_ms=BASELINES_MS["dense"],
         params=params,
     )
-    verify_s, _ = _timed(
+    verify_s, _ = _timed_warm2(
         lambda: verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
     )
 
@@ -165,14 +177,14 @@ def bench_cnn():
     x = Tensor(s_in.quantize(xs[0]).astype(np.int64))
     infer_s, trace = _timed(lambda: q.run([x]))
     setup_s, ctx = _timed(
-        lambda: Context.generate(q, num_queries=200, basecode_msg_size_log=4)
+        lambda: Context.generate(q, num_queries=200, basecode_msg_size_log=7)
     )
 
     prove_s, proof, cold_s = _timed_warm(
         lambda: Prover(ctx, BasicTranscript(b"m2vec")).prove(trace),
         metric="cnn_cifar_264k_prove_ms", baseline_ms=BASELINES_MS["cnn"],
     )
-    verify_s, _ = _timed(
+    verify_s, _ = _timed_warm2(
         lambda: verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
     )
     extras = _extras(setup_s, infer_s, verify_s, proof, "cnn")
@@ -193,7 +205,7 @@ def bench_gpt2():
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab, size=seq // 2).astype(np.int64)
     model, meta = GPT2Builder(w, seq).build(prompt)
-    ctx = Context.generate(model, num_queries=200, basecode_msg_size_log=4)
+    ctx = Context.generate(model, num_queries=200, basecode_msg_size_log=7)
     drv = Driver(model, meta, ctx)
 
     def prove():

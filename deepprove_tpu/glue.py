@@ -75,10 +75,19 @@ def scalar(v) -> gf.GF2:
     return _const_scalar(v[0] % P, v[1] % P)
 
 
+@lru_cache(maxsize=16384)
+def _const_vec_cached(pairs: tuple) -> gf.GF2:
+    return _const_vec(pairs)
+
+
 def vec(values) -> gf.GF2:
-    """Lift a list of host pairs / device scalars to a GF2 (k,) array."""
+    """Lift a list of host pairs / device scalars to a GF2 (k,) array.
+
+    Cached per value tuple: a put costs ~4 ms over the tunnel and the
+    same coefficient vectors (sumcheck product coeffs, model constants)
+    recur on every prove."""
     if all(not isinstance(v, gf.GF2) for v in values):
-        return _const_vec(tuple((v[0] % P, v[1] % P) for v in values))
+        return _const_vec_cached(tuple((v[0] % P, v[1] % P) for v in values))
     return ext_stack_scalars([scalar(v) for v in values])
 
 
@@ -204,10 +213,25 @@ def concat(parts):
     return gf.ext_concatenate(list(parts))
 
 
+@jax.jit
+def _concat_points_kernel(parts):
+    return gf.ext_concatenate(
+        [p.reshape((1,)) if p.ndim == 0 else p for p in parts]
+    )
+
+
 def concat_points(parts) -> gf.GF2:
-    """Concatenate device point arrays/scalars into one (n,) array."""
-    arrs = [p.reshape((1,)) if p.ndim == 0 else p for p in parts]
-    return concat(tuple(arrs))
+    """Concatenate device point arrays/scalars into one (n,) array.
+
+    Scalar reshapes happen INSIDE the jit — each eager reshape costs
+    ~3-5 ms over the tunnel."""
+    return _concat_points_kernel(tuple(parts))
+
+
+@jax.jit
+def stack0(parts):
+    """Stack same-shape GF2 parts along a new axis 0 — one dispatch."""
+    return gf.ext_stack(list(parts), axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -50,10 +50,13 @@ _RC[30] = np.asarray(_DIAG)
 _RC_LO = (_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 _RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
 
-# Fixed chunk: levels ≥ this many pairs run through the kernel in
+# Fixed chunks: levels ≥ CHUNK_PAIRS pairs run through the kernel in
 # equal chunks (power-of-two levels divide evenly — zero padding waste);
-# smaller levels use the scan path. One compile serves every call site.
+# smaller levels use the scan path. Two chunk sizes bound BOTH the
+# compile count (2 Mosaic compiles ever) and the per-level dispatch
+# count (a 2^21-pair level is 4 big chunks, not 16).
 CHUNK_PAIRS = 1 << 17
+CHUNK_BIG = 1 << 19
 _SUBLANES = 32  # block = (_SUBLANES, 128) states
 
 
@@ -189,13 +192,13 @@ def _from_planes(lo_planes, hi_planes) -> gf.GF:
     )
 
 
-@jax.jit
-def _slice_chunk(lo, hi, c):
+@partial(jax.jit, static_argnames=("chunk",))
+def _slice_chunk(lo, hi, c, chunk: int):
     """Chunk c of (2, 4, M) planes → 16 (crows, 128) arrays, ONE dispatch
     (eager slicing cost ~3.6 ms PER slice over the tunnel)."""
-    crows = CHUNK_PAIRS // 128
-    slo = jax.lax.dynamic_slice(lo, (0, 0, c * CHUNK_PAIRS), (2, 4, CHUNK_PAIRS))
-    shi = jax.lax.dynamic_slice(hi, (0, 0, c * CHUNK_PAIRS), (2, 4, CHUNK_PAIRS))
+    crows = chunk // 128
+    slo = jax.lax.dynamic_slice(lo, (0, 0, c * chunk), (2, 4, chunk))
+    shi = jax.lax.dynamic_slice(hi, (0, 0, c * chunk), (2, 4, chunk))
     r = lambda a: a.reshape(crows, 128)
     llo = [r(slo[0, i]) for i in range(4)]
     rlo = [r(slo[1, i]) for i in range(4)]
@@ -218,16 +221,18 @@ def _assemble(outs):
     return _from_planes(lo_p, hi_p)
 
 
-def _compress_level_planes(digests: gf.GF, chunks: int) -> gf.GF:
-    """(2M, 4) digests → (M, 4) parents via `chunks` fixed-size kernel
-    calls. NOT jitted as a whole: `_compress_chunk` must stay the only
-    pallas-containing jit so Mosaic compiles exactly once, not once per
-    Merkle level shape; the slicing/assembly helpers are cheap per-shape
-    jits with no pallas inside."""
+def _compress_level_planes(digests: gf.GF) -> gf.GF:
+    """(2M, 4) digests → (M, 4) parents via fixed-size kernel chunks.
+    NOT jitted as a whole: `_compress_chunk` must stay the only
+    pallas-containing jit so Mosaic compiles once per chunk size, not
+    once per Merkle level shape; the slicing/assembly helpers are cheap
+    per-shape jits with no pallas inside."""
+    m = digests.shape[0] // 2
+    chunk = CHUNK_BIG if m >= CHUNK_BIG else CHUNK_PAIRS
     lo, hi = _to_planes(digests)  # (2, 4, M)
     outs = []
-    for c in range(chunks):
-        llo, lhi, rlo, rhi = _slice_chunk(lo, hi, jnp.int32(c))
+    for c in range(m // chunk):
+        llo, lhi, rlo, rhi = _slice_chunk(lo, hi, jnp.int32(c), chunk)
         outs.append(_compress_chunk(llo, lhi, rlo, rhi))
     return _assemble(tuple(outs))
 
@@ -243,5 +248,4 @@ def use_pallas(num_pairs: int) -> bool:
 
 def compress_level_pallas(digests: gf.GF) -> gf.GF:
     """(2M, 4) → (M, 4); caller must have checked use_pallas(M)."""
-    m = digests.shape[0] // 2
-    return _compress_level_planes(digests, m // CHUNK_PAIRS)
+    return _compress_level_planes(digests)

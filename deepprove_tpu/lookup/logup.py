@@ -314,6 +314,28 @@ def _level_coeffs_kernel(alpha, lam, kinds: tuple, pn_pad: int) -> gf.GF2:
     return gf.ext_stack(out)
 
 
+@partial(jax.jit, static_argnames=("kinds", "m_pad", "level"))
+def _stack_level_kernel(
+    point, nums: tuple, dens: tuple, kinds: tuple, m_pad: int, level: int
+) -> gf.GF2:
+    """One GKR level's stacked sumcheck rows in ONE dispatch: the eq
+    table plus per-instance [n_lo, d_hi, n_hi, d_lo] (generic) or
+    [d_hi, d_lo] (initial-lookup) row slices, ones-padded to m_pad.
+    Matches the vp.add_mle order of the per-mle path exactly (the claim
+    algebra depends on the insertion order — CLAUDE.md invariant)."""
+    eq = mle_mod._eq_table_kernel(point, gf.ext_ones(()), level)
+    rows = [eq]
+    w = 1 << level
+    for num, den, kind in zip(nums, dens, kinds):
+        half = den.shape[0] // 2
+        if kind == "generic":
+            rows += [num[:half], den[half:], num[half:], den[:half]]
+        else:
+            rows += [den[half:], den[:half]]
+    rows += [gf.ext_ones((w,))] * (m_pad - len(rows))
+    return gf.ext_stack(rows, axis=0)
+
+
 @partial(
     jax.jit, static_argnames=("num_instances", "k", "is_table", "total_layers")
 )
@@ -497,8 +519,8 @@ def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
     circuits = make_circuits(inp)
     num_instances = len(circuits)
     total_layers = max(c.num_vars for c in circuits)
-    out_ext = gf.ext_concatenate(
-        [gf.ext_concatenate([c.nums[-1], c.dens[-1]]) for c in circuits]
+    out_ext = glue.concat(
+        tuple(glue.concat((c.nums[-1], c.dens[-1])) for c in circuits)
     )  # (4I,) — per instance [n0, n1, d0, d1]
 
     dt.append_constants([num_instances])
@@ -513,38 +535,56 @@ def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
     sumcheck_proofs = []
     round_evaluations = []
 
+    from ..sumcheck.prover import _bucket as _bkt
+
     for level in range(1, total_layers + 1):
         dt.append_field_element_ext(current_claim)
-        eq = mle_mod._eq_table_kernel(sumcheck_point, glue.one(), level)
         vp = VirtualPolynomial.new(level)
-        i_eq = vp.add_mle(eq)
         kinds = []
+        level_nums = []
+        level_dens = []
+        row = 1  # row 0 is eq
         for c in circuits:
-            kind, mles = c.level_mles(level)
-            kinds.append(kind)
-            if kind == "generic":
-                n_lo = vp.add_mle(mles[0])
-                d_hi = vp.add_mle(mles[3])
-                n_hi = vp.add_mle(mles[1])
-                d_lo = vp.add_mle(mles[2])
-                vp.add_product((1, 0), [i_eq, n_lo, d_hi])
-                vp.add_product((1, 0), [i_eq, n_hi, d_lo])
-                vp.add_product((1, 0), [i_eq, d_lo, d_hi])
+            idx = len(c.dens) - 1 - level
+            den = c.dens[idx]
+            if c.initial_lookup and idx == 0:
+                kinds.append("initial_lookup")
+                level_nums.append(None)
+                level_dens.append(den)
+                d_hi, d_lo = row, row + 1
+                row += 2
+                vp.add_product((1, 0), [0, d_hi])
+                vp.add_product((1, 0), [0, d_lo])
+                vp.add_product((1, 0), [0, d_lo, d_hi])
             else:
-                d_hi = vp.add_mle(mles[1])
-                d_lo = vp.add_mle(mles[0])
-                vp.add_product((1, 0), [i_eq, d_hi])
-                vp.add_product((1, 0), [i_eq, d_lo])
-                vp.add_product((1, 0), [i_eq, d_lo, d_hi])
+                kinds.append("generic")
+                level_nums.append(c.nums[idx - 1] if c.initial_lookup else c.nums[idx])
+                level_dens.append(den)
+                n_lo, d_hi, n_hi, d_lo = row, row + 1, row + 2, row + 3
+                row += 4
+                vp.add_product((1, 0), [0, n_lo, d_hi])
+                vp.add_product((1, 0), [0, n_hi, d_lo])
+                vp.add_product((1, 0), [0, d_lo, d_hi])
+        # rows are sliced and stacked INSIDE one jit (an eager GF2 slice
+        # costs ~3-5 ms per plane over the tunnel; per level × instance
+        # that dominated the whole logup proof)
+        m_pad = _bkt(row + 1)
+        vp.prestacked = _stack_level_kernel(
+            sumcheck_point,
+            tuple(level_nums),
+            tuple(level_dens),
+            tuple(kinds),
+            m_pad,
+            level,
+        )
+        vp.num_rows = row
         # coefficients are data-dependent (α, λ): computed on device and
         # passed via vp.coeffs_dev (prove_device picks them up)
-        from ..sumcheck.prover import _bucket as _bkt
-
         vp.coeffs_dev = _level_coeffs_kernel(
             alpha, lam, tuple(kinds), _bkt(len(vp.products))
         )
         out = prove_device(vp, dt)
-        evals = out.final_evals[1:]  # skip eq — GF2 (k,) device
+        evals = glue.suffix(out.final_evals, 1)  # skip eq — GF2 (k,) device
 
         bc = dt.get_and_append_challenge(b"logup_batching")
         alpha_next = dt.get_and_append_challenge(b"logup_alpha")

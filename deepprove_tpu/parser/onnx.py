@@ -4,7 +4,7 @@ FloatOnnxLoader parser/mod.rs:22).
 Reads ModelProto directly off the protobuf wire (no onnx package in the
 image). Supported ops — the reference's MLP/CNN coverage (parser
 validates ModelType::{MLP, CNN}, parser/mod.rs:213): Gemm, MatMul+Add,
-Relu, Conv (square kernel, stride 1), MaxPool (2×2/2), Flatten, Reshape.
+Relu, Conv (square kernel, pow2 stride, uniform padding), MaxPool (2×2/2), Flatten, Reshape.
 """
 
 from __future__ import annotations
@@ -16,6 +16,7 @@ from ..zkml.float_model import (
     FDense,
     FFlatten,
     FMaxpool,
+    FPad,
     FRelu,
     FloatModel,
 )
@@ -193,10 +194,17 @@ def load_onnx(path: str) -> FloatModel:
                 else np.zeros(w.shape[0])
             )
             strides = attrs.get("strides", [1, 1])
-            assert list(strides) == [1, 1], "conv stride 1 only"
+            s = int(strides[0])
+            assert list(strides) == [s, s] and s >= 1 and s & (s - 1) == 0, (
+                "conv stride must be square power-of-two"
+            )
             pads = attrs.get("pads", [0, 0, 0, 0])
-            assert not any(pads), "conv padding 0 only"
-            nid = fm.add_node(FConv(weight=w, bias=b), [src_id(node_inputs[0])])
+            p = int(pads[0])
+            assert list(pads) == [p, p, p, p], "conv padding must be uniform"
+            sid = src_id(node_inputs[0])
+            if p > 0:
+                sid = fm.add_node(FPad(pad=p), [sid])
+            nid = fm.add_node(FConv(weight=w, bias=b, stride=s), [sid])
             name_to_id[out_name] = nid
         elif op_type == "MaxPool":
             ks = attrs.get("kernel_shape", [2, 2])

@@ -290,12 +290,12 @@ def commit(params: BasefoldParams, evals, lazy_root: bool = False) -> Commitment
     if lg_n <= params.basecode_msg_size_log:
         # trivial commitment: Merkle over the raw evals (basefold.rs:100)
         tree = MerkleTree.from_leaves(evals)
-        root = glue.TupleGF(tree.levels[-1][0]) if lazy_root else tree.root
+        root = glue.TupleGF(tree.root_gf()) if lazy_root else tree.root
         cm = BasefoldCommitment(root=root, num_vars=lg_n, is_trivial=True)
         return CommitmentWithWitness(cm, codeword=evals, bh_evals=[evals], tree=tree)
     bh, codeword = _encode(params, evals)
     tree = MerkleTree.from_leaves(codeword)
-    root = glue.TupleGF(tree.levels[-1][0]) if lazy_root else tree.root
+    root = glue.TupleGF(tree.root_gf()) if lazy_root else tree.root
     cm = BasefoldCommitment(root=root, num_vars=lg_n)
     return CommitmentWithWitness(cm, codeword=codeword, bh_evals=[bh], tree=tree)
 
@@ -471,8 +471,9 @@ def _commit_phase_session(
     from .. import glue
 
     pt = point if isinstance(point, gf.GF2) else mle_mod.pairs_to_dev(point)
-    eq = mle_mod._eq_table_kernel(pt, glue.one(), num_vars)
-    eq = ntt.bit_reverse(eq, num_vars)
+    # bitrev(eq_table(pt)) == eq_table built with the point bits reversed
+    # (eq factorizes per bit) — saves a 2^n gather (~150 ms at n=22)
+    eq = mle_mod._eq_table_rev_kernel(pt, glue.one(), num_vars)
 
     t_state = dt.state
     msg_dev = _sumcheck_first_round(eq, running_evals)
@@ -540,7 +541,7 @@ def _commit_phase_session(
             running_evals = _fold_pair_linear(running_evals, r_dev)
             msg_dev = _sumcheck_first_round(eq, running_evals)
             tree = MerkleTree.from_leaves(new_oracle)
-            root_dev = tree.levels[-1][0]  # GF (4,) on device
+            root_dev = tree.root_gf()  # GF (4,) on device
             roots_dev.append(root_dev)
             t_state = _absorb_digest(t_state, root_dev)
             pending_tree = tree
@@ -699,20 +700,11 @@ def _sample_queries_session(
 ) -> list[int]:
     """Query-index sampling (basefold.rs query phase FS).
 
-    Duplex Fiat-Shamir is inherently sequential, and num_queries=200
-    batch-1 Poseidon permutes on a (tunneled) TPU are latency-bound —
-    measured 4.3 s of the dim-2048 prove. With the host transcript
-    available the state is synced ONCE (one pull), the 200 permutes run
-    on the host C kernel (µs each), and the state is re-put — bit-identical
-    either way (same challenger, asserted by transcript-identity tests)."""
-    if transcript is not None:
-        dt.sync_to_host(transcript)
-        out = [
-            int(transcript.get_and_append_challenge(b"query indices")[0]) % size
-            for _ in range(params.num_queries)
-        ]
-        dt.resync_from_host(transcript)
-        return out
+    The 200 duplex squeezes run as ONE rolled device kernel
+    (~0.2 ms/duplex in-kernel) followed by ONE index pull (~28 ms) —
+    cheaper than syncing the challenger state to the host and back
+    (state import is ~5 sequential pulls). Bit-identical to the host
+    loop (same challenger; asserted by transcript-identity tests)."""
     e = dt.get_and_append_challenges(b"query indices", params.num_queries)
     a0, _ = gf.ext_to_u64(e)
     return [int(x) % size for x in np.atleast_1d(a0)]

@@ -114,6 +114,115 @@ def _paths_from_idx_kernel(levels: tuple, idx0, shift: int) -> gf.GF:
     return gf.stack(outs, axis=1)  # (Q, depth, 4)
 
 
+# ---------------------------------------------------------------------------
+# fused small-level tail: every level at or below 2^TAIL_LOG digests is
+# built inside ONE while-loop kernel (fixed width, compiled once) instead
+# of ~TAIL_LOG separate per-level dispatches. Over the tunnel each eager
+# per-level call costs ~1.5 ms; a 22-round Basefold open builds ~21 trees
+# × ~13 small levels — ~0.4 s of pure dispatch overhead, vs one ~1 ms
+# kernel per tree. Values are identical (same compress math).
+# ---------------------------------------------------------------------------
+
+TAIL_LOG = 13  # tail kernel input: 2^TAIL_LOG digests
+# Default OFF: measured on the current axon tunnel the per-level eager
+# dispatch costs only ~0.4 ms, so the tail's fixed 13×2^12 padded
+# compresses (9.4 ms) lose to the true-halving loop (5.3 ms). Kept for
+# setups where per-dispatch latency dominates (set to e.g. 64).
+_TAIL_MIN = 1 << 62
+
+
+def _compress_pairs_traced(digests: gf.GF) -> gf.GF:
+    """two_to_one over adjacent pairs — raw traced math (no jit)."""
+    m2 = digests.shape[0]
+    pairs = digests.reshape(m2 // 2, 2, 4)
+    left, right = pairs[:, 0, :], pairs[:, 1, :]
+    zeros = gf.zeros(left.shape)
+    st1 = poseidon2.permute_device(gf.concatenate([left, zeros], axis=-1))
+    st2 = poseidon2.permute_device(
+        gf.concatenate([right, st1[:, 4:]], axis=-1)
+    )
+    return st2[:, :4][:, ::-1]
+
+
+@jax.jit
+def _tree_tail_kernel(level: gf.GF) -> gf.GF:
+    """(2^TAIL_LOG, 4) padded level → heap (TAIL_LOG, 2^(TAIL_LOG-1), 4).
+
+    heap[k] holds the level k+1 steps below the input in its prefix
+    (valid width = input_valid/2^(k+1)); lanes beyond are garbage from
+    the padding. For an input whose valid prefix is 2^t, the root is
+    heap[t-1, 0]."""
+    w = level.shape[0]
+    half = w // 2
+
+    def body(k, carry):
+        cur, heap = carry
+        nxt = _compress_pairs_traced(cur)  # (w/2, 4)
+        heap = gf.GF(
+            jax.lax.dynamic_update_index_in_dim(heap.lo, nxt.lo, k, 0),
+            jax.lax.dynamic_update_index_in_dim(heap.hi, nxt.hi, k, 0),
+        )
+        cur = gf.concatenate([nxt, nxt], axis=0)  # restore width; prefix valid
+        return cur, heap
+
+    heap0 = gf.zeros((TAIL_LOG, half, 4))
+    _, heap = jax.lax.fori_loop(0, TAIL_LOG, body, (level, heap0))
+    return heap
+
+
+@jax.jit
+def _pad_tail_input(level: gf.GF) -> gf.GF:
+    pad = (1 << TAIL_LOG) - level.shape[0]
+    if pad == 0:
+        return level
+    return gf.concatenate([level, gf.zeros((pad, 4))], axis=0)
+
+
+@partial(jax.jit, static_argnames=("t",))
+def _tail_root(tail: gf.GF, t: int) -> gf.GF:
+    return gf.GF(tail.lo[t - 1, 0], tail.hi[t - 1, 0])
+
+
+@jax.jit
+def _root_of(last_level: gf.GF) -> gf.GF:
+    """(1, 4) root level → (4,) digest (jitted: an eager GF index costs
+    ~3-5 ms per plane over the tunnel, paid once per commit round)."""
+    return gf.GF(last_level.lo[0], last_level.hi[0])
+
+
+@partial(jax.jit, static_argnames=("shift", "tail_t"))
+def _paths_from_idx_tail_kernel(
+    levels: tuple, tail: gf.GF, idx0, shift: int, tail_t: int
+) -> gf.GF:
+    """Path siblings when the tree has a fused tail: big levels are
+    separate arrays, tail levels live in the heap slabs."""
+    idx = idx0 >> shift
+    outs = []
+    for lvl in levels:
+        sib = idx ^ 1
+        outs.append(
+            gf.GF(jnp.take(lvl.lo, sib, axis=0), jnp.take(lvl.hi, sib, axis=0))
+        )
+        idx = idx >> 1
+    for k in range(tail_t - 1):
+        sib = idx ^ 1
+        outs.append(
+            gf.GF(
+                jnp.take(tail.lo[k], sib, axis=0),
+                jnp.take(tail.hi[k], sib, axis=0),
+            )
+        )
+        idx = idx >> 1
+    return gf.stack(outs, axis=1)  # (Q, depth, 4)
+
+
+def _use_tail(num_digests: int) -> bool:
+    return (
+        jax.default_backend() != "cpu"
+        and _TAIL_MIN <= num_digests <= (1 << TAIL_LOG)
+    )
+
+
 def tree_levels(leaves) -> tuple:
     """All digest levels of a tree — callable inside a jit trace.
 
@@ -146,10 +255,18 @@ def _fuse() -> bool:
 
 @dataclasses.dataclass
 class MerkleTree:
-    """Levels of digests; levels[0] = leaf-pair digests, levels[-1] = root."""
+    """Digest levels; levels[0] = leaf-pair digests.
+
+    Without a tail, levels run all the way to the root (levels[-1] is
+    the (1, 4) root). With a fused tail (TPU), `levels` holds only the
+    big levels and `tail` is the heap of every remaining level down to
+    the root (see _tree_tail_kernel); `tail_t` = log2 of the last big
+    level's size = number of tail levels."""
 
     leaves: object  # GF (N,) | GF2 (N,) | GF (K, N) — bit-reversed codeword(s)
-    levels: list  # list of GF (M, 4), M = N/2, N/4, ..., 1
+    levels: list  # list of GF (M, 4)
+    tail: object = None  # GF (TAIL_LOG, 2^(TAIL_LOG-1), 4) | None
+    tail_t: int = 0
 
     @staticmethod
     def from_leaves(leaves) -> "MerkleTree":
@@ -163,16 +280,31 @@ class MerkleTree:
             lvl = _leaf_digests_base(leaves)
         levels = [lvl]
         while levels[-1].shape[0] > 1:
+            m = levels[-1].shape[0]
+            if _use_tail(m):
+                tail = _tree_tail_kernel(_pad_tail_input(levels[-1]))
+                return MerkleTree(
+                    leaves=leaves, levels=levels, tail=tail,
+                    tail_t=m.bit_length() - 1,
+                )
             levels.append(_compress_level(levels[-1]))
         return MerkleTree(leaves=leaves, levels=levels)
 
+    def root_gf(self) -> gf.GF:
+        """Root digest as a device GF (4,) — no pull, no eager ops."""
+        if self.tail is not None:
+            return _tail_root(self.tail, self.tail_t)
+        return _root_of(self.levels[-1])
+
     @property
     def root(self) -> Digest:
-        r = gf.to_u64(self.levels[-1][0])
+        r = gf.to_u64(self.root_gf())
         return tuple(int(x) for x in r)
 
     @property
     def depth(self) -> int:
+        if self.tail is not None:
+            return len(self.levels) - 1 + self.tail_t
         return len(self.levels) - 1
 
     def paths_dev(self, pair_indices: np.ndarray) -> gf.GF | None:
@@ -194,6 +326,10 @@ class MerkleTree:
         dim-2048 prove (the round-2 `open_queries` profile)."""
         if self.depth == 0:
             return None
+        if self.tail is not None:
+            return _paths_from_idx_tail_kernel(
+                tuple(self.levels), self.tail, idx0_dev, shift, self.tail_t
+            )
         return _paths_from_idx_kernel(tuple(self.levels[:-1]), idx0_dev, shift)
 
     def paths(self, pair_indices: np.ndarray) -> np.ndarray:

@@ -197,7 +197,10 @@ def _prep(vp: VirtualPolynomial):
     from ..poly import mle as mle_mod
     from .. import glue
 
-    stacked, m_pad = _stack_mles(vp)
+    if vp.prestacked is not None:
+        stacked, m_pad = vp.prestacked, vp.prestacked.shape[0]
+    else:
+        stacked, m_pad = _stack_mles(vp)
     ones_row = m_pad - 1
     pn_pad = _bucket(len(vp.products))
     max_degree = vp.max_degree
@@ -249,26 +252,39 @@ def prove_device(vp: VirtualPolynomial, dt) -> ProverOutput:
             big_msgs.append(msg)
             big_chals.append(r)
 
+    from .. import glue
+
     n_tail = min(n, n_bucket)
     l, l_buf = stacked.shape[1], 1 << n_bucket
     if l_buf > l:
-        stacked = gf.ext_concatenate(
-            [stacked, gf.ext_zeros((m_pad, l_buf - l))], axis=1
-        )
+        stacked = _pad_width(stacked, l_buf - l)
     msgs, chals, finals, dt.state = _fused_kernel(
         stacked, coeffs, idx, dt.state, jnp.int32(n_tail),
         n_points=max_degree + 1, degree=max_degree,
         n_bucket=n_bucket, m_pad=m_pad, pn_pad=pn_pad,
     )
-    msgs = msgs[:n_tail]
-    chals = chals[:n_tail]
+    # all slicing/stacking below is jitted — each eager GF2 op costs
+    # ~3-5 ms × 4 planes over the tunnel
+    msgs = glue.prefix(msgs, n_tail)
+    chals = glue.prefix(chals, n_tail)
     if big_msgs:
-        msgs = gf.ext_concatenate([gf.ext_stack(big_msgs, axis=0), msgs], axis=0)
-        chals = gf.ext_concatenate([gf.ext_stack(big_chals), chals])
+        msgs = _concat0(glue.stack0(big_msgs), msgs)
+        chals = _concat0(glue.stack0(big_chals), chals)
     return ProverOutput(
         proof=SumcheckProof(point=chals, round_messages=msgs),
-        final_evals=finals[: len(vp.mles)],
+        final_evals=glue.prefix(finals, vp.row_count()),
     )
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def _pad_width(stacked, pad: int):
+    m = stacked.shape[0]
+    return gf.ext_concatenate([stacked, gf.ext_zeros((m, pad))], axis=1)
+
+
+@jax.jit
+def _concat0(a, b):
+    return gf.ext_concatenate([a, b], axis=0)
 
 
 def prove_fused(vp: VirtualPolynomial, transcript: BasicTranscript) -> ProverOutput:

@@ -57,6 +57,16 @@ class VirtualPolynomial:
     # the per-product coeff entries (used when coeffs are data-dependent
     # device scalars, e.g. logup level batching)
     coeffs_dev: object = None
+    # optional pre-stacked (m_pad, 2^num_vars) GF2 row matrix (row m_pad-1
+    # = constant ones) built by the CALLER inside one jit — skips
+    # _stack_mles and lets callers slice rows in-kernel instead of paying
+    # ~3-5 ms per eager GF2 slice over the tunnel. When set, `mles` may
+    # be left empty and `num_rows` gives the real (unpadded) row count.
+    prestacked: object = None
+    num_rows: int = 0
+
+    def row_count(self) -> int:
+        return self.num_rows if self.prestacked is not None else len(self.mles)
 
     @property
     def max_degree(self) -> int:

@@ -19,6 +19,7 @@ from . import quantization as Q
 from .layers.activation import Relu
 from .layers.requant import Requant
 from .layers.convolution import Convolution
+from .layers.pad import Pad2D
 from .layers.dense import Dense
 from .layers.pooling import Maxpool2D
 from .layers.shape_ops import Flatten, Reshape
@@ -40,6 +41,7 @@ class FDense:
 class FConv:
     weight: np.ndarray  # (kw, kx, k, k) f32
     bias: np.ndarray
+    stride: int = 1
 
     def forward(self, x):
         """Valid cross-correlation embedded in the padded n×n grid, output
@@ -57,6 +59,24 @@ class FConv:
         res = np.einsum("cyxij,ocij->oyx", win, self.weight)
         out = np.zeros((next_pow2(kw), n, n), dtype=np.float64)
         out[:kw, :v, :v] = res + self.bias[:, None, None]
+        if self.stride > 1:
+            out = np.ascontiguousarray(out[:, :: self.stride, :: self.stride])
+        return out
+
+
+@dataclasses.dataclass
+class FPad:
+    """Spatial zero-pad by `pad` on every edge (feeds padded convs)."""
+
+    pad: int
+
+    def forward(self, x):
+        from .tensor import next_pow2
+
+        c, n, _ = x.shape
+        n_out = next_pow2(n + 2 * self.pad)
+        out = np.zeros((next_pow2(c), n_out, n_out), dtype=np.float64)
+        out[:c, self.pad : self.pad + n, self.pad : self.pad + n] = x
         return out
 
 
@@ -216,14 +236,25 @@ def quantize(
             b_q = np.clip(
                 np.round(op.bias / (s_in.scale * s_w.scale)), -(1 << 25), 1 << 25
             ).astype(np.int64)
-            conv = Convolution(filter=w_q, bias=b_q, input_shape=shape_of(src_i))
+            conv = Convolution(
+                filter=w_q, bias=b_q, input_shape=shape_of(src_i),
+                stride=op.stride,
+            )
             nid = q.add_node(conv, [edge_of(src_i)])
             m = s_in.m(s_w, s_out)
             nid = q.add_node(
                 Requant(spec=RequantSpec.from_multiplier(m, conv.output_bitsize())),
                 [Edge(node=nid, index=0)],
             )
-            produced[i] = (nid, s_out, (conv.kw, conv.n, conv.n))
+            n_out = conv.n // conv.stride
+            produced[i] = (nid, s_out, (conv.kw, n_out, n_out))
+        elif isinstance(op, FPad):
+            (src_i,) = inputs
+            pad_l = Pad2D(pad=op.pad, input_shape=shape_of(src_i))
+            nid = q.add_node(pad_l, [edge_of(src_i)])
+            produced[i] = (
+                nid, scale_of(src_i), (pad_l.c, pad_l.n_out, pad_l.n_out)
+            )
         elif isinstance(op, FRelu):
             (src_i,) = inputs
             nid = q.add_node(Relu(), [edge_of(src_i)])

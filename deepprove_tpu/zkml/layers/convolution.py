@@ -251,17 +251,29 @@ def phi_row_ext(point: list[ExtPair], omega: int, n: int, scale: int = 1) -> gf.
 
 @dataclasses.dataclass
 class Convolution:
-    """filter (kw, kx, kh, kh) int64, bias (kw,), for (kx, n, n) inputs."""
+    """filter (kw, kx, kh, kh) int64, bias (kw,), for (kx, n, n) inputs.
+
+    stride ∈ {1, 2, 4, ...} (power of two): a strided conv is proven as
+    the FULL stride-1 conv with the output claim's row/col points
+    extended by constant-ZERO variables — subsampling by 2^s fixes the s
+    low index bits of each axis to 0, so O_strided~(pt) equals the full
+    clearing sumcheck at the extended point (eq(x_b, 0) = 1 − x_b selects
+    even indices). Zero extra protocol cost beyond proving the full conv;
+    the reference has no strided-conv support at all (parser rejects it,
+    zkml/src/parser/onnx.rs)."""
 
     filter: np.ndarray
     bias: np.ndarray
     input_shape: tuple  # (kx, n, n); n power of two
+    stride: int = 1
 
     def __post_init__(self):
         self.filter = np.asarray(self.filter, dtype=np.int64)
         self.bias = np.asarray(self.bias, dtype=np.int64)
         kx, n, n2 = self.input_shape
         assert n == n2 and n & (n - 1) == 0, "square pow2 inputs"
+        s = int(self.stride)
+        assert s >= 1 and s & (s - 1) == 0 and s < n, "stride must be pow2 < n"
         self.kw = next_pow2(self.filter.shape[0])
         self.kx = next_pow2(kx)
         self.k = self.filter.shape[2]
@@ -337,8 +349,10 @@ class Convolution:
     def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
         x = inputs[0].data
         _, b_vals = self._conv_field(x)
-        out = b_vals * self.mask()[None, :]
-        return [Tensor(out.reshape(self.kw, self.n, self.n))]
+        out = (b_vals * self.mask()[None, :]).reshape(self.kw, self.n, self.n)
+        if self.stride > 1:
+            out = out[:, :: self.stride, :: self.stride]
+        return [Tensor(np.ascontiguousarray(out))]
 
     def output_bitsize(self) -> int:
         kxk2 = self.filter.shape[1] * self.k * self.k
@@ -354,7 +368,8 @@ class Convolution:
             BIAS_POLY_ID: gf.from_u64(Q.to_field(bias_pad)),
         }
         return ConvCtx(
-            node_id=node_id, kw=self.kw, kx=self.kx, n=self.n, k=self.k
+            node_id=node_id, kw=self.kw, kx=self.kx, n=self.n, k=self.k,
+            stride=self.stride,
         )
 
     # -- proving -------------------------------------------------------------
@@ -372,6 +387,23 @@ class Convolution:
         log_j = ceil_log2(self.kx)
         log_t = ceil_log2(self.N)
         one = glue.one()
+
+        if self.stride > 1:
+            # strided output claim → full-grid claim: insert `log_s`
+            # constant-zero vars at the low bits of each spatial axis
+            # (eq(x_b, 0) selects even indices; see class docstring)
+            log_n = ceil_log2(self.n)
+            ls = ceil_log2(self.stride)
+            lc = log_n - ls
+            pt = last_claim.point
+            c_bits = glue.prefix(pt, lc)
+            r_bits = glue.prefix(glue.suffix(pt, lc), lc)
+            i_bits = glue.suffix(pt, 2 * lc)
+            zeros = [glue.zero()] * ls
+            full_pt = glue.concat_points(
+                zeros + [c_bits] + zeros + [r_bits, i_bits]
+            )
+            last_claim = glue.DevClaim(point=full_pt, eval=last_claim.eval)
 
         c, b_vals = self._conv_field(x)
         mask = self.mask()
@@ -530,6 +562,7 @@ class ConvCtx:
     kx: int
     n: int
     k: int
+    stride: int = 1
 
     @property
     def is_provable(self) -> bool:
@@ -541,6 +574,16 @@ class ConvCtx:
         N = 2 * n2
         log_p, log_i = ceil_log2(n2), ceil_log2(self.kw)
         log_j, log_t = ceil_log2(self.kx), ceil_log2(N)
+
+        if self.stride > 1:
+            # mirror the prover's strided-point extension (class docstring)
+            log_n = ceil_log2(self.n)
+            ls = ceil_log2(self.stride)
+            lc = log_n - ls
+            pt = list(last_claim.point)
+            z = [(0, 0)] * ls
+            full_pt = z + pt[:lc] + z + pt[lc:]
+            last_claim = Claim(point=full_pt, eval=last_claim.eval)
 
         # 1. clearing
         sub1 = sumcheck_verify(

@@ -5,8 +5,20 @@ zkml/src/model/llm.rs:29,97 (Driver). Uses a tiny synthetic GPT-2-shaped
 checkpoint (CI-hermetic, like the reference's gpt2_internal.py export).
 """
 
+import os
+
 import numpy as np
 import pytest
+
+# The prove/verify e2e tests compile the full transformer proving stack on
+# the CPU test mesh — XLA CPU takes 40+ minutes of kernel compiles even at
+# this tiny config, so they are opt-in (the TPU bench's gpt2 mode runs the
+# same path end-to-end on real hardware, and the generation-loop test
+# below covers the Driver logic cheaply).
+_RUN_SLOW = os.environ.get("ZKML_RUN_LLM_TESTS", "") not in ("", "0")
+slow_llm = pytest.mark.skipif(
+    not _RUN_SLOW, reason="set ZKML_RUN_LLM_TESTS=1 (XLA CPU compiles ~40 min)"
+)
 
 from deepprove_tpu.transcript import BasicTranscript
 from deepprove_tpu.zkml.iop import Context, Prover, verify
@@ -32,6 +44,7 @@ def test_gpt2_generation_loop():
     assert all(0 <= t < 32 for t in out_tokens)
 
 
+@slow_llm
 def test_gpt2_prove_one_step_e2e():
     model, meta, toks = _tiny()
     trace = model.run([Tensor(toks)])
@@ -42,6 +55,7 @@ def test_gpt2_prove_one_step_e2e():
     verify(ctx, proof, IO([Tensor(toks)], trace.outputs), BasicTranscript(b"m2vec"))
 
 
+@slow_llm
 def test_gpt2_tamper_rejected():
     model, meta, toks = _tiny()
     trace = model.run([Tensor(toks)])

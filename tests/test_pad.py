@@ -1,0 +1,70 @@
+"""Pad2D layer: semantics + prove/verify roundtrip + padded-conv e2e."""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.convolution import Convolution
+from deepprove_tpu.zkml.layers.pad import Pad2D
+from deepprove_tpu.zkml.model import Model
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def test_pad_semantics(rng):
+    c, n, p = 2, 4, 1
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(c, n, n)).astype(np.int64)
+    pad = Pad2D(pad=p, input_shape=(c, n, n))
+    out = pad.evaluate([Tensor(x)])[0].data
+    assert out.shape == (2, 8, 8)
+    np.testing.assert_array_equal(out[:, p : p + n, p : p + n], x)
+    assert out.sum() == x.sum()
+
+
+def test_pad_prove_verify_and_tamper(rng):
+    c, n, p = 2, 4, 1
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(c, n, n)).astype(np.int64)
+    model = Model()
+    model.add_chain(Pad2D(pad=p, input_shape=(c, n, n)))
+    xt = Tensor(x)
+    trace = model.run([xt])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([xt], trace.outputs), BasicTranscript(b"m2vec"))
+    msgs = proof.steps[0].sumcheck.round_messages
+    msgs[0][0] = ((msgs[0][0][0] + 1) % ((1 << 64) - (1 << 32) + 1), msgs[0][0][1])
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([xt], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_padded_conv_e2e(rng):
+    """Pad2D → Convolution == ONNX Conv(pads=1) semantics on the real region."""
+    c, n, k, kw, p = 1, 4, 3, 2, 1
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(c, n, n)).astype(np.int64)
+    w = rng.integers(Q.MIN, Q.MAX + 1, size=(kw, c, k, k)).astype(np.int64)
+    b = rng.integers(Q.MIN, Q.MAX + 1, size=kw).astype(np.int64)
+    model = Model()
+    model.add_chain(Pad2D(pad=p, input_shape=(c, n, n)))
+    model.add_chain(Convolution(filter=w, bias=b, input_shape=(c, 8, 8)))
+    xt = Tensor(x)
+    trace = model.run([xt])
+    out = trace.outputs[0].data
+    # ONNX 'same-ish' conv: semantic output (n+2p-k+1)² at origin
+    import numpy.lib.stride_tricks as st
+
+    xp = np.zeros((c, n + 2 * p, n + 2 * p), dtype=np.int64)
+    xp[:, p : p + n, p : p + n] = x
+    v = n + 2 * p - k + 1
+    for i in range(kw):
+        for y in range(v):
+            for cx in range(v):
+                acc = sum(
+                    int((xp[j, y : y + k, cx : cx + k] * w[i, j]).sum())
+                    for j in range(c)
+                )
+                assert out[i, y, cx] == acc + b[i]
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([xt], trace.outputs), BasicTranscript(b"m2vec"))

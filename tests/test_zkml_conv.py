@@ -95,3 +95,39 @@ def test_conv_rejects_tampered(rng):
     bad = Tensor(trace.outputs[0].data + 1)
     with pytest.raises(AssertionError):
         verify(ctx, proof, IO([xt], [bad]), BasicTranscript(b"m2vec"))
+
+
+def test_strided_conv_semantics(rng):
+    kx, n, k, kw, s = 2, 8, 3, 2, 2
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(kx, n, n)).astype(np.int64)
+    w = rng.integers(Q.MIN, Q.MAX + 1, size=(kw, kx, k, k)).astype(np.int64)
+    b = rng.integers(Q.MIN, Q.MAX + 1, size=kw).astype(np.int64)
+    conv = Convolution(filter=w, bias=b, input_shape=(kx, n, n), stride=s)
+    out = conv.evaluate([Tensor(x)])[0].data
+    # strided output == full masked output subsampled
+    full = naive_corr(x, w, b)
+    v = n - k + 1
+    row_ok = (np.arange(n)[::s] < v)
+    np.testing.assert_array_equal(
+        out,
+        full[:, ::s, ::s] * row_ok[None, :, None] * row_ok[None, None, :],
+    )
+
+
+def test_strided_conv_prove_verify_and_tamper(rng):
+    kx, n, k, kw, s = 1, 8, 3, 2, 2
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(kx, n, n)).astype(np.int64)
+    w = rng.integers(Q.MIN, Q.MAX + 1, size=(kw, kx, k, k)).astype(np.int64)
+    b = rng.integers(Q.MIN, Q.MAX + 1, size=kw).astype(np.int64)
+    model = Model()
+    model.add_chain(Convolution(filter=w, bias=b, input_shape=(kx, n, n), stride=s))
+    xt = Tensor(x)
+    trace = model.run([xt])
+    ctx = Context.generate(model, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    verify(ctx, proof, IO([xt], trace.outputs), BasicTranscript(b"m2vec"))
+    # tamper: corrupt the clearing sumcheck first message
+    msgs = proof.steps[0].clearing.round_messages
+    msgs[0][0] = ((msgs[0][0][0] + 1) % ((1 << 64) - (1 << 32) + 1), msgs[0][0][1])
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([xt], trace.outputs), BasicTranscript(b"m2vec"))
