@@ -44,7 +44,12 @@ _KERNEL_CACHE: dict = {}
 
 
 def _shard_kernel(mesh: Mesh, max_degree, fold):
-    """One sharded sumcheck round: local fold + message, psum over 'x'."""
+    """One sharded sumcheck round: local fold + message, psum over the
+    mesh's device axes. Multi-axis meshes (multihost_mesh's dcn × ici)
+    shard the hypercube over BOTH axes; the psum reduces over ici first
+    (XLA orders reductions innermost-axis-first), so cross-host DCN
+    traffic is one (deg+1)-vector per host per round."""
+    axes = tuple(mesh.axis_names)
     key = (id(mesh), max_degree, fold)
     if key in _KERNEL_CACHE:
         return _KERNEL_CACHE[key]
@@ -54,10 +59,10 @@ def _shard_kernel(mesh: Mesh, max_degree, fold):
             stacked, coeffs, prod_idx, r,
             n_points=max_degree + 1, degree=max_degree, fold=fold,
         )
-        # psum the (deg+1) message over the device axis
+        # psum the (deg+1) message over the device axes
         msg = gf.GF2(
-            gf.GF(*_psum_u32_pair(msg.a0.lo, msg.a0.hi)),
-            gf.GF(*_psum_u32_pair(msg.a1.lo, msg.a1.hi)),
+            gf.GF(*_psum_u32_pair(msg.a0.lo, msg.a0.hi, axes)),
+            gf.GF(*_psum_u32_pair(msg.a1.lo, msg.a1.hi, axes)),
         )
         return new_stacked, msg
 
@@ -74,12 +79,12 @@ def _shard_kernel(mesh: Mesh, max_degree, fold):
         body,
         mesh=mesh,
         in_specs=(
-            _gf2_spec(P(None, "x")),
+            _gf2_spec(P(None, axes)),
             _gf2_spec(P(None)),
             P(None, None),
             _gf2_spec(P()),
         ),
-        out_specs=(_gf2_spec(P(None, "x")), _gf2_spec(P(None))),
+        out_specs=(_gf2_spec(P(None, axes)), _gf2_spec(P(None))),
         **kwargs,
     )
     _KERNEL_CACHE[key] = kern
@@ -90,7 +95,7 @@ def _gf2_spec(spec):
     return gf.GF2(gf.GF(spec, spec), gf.GF(spec, spec))
 
 
-def _psum_u32_pair(lo, hi):
+def _psum_u32_pair(lo, hi, axes=("x",)):
     """Modular sum over the device axis of a GF in u32 limb planes.
 
     Widen to u64-equivalent via per-limb psum with carry handling: sum the
@@ -103,10 +108,10 @@ def _psum_u32_pair(lo, hi):
     d1 = (lo >> jnp.uint32(16)).astype(jnp.uint32)
     d2 = (hi & jnp.uint32(0xFFFF)).astype(jnp.uint32)
     d3 = (hi >> jnp.uint32(16)).astype(jnp.uint32)
-    s0 = jax.lax.psum(d0, "x")
-    s1 = jax.lax.psum(d1, "x")
-    s2 = jax.lax.psum(d2, "x")
-    s3 = jax.lax.psum(d3, "x")
+    s0 = jax.lax.psum(d0, axes)
+    s1 = jax.lax.psum(d1, axes)
+    s2 = jax.lax.psum(d2, axes)
+    s3 = jax.lax.psum(d3, axes)
     # digits now ≤ D·(2^16−1) < 2^32; carry-propagate and reduce mod p
     from ..fields.gf import _reduce128
 
@@ -144,8 +149,8 @@ def prove_sharded(
         idx[i, : len(fs)] = fs
     idx = jnp.asarray(idx)
 
-    # place the stacked MLEs sharded over the trailing axis
-    sharding = NamedSharding(mesh, P(None, "x"))
+    # place the stacked MLEs sharded over the trailing axis (all mesh axes)
+    sharding = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
     stacked = gf.GF2(
         gf.GF(
             jax.device_put(stacked.a0.lo, sharding),

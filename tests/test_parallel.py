@@ -54,3 +54,23 @@ def test_sharded_sumcheck_transcript_identical(rng):
     )
     sub = verify(s, out_sharded.proof.round_messages, n, 3, BasicTranscript(b"devirgo"))
     assert sub.point == out_sharded.proof.point
+
+
+def test_multihost_mesh_sumcheck_transcript_identical(rng):
+    """Two-axis dcn×ici mesh (multihost layout): same transcript as the
+    single-chip prover — DCN-outer/ICI-inner sharding is exercised on the
+    virtual 8-device mesh as 2 hosts × 4 chips."""
+    from deepprove_tpu.parallel.prover import multihost_mesh
+
+    n = 7
+    vp1 = build_vp(rng, n)
+    t1 = BasicTranscript(b"mh")
+    out1 = prove(vp1, t1)
+
+    mesh = multihost_mesh(2, 4)
+    t2 = BasicTranscript(b"mh")
+    out2 = prove_sharded(vp1, t2, mesh)
+    assert out1.proof.point == out2.proof.point
+    assert out1.proof.round_messages == out2.proof.round_messages
+    assert out1.final_evals == out2.final_evals
+    assert t1.challenger.state.tolist() == t2.challenger.state.tolist()
