@@ -619,15 +619,21 @@ def ext_sum_all(a: GF2) -> GF2:
     return GF2(sum_all(a.a0), sum_all(a.a1))
 
 
+@jax.jit
+def _pack_flat(arrays: tuple):
+    """Flatten+concat INSIDE one jit — a proof tree holds hundreds of
+    leaves and each eager reshape costs ~3-5 ms over the tunnel."""
+    return jnp.concatenate([a.reshape(-1) for a in arrays])
+
+
 def pull_u32(arrays) -> list:
     """ONE device→host transfer for many u32 arrays (concat + split).
 
     Remote (tunneled) devices charge a full round trip per pulled buffer;
     batching pulls is the difference between ms and minutes per proof.
     """
-    flats = [a.reshape(-1) for a in arrays]
-    sizes = [int(f.shape[0]) for f in flats]
-    packed = np.asarray(jax.device_get(jnp.concatenate(flats)))
+    sizes = [int(np.prod(a.shape)) for a in arrays]
+    packed = np.asarray(jax.device_get(_pack_flat(tuple(arrays))))
     out = []
     off = 0
     for a, s in zip(arrays, sizes):

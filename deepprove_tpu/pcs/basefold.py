@@ -908,58 +908,97 @@ def _eq_table_host(point: list[ExtPair]) -> list[ExtPair]:
     return table
 
 
-def _verify_query(
+# ---------------------------------------------------------------------------
+# batched query verification: all 200 queries walk the fold chain as
+# numpy arrays, with ONE batched Poseidon compress per Merkle level
+# (native C kernel) instead of per-query Python loops — verify was
+# ~200 × depth × 0.3 ms of numpy call overhead per tree (~5 s of the
+# Dense-4M verify) before batching.
+# ---------------------------------------------------------------------------
+
+
+def _ext_np(pairs) -> np.ndarray:
+    """List of ExtPair → (N, 2) uint64."""
+    return np.asarray(pairs, dtype=np.uint64)
+
+
+def _verify_paths_batch(leaf_digests, idxs, paths, root, label: str):
+    """Recompute roots for a batch of Merkle paths.
+
+    leaf_digests (Q, 4) u64, idxs (Q,) pair indices, paths (Q, D, 4)."""
+    from .. import native
+    from ..hashing import poseidon2 as _p2
+
+    d = np.asarray(leaf_digests, dtype=np.uint64)
+    ii = np.asarray(idxs, dtype=np.int64).copy()
+    depth = paths.shape[1]
+    batched = native.get_lib() is not None
+    for lvl in range(depth):
+        sib = paths[:, lvl, :]
+        odd = (ii & 1).astype(bool)[:, None]
+        left = np.where(odd, sib, d)
+        right = np.where(odd, d, sib)
+        if batched:
+            d = _p2.compress_host(left, right)
+        else:  # numpy fallback is per-row (hash_n_to_m concatenates axis 0)
+            d = np.stack(
+                [_p2.compress_host(left[i], right[i]) for i in range(d.shape[0])]
+            )
+        ii >>= 1
+    want = np.broadcast_to(np.asarray(root, dtype=np.uint64), d.shape)
+    assert np.array_equal(d, want), label
+
+
+def _verify_fold_chain_batch(
     params: BasefoldParams,
-    q: QueryOpening,
-    index: int,
+    queries: list,
+    idx_pairs: np.ndarray,
     fold_challenges: list[ExtPair],
     num_rounds: int,
-    full_log: int,
+    start_level: int,
     final_codeword: list[ExtPair],
     roots: list[Digest],
-    comm_root: Digest,
-    is_base: bool,
+    cur_lo: np.ndarray,  # (Q, 2) ext
+    cur_hi: np.ndarray,
+    merge_fn=None,  # optional (rnd, cur_lo, cur_hi) -> (cur_lo, cur_hi)
 ):
-    """Walk one query down the fold chain (query_phase.rs check)."""
-    from .merkle import leaf_digest_host
-
-    pair = index >> 1
-    lo, hi = q.commitment_pair
-    if is_base:
-        ld = leaf_digest_host(lo, hi, ext=False)
-        cur = ((int(lo), 0), (int(hi), 0))
-    else:
-        ld = leaf_digest_host(lo, hi, ext=True)
-        cur = (lo, hi)
-    assert verify_path(ld, pair, q.commitment_path, comm_root), "commitment path"
-
-    level = full_log - 1
-    idx = pair
-    cur_lo, cur_hi = cur
+    """All queries' fold chains at once (query_phase.rs re-fold check)."""
+    q_n = len(queries)
+    idxs = np.asarray(idx_pairs, dtype=np.int64).copy()
+    level = start_level
+    fc = _ext_np(final_codeword)
+    zeros = np.zeros(q_n, dtype=np.uint64)
     for rnd in range(num_rounds):
         x0s, ws = params.fold_coeffs_host(level)
-        x0 = (int(x0s[idx]), 0)
-        w = (int(ws[idx]), 0)
-        r = fold_challenges[rnd]
-        folded = host.ext_add(
+        x0 = np.stack([x0s[idxs], zeros], axis=-1)
+        w = np.stack([ws[idxs], zeros], axis=-1)
+        r = np.broadcast_to(_ext_np([fold_challenges[rnd]]), (q_n, 2))
+        folded = host.ext_add_v(
             cur_lo,
-            host.ext_mul(
-                host.ext_mul(host.ext_sub(r, x0), w), host.ext_sub(cur_hi, cur_lo)
+            host.ext_mul_v(
+                host.ext_mul_v(host.ext_sub_v(r, x0), w),
+                host.ext_sub_v(cur_hi, cur_lo),
             ),
         )
         if rnd == num_rounds - 1:
-            assert folded == final_codeword[idx], "final codeword mismatch"
+            assert np.array_equal(folded, fc[idxs]), "final codeword mismatch"
             return
-        nxt_pair = idx >> 1
-        o_lo, o_hi = q.oracle_pairs[rnd]
-        got = o_hi if idx & 1 else o_lo
-        assert folded == got, f"fold chain mismatch at round {rnd}"
-        ld = leaf_digest_host(o_lo, o_hi, ext=True)
-        assert verify_path(ld, nxt_pair, q.oracle_paths[rnd], roots[rnd]), (
-            f"oracle path {rnd}"
+        nxt = idxs >> 1
+        op = np.asarray(
+            [q.oracle_pairs[rnd] for q in queries], dtype=np.uint64
+        )  # (Q, 2 sides, 2 ext)
+        o_lo, o_hi = op[:, 0, :], op[:, 1, :]
+        got = np.where((idxs & 1).astype(bool)[:, None], o_hi, o_lo)
+        assert np.array_equal(folded, got), f"fold chain mismatch round {rnd}"
+        ld = np.stack([o_lo[:, 0], o_lo[:, 1], o_hi[:, 0], o_hi[:, 1]], axis=-1)
+        paths = np.stack(
+            [np.asarray(q.oracle_paths[rnd], dtype=np.uint64) for q in queries]
         )
-        idx = nxt_pair
+        _verify_paths_batch(ld, nxt, paths, roots[rnd], f"oracle path {rnd}")
         cur_lo, cur_hi = o_lo, o_hi
+        if merge_fn is not None:
+            cur_lo, cur_hi = merge_fn(rnd, cur_lo, cur_hi)
+        idxs = nxt
         level -= 1
 
 
@@ -995,12 +1034,25 @@ def verify(
 
     final_codeword = _encode_final_message_host(params, proof.final_message)
 
-    for q, idx in zip(proof.queries, indices):
-        _verify_query(
-            params, q, idx, fold_challenges, num_rounds,
-            num_vars + params.rate_log, final_codeword, proof.roots,
-            commitment.root, is_base=True,
-        )
+    q_n = len(indices)
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    pairs = idx_arr >> 1
+    cp = np.asarray(
+        [q.commitment_pair for q in proof.queries], dtype=np.uint64
+    )  # (Q, 2) base elements
+    zeros = np.zeros(q_n, dtype=np.uint64)
+    ld = np.stack([cp[:, 0], cp[:, 1], zeros, zeros], axis=-1)
+    cpaths = np.stack(
+        [np.asarray(q.commitment_path, dtype=np.uint64) for q in proof.queries]
+    )
+    _verify_paths_batch(ld, pairs, cpaths, commitment.root, "commitment path")
+    cur_lo = np.stack([cp[:, 0], zeros], axis=-1)
+    cur_hi = np.stack([cp[:, 1], zeros], axis=-1)
+    _verify_fold_chain_batch(
+        params, proof.queries, pairs, fold_challenges, num_rounds,
+        num_vars + params.rate_log - 1, final_codeword, proof.roots,
+        cur_lo, cur_hi,
+    )
 
     # sumcheck chain (query_phase.rs:188-206)
     assert eval_ == _deg2_zero_plus_one(proof.sumcheck_messages[0]), "claimed eval"
@@ -1169,53 +1221,49 @@ def simple_batch_verify(
 
     final_codeword = _encode_final_message_host(params, proof.final_message)
 
-    from .merkle import leaf_digest_host as _ldh
     from ..hashing import poseidon2 as _p2
 
-    for q, index in zip(proof.queries, indices):
-        pair = index >> 1
-        los, his = q.commitment_pair
-        # batch leaf digest: compress(pack(los), pack(his))
-        packed_lo = np.zeros(4, dtype=np.uint64)
-        packed_hi = np.zeros(4, dtype=np.uint64)
-        for i in range(min(k, 4)):
-            packed_lo[i] = los[i]
-            packed_hi[i] = his[i]
+    q_n = len(indices)
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    pairs = idx_arr >> 1
+    # (Q, 2 sides, k) opened column values
+    cp = np.asarray(
+        [q.commitment_pair for q in proof.queries], dtype=np.uint64
+    )
+    los, his = cp[:, 0, :], cp[:, 1, :]
+    packed_lo = np.zeros((q_n, 4), dtype=np.uint64)
+    packed_hi = np.zeros((q_n, 4), dtype=np.uint64)
+    packed_lo[:, : min(k, 4)] = los[:, : min(k, 4)]
+    packed_hi[:, : min(k, 4)] = his[:, : min(k, 4)]
+    from .. import native
+
+    if native.get_lib() is not None:
         ld = _p2.compress_host(packed_lo, packed_hi)
-        assert verify_path(ld, pair, q.commitment_path, commitment.root), "batch leaf path"
-        # RLC the opened column values, then walk the fold chain
-        cur_lo, cur_hi = (0, 0), (0, 0)
-        for i in range(k):
-            cur_lo = host.ext_add(cur_lo, host.ext_mul(eq_t[i], (int(los[i]), 0)))
-            cur_hi = host.ext_add(cur_hi, host.ext_mul(eq_t[i], (int(his[i]), 0)))
-        level = num_vars + params.rate_log - 1
-        idx = pair
-        for rnd in range(num_rounds):
-            x0s, ws = params.fold_coeffs_host(level)
-            folded = host.ext_add(
-                cur_lo,
-                host.ext_mul(
-                    host.ext_mul(
-                        host.ext_sub(fold_challenges[rnd], (int(x0s[idx]), 0)),
-                        (int(ws[idx]), 0),
-                    ),
-                    host.ext_sub(cur_hi, cur_lo),
-                ),
-            )
-            if rnd == num_rounds - 1:
-                assert folded == final_codeword[idx], "final codeword mismatch"
-                break
-            nxt = idx >> 1
-            o_lo, o_hi = q.oracle_pairs[rnd]
-            got = o_hi if idx & 1 else o_lo
-            assert folded == got, f"fold chain mismatch round {rnd}"
-            ld = _ldh(o_lo, o_hi, ext=True)
-            assert verify_path(ld, nxt, q.oracle_paths[rnd], proof.roots[rnd]), (
-                f"oracle path {rnd}"
-            )
-            idx = nxt
-            cur_lo, cur_hi = o_lo, o_hi
-            level -= 1
+    else:
+        ld = np.stack(
+            [_p2.compress_host(packed_lo[i], packed_hi[i]) for i in range(q_n)]
+        )
+    cpaths = np.stack(
+        [np.asarray(q.commitment_path, dtype=np.uint64) for q in proof.queries]
+    )
+    _verify_paths_batch(ld, pairs, cpaths, commitment.root, "batch leaf path")
+    # RLC the opened column values, then walk the fold chain
+    zeros = np.zeros(q_n, dtype=np.uint64)
+    cur_lo = np.zeros((q_n, 2), dtype=np.uint64)
+    cur_hi = np.zeros((q_n, 2), dtype=np.uint64)
+    for i in range(k):
+        cv = np.broadcast_to(_ext_np([eq_t[i]]), (q_n, 2))
+        cur_lo = host.ext_add_v(
+            cur_lo, host.ext_mul_v(cv, np.stack([los[:, i], zeros], axis=-1))
+        )
+        cur_hi = host.ext_add_v(
+            cur_hi, host.ext_mul_v(cv, np.stack([his[:, i], zeros], axis=-1))
+        )
+    _verify_fold_chain_batch(
+        params, proof.queries, pairs, fold_challenges, num_rounds,
+        num_vars + params.rate_log - 1, final_codeword, proof.roots,
+        cur_lo, cur_hi,
+    )
 
     assert target_eval == _deg2_zero_plus_one(proof.sumcheck_messages[0]), "claimed eval"
     for i in range(len(fold_challenges) - 1):
@@ -1433,7 +1481,6 @@ def batch_verify(
     transcript: BasicTranscript,
 ):
     from ..sumcheck import verify as sumcheck_verify
-    from .merkle import leaf_digest_host as _ldh
 
     num_vars = max(len(p) for p in points)
     batch_size_log = max(1, (len(evals) - 1).bit_length()) if len(evals) > 1 else 0
@@ -1480,59 +1527,46 @@ def batch_verify(
         proof.sumcheck_messages[0]
     ), "batch claim mismatch"
 
-    for q, index in zip(proof.queries, indices):
-        # verify all commitment openings
+    q_n = len(indices)
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    zeros = np.zeros(q_n, dtype=np.uint64)
+    # per-commitment openings: (Q, n_comms, 2) base values
+    cp_all = np.asarray(
+        [q.commitment_pair for q in proof.queries], dtype=np.uint64
+    )
+    for ci, cm in enumerate(commitments):
+        shift = num_vars - cm.num_vars
+        cpairs = (idx_arr >> shift) >> 1
+        lo_ci, hi_ci = cp_all[:, ci, 0], cp_all[:, ci, 1]
+        ld = np.stack([lo_ci, hi_ci, zeros, zeros], axis=-1)
+        paths = np.stack(
+            [
+                np.asarray(q.commitment_path[ci], dtype=np.uint64)
+                for q in proof.queries
+            ]
+        )
+        _verify_paths_batch(ld, cpairs, paths, cm.root, f"commitment {ci} path")
+
+    def rlc_at(size_vars, cur_lo, cur_hi):
+        """Merge commitment contributions whose codeword matches."""
         for ci, (cm, c) in enumerate(zip(commitments, coeffs)):
-            shift = num_vars - cm.num_vars
-            pair = (index >> shift) >> 1
-            lo, hi = q.commitment_pair[ci]
-            ld = _ldh(int(lo), int(hi), ext=False)
-            assert verify_path(ld, pair, q.commitment_path[ci], cm.root), (
-                f"commitment {ci} path"
-            )
-        # walk the fold chain, merging commitment contributions at each size
-        idx_pair = index >> 1
-        level = num_vars + params.rate_log - 1
-        cur_lo, cur_hi = (0, 0), (0, 0)
-        for ci, (cm, c) in enumerate(zip(commitments, coeffs)):
-            if cm.num_vars == num_vars:
-                lo, hi = q.commitment_pair[ci]
-                cur_lo = host.ext_add(cur_lo, host.ext_mul(c, (int(lo), 0)))
-                cur_hi = host.ext_add(cur_hi, host.ext_mul(c, (int(hi), 0)))
-        idx = idx_pair
-        for rnd in range(num_rounds):
-            x0s, ws = params.fold_coeffs_host(level)
-            folded = host.ext_add(
-                cur_lo,
-                host.ext_mul(
-                    host.ext_mul(
-                        host.ext_sub(fold_challenges[rnd], (int(x0s[idx]), 0)),
-                        (int(ws[idx]), 0),
-                    ),
-                    host.ext_sub(cur_hi, cur_lo),
-                ),
-            )
-            if rnd == num_rounds - 1:
-                assert folded == final_codeword[idx], "final codeword mismatch"
-                break
-            nxt = idx >> 1
-            o_lo, o_hi = q.oracle_pairs[rnd]
-            got = o_hi if idx & 1 else o_lo
-            assert folded == got, f"batch fold chain mismatch round {rnd}"
-            ld = _ldh(o_lo, o_hi, ext=True)
-            assert verify_path(ld, nxt, q.oracle_paths[rnd], proof.roots[rnd]), (
-                f"oracle path {rnd}"
-            )
-            # merge commitments whose codeword size matches the next oracle
-            cur_lo, cur_hi = o_lo, o_hi
-            next_size_vars = num_vars - (rnd + 1)
-            for ci, (cm, c) in enumerate(zip(commitments, coeffs)):
-                if cm.num_vars == next_size_vars:
-                    lo, hi = q.commitment_pair[ci]
-                    cur_lo = host.ext_add(cur_lo, host.ext_mul(c, (int(lo), 0)))
-                    cur_hi = host.ext_add(cur_hi, host.ext_mul(c, (int(hi), 0)))
-            idx = nxt
-            level -= 1
+            if cm.num_vars == size_vars:
+                cv = np.broadcast_to(_ext_np([c]), (q_n, 2))
+                lo_p = np.stack([cp_all[:, ci, 0], zeros], axis=-1)
+                hi_p = np.stack([cp_all[:, ci, 1], zeros], axis=-1)
+                cur_lo = host.ext_add_v(cur_lo, host.ext_mul_v(cv, lo_p))
+                cur_hi = host.ext_add_v(cur_hi, host.ext_mul_v(cv, hi_p))
+        return cur_lo, cur_hi
+
+    cur_lo = np.zeros((q_n, 2), dtype=np.uint64)
+    cur_hi = np.zeros((q_n, 2), dtype=np.uint64)
+    cur_lo, cur_hi = rlc_at(num_vars, cur_lo, cur_hi)
+    _verify_fold_chain_batch(
+        params, proof.queries, idx_arr >> 1, fold_challenges, num_rounds,
+        num_vars + params.rate_log - 1, final_codeword, proof.roots,
+        cur_lo, cur_hi,
+        merge_fn=lambda rnd, lo, hi: rlc_at(num_vars - (rnd + 1), lo, hi),
+    )
 
     for i in range(len(fold_challenges) - 1):
         assert _deg2_eval(proof.sumcheck_messages[i], fold_challenges[i]) == (
