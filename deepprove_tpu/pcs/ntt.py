@@ -252,3 +252,48 @@ def subgroup_gen(lg_n: int) -> int:
     return int(
         host.pow_const(np.uint64(host.TWO_ADIC_GENERATOR), 1 << (host.TWO_ADICITY - lg_n))
     )
+
+
+@partial(jax.jit, static_argnames=("lg_n",))
+def _bit_reverse_rows_kernel(values, lg_n: int):
+    """Row-wise bit reversal of (B, 2^lg_n) GF/GF2 values."""
+    perm = _bit_reverse_perm_dev(lg_n)
+
+    def tk(a):
+        return jnp.take(a, perm, axis=1)
+
+    if isinstance(values, gf.GF2):
+        return gf.GF2(
+            gf.GF(tk(values.a0.lo), tk(values.a0.hi)),
+            gf.GF(tk(values.a1.lo), tk(values.a1.hi)),
+        )
+    return gf.GF(tk(values.lo), tk(values.hi))
+
+
+@jax.jit
+def _scale_all(values, c_arr):
+    if isinstance(values, gf.GF2):
+        return gf.GF2(gf.mul(values.a0, c_arr), gf.mul(values.a1, c_arr))
+    return gf.mul(values, c_arr)
+
+
+def fft_rows(values2d, inverse: bool = False):
+    """Batched row-wise (i)FFT: (B, N) → (B, N), natural order both ways.
+
+    The per-channel FFT loops in the conv layer dispatched B separate
+    13-stage transforms (≈ B·13 eager/jit calls per conv — the CNN-264k
+    prove spent ~19 s there); batched, every stage is ONE kernel. Stage
+    kernels are shared with the 1D path: a stage's (-1, m) reshape never
+    crosses rows because N is a multiple of m."""
+    b, n = values2d.shape
+    lg_n = n.bit_length() - 1
+    host_rows = _inv_root_rows_host(lg_n) if inverse else _root_rows_host(lg_n)
+    rows = [gf.from_u64(r) for r in host_rows]
+    v = _bit_reverse_rows_kernel(values2d, lg_n)
+    flat = v.reshape(-1)
+    flat = _butterflies(flat, lg_n, rows)
+    out = flat.reshape(b, n)
+    if inverse:
+        n_inv = int(host.pow_const(np.uint64(n), host.P - 2))
+        out = _scale_all(out, gf.from_u64(np.full((b, n), n_inv, dtype=np.uint64)))
+    return out

@@ -69,6 +69,18 @@ from functools import partial as _partial
 import jax as _jax
 
 
+@_partial(_jax.jit)
+def _freq_prod_kernel(x_fft: gf.GF, w_freq: gf.GF) -> gf.GF:
+    """prod[i] = Σ_j X_j ∘ Ŵ_ij in ONE dispatch: x_fft (kx, N),
+    w_freq (kw, kx, N) → (kw, N). (The per-channel python loops here cost
+    the CNN-264k prove ~19 s of eager dispatches.)"""
+    kw, kx, n = w_freq.shape
+    xb = gf.broadcast_to(x_fft.reshape(1, kx, n), (kw, kx, n))
+    return gf.sum_axis(gf.mul(xb, w_freq), axis=1)
+
+
+
+
 @_partial(_jax.jit, static_argnames=("omega", "n", "scale", "npt"))
 def _phi_row_kernel(pt: gf.GF2, omega: int, n: int, scale: int, npt: int) -> gf.GF2:
     """φ_pt[k] = scale·Π_b ((1−r_b) + r_b·ω^{2^b·k}) for a DEVICE point.
@@ -305,10 +317,7 @@ class Convolution:
             return self._freq_cache
         wt = self._w_tilde().reshape(-1)
         w_gf = gf.from_u64(Q.to_field(wt)).reshape(self.kw * self.kx, self.N)
-        rows = []
-        for r in range(self.kw * self.kx):
-            rows.append(ntt.fft(w_gf[r]))
-        out = gf.concatenate([r.reshape(1, self.N) for r in rows], axis=0).reshape(-1)
+        out = ntt.fft_rows(w_gf).reshape(-1)
         self._freq_cache = out
         return out
 
@@ -330,15 +339,10 @@ class Convolution:
         """Device FFT conv; returns (c GF2? no — GF (kw, N), B int64 (kw, n²))."""
         xt = self._x_tilde(x)
         x_gf = gf.from_u64(Q.to_field(xt.reshape(-1))).reshape(self.kx, self.N)
-        x_fft = [ntt.fft(x_gf[j]) for j in range(self.kx)]
-        w_freq = self.freq_weights().reshape(self.kw * self.kx, self.N)
-        c_rows = []
-        for i in range(self.kw):
-            acc = gf.zeros((self.N,))
-            for j in range(self.kx):
-                acc = gf.add(acc, gf.mul(x_fft[j], w_freq[i * self.kx + j]))
-            c_rows.append(ntt.ifft(acc))
-        c = gf.concatenate([r.reshape(1, self.N) for r in c_rows], axis=0)
+        x_fft = ntt.fft_rows(x_gf)  # (kx, N)
+        w_freq = self.freq_weights().reshape(self.kw, self.kx, self.N)
+        prod = _freq_prod_kernel(x_fft, w_freq)  # (kw, N)
+        c = ntt.fft_rows(prod, inverse=True)
         n2 = self.n * self.n
         c_u64 = gf.to_u64(c)
         bound = 1 << self.output_bitsize()
@@ -437,17 +441,9 @@ class Convolution:
         # prod(k, i) with i fixed: prod rows = Σ_j X_j ∘ Ŵ_ij  (recompute)
         xt = self._x_tilde(x)
         x_gf = gf.from_u64(Q.to_field(xt.reshape(-1))).reshape(self.kx, self.N)
-        x_fft_rows = [ntt.fft(x_gf[j]) for j in range(self.kx)]
-        w_freq = self.freq_weights().reshape(self.kw * self.kx, self.N)
-        prod_rows = []
-        for i in range(self.kw):
-            acc = gf.zeros((self.N,))
-            for j in range(self.kx):
-                acc = gf.add(acc, gf.mul(x_fft_rows[j], w_freq[i * self.kx + j]))
-            prod_rows.append(acc)
-        prod_flat = gf.concatenate(
-            [r.reshape(1, self.N) for r in prod_rows], axis=0
-        ).reshape(-1)  # (i high, k low)
+        x_fft = ntt.fft_rows(x_gf)  # (kx, N)
+        w_freq = self.freq_weights().reshape(self.kw, self.kx, self.N)
+        prod_flat = _freq_prod_kernel(x_fft, w_freq).reshape(-1)  # (i hi, k lo)
         prod_fixed = mle_mod._fix_high_kernel(prod_flat, s0_i, log_i)
 
         vp2 = VirtualPolynomial.new(log_t)
@@ -472,9 +468,7 @@ class Convolution:
         )
         eq_full = gf.ext_mul(ej, ei).reshape(-1)
         x_full = gf.broadcast_to(
-            gf.concatenate([x_fft_rows[j].reshape(1, self.N) for j in range(self.kx)], axis=0)
-            .reshape(1, self.kx, self.N),
-            (self.kw, self.kx, self.N),
+            x_fft.reshape(1, self.kx, self.N), (self.kw, self.kx, self.N)
         ).reshape(-1)
         w_full = self.freq_weights()
 
