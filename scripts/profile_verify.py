@@ -1,0 +1,90 @@
+"""Profile the Dense-4M verifier on the real TPU (run after bench warms cache).
+
+Usage: python scripts/profile_verify.py [--prove-too]
+Prints cProfile top entries for verify() plus wall times.
+"""
+
+import cProfile
+import io
+import os
+import pstats
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/deepprove_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from deepprove_tpu.transcript import BasicTranscript
+    from deepprove_tpu.zkml import quantization as Q
+    from deepprove_tpu.zkml.iop import Context, Prover, verify
+    from deepprove_tpu.zkml.iop.verifier import IO
+    from deepprove_tpu.zkml.layers.activation import Relu
+    from deepprove_tpu.zkml.layers.dense import Dense
+    from deepprove_tpu.zkml.layers.requant import Requant
+    from deepprove_tpu.zkml.model import Model
+    from deepprove_tpu.zkml.quantization import RequantSpec
+    from deepprove_tpu.zkml.tensor import Tensor
+
+    dim = int(os.environ.get("BENCH_DIM", "2048"))
+    rng = np.random.default_rng(0)
+    model = Model()
+    d = Dense(
+        matrix=rng.integers(Q.MIN, Q.MAX + 1, size=(dim, dim)).astype(np.int64),
+        bias=rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64),
+    )
+    model.add_chain(d)
+    spec = RequantSpec.from_multiplier(
+        1.0 / (1 << (Q.BIT_LEN - 1)) / dim, d.output_bitsize()
+    )
+    model.add_chain(Requant(spec=spec))
+    model.add_chain(Relu())
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=dim).astype(np.int64))
+    trace = model.run([x])
+    msg_log = int(os.environ.get("BENCH_MSG_LOG", "4"))
+    ctx = Context.generate(model, num_queries=200, basecode_msg_size_log=msg_log)
+
+    t0 = time.time()
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    print(f"prove (cold-ish): {time.time()-t0:.2f}s", flush=True)
+    t0 = time.time()
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    print(f"prove (warm): {time.time()-t0:.2f}s", flush=True)
+
+    if os.environ.get("PROFILE_PROVE"):
+        pr = cProfile.Profile()
+        pr.enable()
+        Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+        pr.disable()
+        s = io.StringIO()
+        pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(50)
+        print(s.getvalue(), flush=True)
+
+    io_obj = IO([x], trace.outputs)
+    t0 = time.time()
+    verify(ctx, proof, io_obj, BasicTranscript(b"m2vec"))
+    print(f"verify (cold-ish): {time.time()-t0:.2f}s", flush=True)
+    for _ in range(2):
+        t0 = time.time()
+        verify(ctx, proof, io_obj, BasicTranscript(b"m2vec"))
+        print(f"verify (warm): {time.time()-t0:.2f}s", flush=True)
+
+    pr = cProfile.Profile()
+    pr.enable()
+    verify(ctx, proof, io_obj, BasicTranscript(b"m2vec"))
+    pr.disable()
+    s = io.StringIO()
+    pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(60)
+    print(s.getvalue(), flush=True)
+
+
+if __name__ == "__main__":
+    main()
