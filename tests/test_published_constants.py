@@ -1,0 +1,159 @@
+"""Anchor Poseidon2 constants to PUBLISHED ground truth (VERDICT r3 item 3).
+
+The reference prover's permutation is plonky3's `NoAllocPoseidon` built
+from `HL_GOLDILOCKS_8_EXTERNAL_ROUND_CONSTANTS`,
+`HL_GOLDILOCKS_8_INTERNAL_ROUND_CONSTANTS` and
+`MATRIX_DIAG_8_GOLDILOCKS` (reference: ff_ext/src/lib.rs:179-188).
+Those arrays are public literals in plonky3 `goldilocks/src/poseidon2.rs`
+(themselves transcribed from HorizenLabs/poseidon2
+`plain_implementations/src/poseidon2/poseidon2_instance_goldilocks.rs`,
+RC8 / MAT_DIAG8_M_1).
+
+This test embeds those published values (transcribed below — this image
+has no network and no vendored plonky3 source, so the transcription is
+the ground-truth record; a human can diff PUBLISHED_* against the
+plonky3 file in seconds) and asserts:
+
+1. `hashing/constants.py` equals the published anchors exactly — a
+   transposed or drifted constant fails here, not just against
+   yesterday's self-output.
+2. A fresh Grain-LFSR run (scripts/gen_poseidon2_constants.py) still
+   reproduces the full constant set. Grain emits ONE deterministic
+   64-bit stream, so matching the published stream on the leading
+   external round (8 elements) pins every subsequent element; the
+   internal/terminal anchors below additionally pin the reference's
+   (4 ext + 22 int + 4 ext)-round partition of that stream.
+3. An INDEPENDENT pure-python re-implementation of the permutation
+   (written from plonky3's algorithm: mds_light_permutation with the
+   [[2,3,1,1],[1,2,3,1],[1,1,2,3],[3,1,1,2]] M4 block matrix, internal
+   diag matmul `s[i]*d[i] + sum(s)`) agrees with
+   `hashing/poseidon2.permute_host` — a known-answer check that does
+   not share code with the production path.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+
+from deepprove_tpu.hashing import constants as C
+from deepprove_tpu.hashing import poseidon2
+
+P = (1 << 64) - (1 << 32) + 1
+
+# plonky3 goldilocks/src/poseidon2.rs — HL_GOLDILOCKS_8_EXTERNAL_ROUND_CONSTANTS[0],
+# first round (initial external, round 0): the leading 8 elements of the
+# published Grain stream for (Goldilocks, t=8, alpha=7, R_F=8, R_P=22).
+PUBLISHED_EXTERNAL_INITIAL_ROUND0 = [
+    0xDD5743E7F2A5A5D9,
+    0xCB3A864E58ADA44B,
+    0xFFA2449ED32F8CDC,
+    0x42025F65D6BD13EE,
+    0x7889175E25506323,
+    0x34B98BB03D24B737,
+    0xBDCC535ECC4FAA2A,
+    0x5B20AD869FC0D033,
+]
+
+# plonky3 goldilocks/src/poseidon2.rs — MATRIX_DIAG_8_GOLDILOCKS (complete;
+# HorizenLabs MAT_DIAG8_M_1). This matrix is hand-chosen, NOT Grain
+# output, so it is an anchor fully independent of the LFSR stream.
+PUBLISHED_MATRIX_DIAG_8_GOLDILOCKS = [
+    0xA98811A1FED4E3A5,
+    0x1CC48B54F377E2A0,
+    0xE40CD4F6C5609A26,
+    0x11DE79EBCA97A4A3,
+    0x9177C73D8B7E929C,
+    0x2A6FE8085797E791,
+    0x3DE6E93329F8D5AD,
+    0x3F7AF9125DA962FE,
+]
+
+# plonky3 goldilocks/src/poseidon2.rs — HL_GOLDILOCKS_8_INTERNAL_ROUND_CONSTANTS[0].
+# Pins the reference's partition of the Grain stream: the 22 internal
+# constants start right after the 4 initial-external rounds.
+PUBLISHED_INTERNAL_ROUND0 = 0xB3CB23ECED349AE4
+
+
+def test_constants_match_published_anchors():
+    assert list(C.INITIAL_EXTERNAL_CONSTANTS[0]) == [
+        v % P for v in PUBLISHED_EXTERNAL_INITIAL_ROUND0
+    ]
+    assert list(C.MATRIX_DIAG_8) == [
+        v % P for v in PUBLISHED_MATRIX_DIAG_8_GOLDILOCKS
+    ]
+    assert C.INTERNAL_CONSTANTS[0] == PUBLISHED_INTERNAL_ROUND0 % P
+
+
+def test_grain_generator_reproduces_constants():
+    """Re-run the Grain LFSR from scratch; it must reproduce the full
+    committed constant set (so constants.py can never silently drift
+    from the generation procedure)."""
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "gen_poseidon2_constants.py"
+    )
+    spec = importlib.util.spec_from_file_location("genp2", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    init_ext, term_ext, internal = mod.generate()
+    assert [list(r) for r in init_ext] == [
+        list(r) for r in C.INITIAL_EXTERNAL_CONSTANTS
+    ]
+    assert [list(r) for r in term_ext] == [
+        list(r) for r in C.TERMINAL_EXTERNAL_CONSTANTS
+    ]
+    assert list(internal) == list(C.INTERNAL_CONSTANTS)
+
+
+# --- independent permutation implementation (plonky3 algorithm) -------------
+
+
+def _sbox(x):
+    return pow(x, 7, P)
+
+
+def _m4(block):
+    """MDSMat4 from plonky3 p3-mds: circulant-ish [[2,3,1,1],[1,2,3,1],
+    [1,1,2,3],[3,1,1,2]]."""
+    a, b, c, d = block
+    return [
+        (2 * a + 3 * b + c + d) % P,
+        (a + 2 * b + 3 * c + d) % P,
+        (a + b + 2 * c + 3 * d) % P,
+        (3 * a + b + c + 2 * d) % P,
+    ]
+
+
+def _mds_light(state):
+    """plonky3 mds_light_permutation for width 8: M4 per 4-block, then
+    each lane adds the cross-block column sum."""
+    blocks = [_m4(state[0:4]), _m4(state[4:8])]
+    sums = [(blocks[0][k] + blocks[1][k]) % P for k in range(4)]
+    return [(blocks[i // 4][i % 4] + sums[i % 4]) % P for i in range(8)]
+
+
+def _independent_permute(state):
+    s = [int(x) % P for x in state]
+    s = _mds_light(s)  # initial external matrix application
+    for rc in C.INITIAL_EXTERNAL_CONSTANTS:
+        s = [_sbox((x + c) % P) for x, c in zip(s, rc)]
+        s = _mds_light(s)
+    for rc in C.INTERNAL_CONSTANTS:
+        s[0] = _sbox((s[0] + rc) % P)
+        tot = sum(s) % P
+        s = [(x * d + tot) % P for x, d in zip(s, C.MATRIX_DIAG_8)]
+    for rc in C.TERMINAL_EXTERNAL_CONSTANTS:
+        s = [_sbox((x + c) % P) for x, c in zip(s, rc)]
+        s = _mds_light(s)
+    return s
+
+
+def test_independent_permutation_agrees():
+    rng = np.random.default_rng(7)
+    inputs = [np.arange(8, dtype=np.uint64)] + [
+        rng.integers(0, P, size=8, dtype=np.uint64) for _ in range(4)
+    ]
+    for inp in inputs:
+        got = [int(v) for v in poseidon2.permute_host(inp)]
+        want = _independent_permute(inp)
+        assert got == want, f"permutation mismatch on {inp}"
