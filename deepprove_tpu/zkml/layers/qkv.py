@@ -1,0 +1,251 @@
+"""Fused QKV projection layer (zkml/src/layers/transformer/qkv.rs).
+
+The reference proves the three attention projections Q = X·W_q + b_q,
+K = X·W_k + b_k, V = X·W_v + b_v as ONE layer (qkv.rs, 1,214 LoC).
+Here the fusion is a λ-batched matmul sumcheck: the three downstream
+claims (r_i, y_i) — one per output wire — reduce, after subtracting the
+bias evaluations, to a single degree-2 sumcheck over the shared
+contracted axis k:
+
+    Σ_i λ^i · (y_i − b_i~(r_col_i)) = Σ_k Σ_i λ^i · X(r_row_i, k) · W_i(k, r_col_i)
+
+i.e. one VirtualPolynomial with three products [X_fixed_i, W_i_fixed]
+and coefficients λ^i (λ a Fiat-Shamir challenge) — ONE sumcheck where
+the compositional construction paid three.
+
+The three resulting claims on X all share the sumcheck point k_pt in
+their low (column) variables, so they are claims on the log_m-variable
+restriction g(rows) = X(k_pt, rows); a same-poly accumulation sumcheck
+over those 2^log_m values (commit/same_poly.rs machinery) merges them
+into the single input claim handed upstream.
+
+MHA garbage-pad handling (padding.rs:26-59 pad_matrix_to_ignore_mha_garbage):
+the builder (`llm.py make_qkv_weights`) embeds the per-head weight
+columns into an (h_pad, d_pad) pow2 layout with ZERO weight columns and
+biases in the pad lanes/heads, so pad outputs are exactly zero through
+requant and the downstream projection uses zero ROWS at pad positions —
+arbitrary (non-pow2) head counts and head dims are supported without
+any garbage ever entering a claim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...fields import gf, host
+from ...lookup.logup import Claim
+from ...poly import mle as mle_mod
+from ...sumcheck import VirtualPolynomial, verify as sumcheck_verify
+from .. import quantization as Q
+from ..tensor import Tensor, ceil_log2, next_pow2
+
+ExtPair = tuple[int, int]
+
+NAMES = ("q", "k", "v")
+
+
+def _pad2(a: np.ndarray) -> np.ndarray:
+    r, c = a.shape
+    out = np.zeros((next_pow2(r), next_pow2(c)), dtype=np.int64)
+    out[:r, :c] = a
+    return out
+
+
+@dataclasses.dataclass
+class QKV:
+    """Three constant projections of one input, proven with one sumcheck.
+
+    ws[i]: (k, n) int64 weight for projection i (q, k, v) — padded pow2;
+    bs[i]: (n,) bias. Output wires: [X·W_q+b_q, X·W_k+b_k, X·W_v+b_v].
+    """
+
+    ws: list  # 3 × np.ndarray (k, n)
+    bs: list  # 3 × np.ndarray (n,)
+
+    def __post_init__(self):
+        assert len(self.ws) == 3 and len(self.bs) == 3
+        self.ws = [_pad2(np.asarray(w, dtype=np.int64)) for w in self.ws]
+        shapes = {w.shape for w in self.ws}
+        assert len(shapes) == 1, "q/k/v weights must share a shape"
+        n = self.ws[0].shape[1]
+        bs = []
+        for b in self.bs:
+            bb = np.zeros(n, dtype=np.int64)
+            src = np.asarray(b, dtype=np.int64)
+            bb[: src.size] = src
+            bs.append(bb)
+        self.bs = bs
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
+        x = np.asarray(inputs[0].data, dtype=np.int64)
+        x = x.reshape(x.shape[0], -1) if x.ndim > 1 else x.reshape(1, -1)
+        k = self.ws[0].shape[0]
+        xp = np.zeros((next_pow2(x.shape[0]), k), dtype=np.int64)
+        xp[: x.shape[0], : x.shape[1]] = x
+        return [Tensor(xp @ w + b[None, :]) for w, b in zip(self.ws, self.bs)]
+
+    def output_bitsize(self) -> int:
+        return 2 * (Q.BIT_LEN - 1) + ceil_log2(max(2, self.ws[0].shape[0])) + 1
+
+    def step_info(self, node_id: int, aux):
+        polys = {}
+        for name, w, b in zip(NAMES, self.ws, self.bs):
+            polys[f"b_{name}"] = gf.from_u64(Q.to_field(b))
+            polys[f"w_{name}"] = gf.from_u64(Q.to_field(w.reshape(-1)))
+        aux.model_polys[node_id] = polys
+        k, n = self.ws[0].shape
+        return QKVCtx(node_id=node_id, log_k=ceil_log2(k), log_n=ceil_log2(n))
+
+    def prove(self, node_id, ctx, last_claims, step_data, prover):
+        from ... import glue
+        from ...sumcheck.fused import prove_device
+        from ..commit import same_poly_prove_device
+
+        assert len(last_claims) == 3, "QKV expects one claim per projection"
+        claims = [glue.as_dev(c) for c in last_claims]
+        comms = prover.ctx.commitment_ctx.model_comms[node_id]
+
+        x = np.asarray(step_data.inputs[0].data, dtype=np.int64)
+        x = x.reshape(x.shape[0], -1) if x.ndim > 1 else x.reshape(1, -1)
+        k, n = self.ws[0].shape
+        m = next_pow2(x.shape[0])
+        log_m, log_k, log_n = ceil_log2(m), ceil_log2(k), ceil_log2(n)
+        xp = np.zeros((m, k), dtype=np.int64)
+        xp[: x.shape[0], : x.shape[1]] = x
+        x_gf = gf.from_u64(Q.to_field(xp.reshape(-1)))
+
+        # λ batching challenge (sampled after the downstream claims fixed
+        # the transcript); coefficients [1, λ, λ²]
+        lam = prover.dt.read_challenges(1)
+        lam_s = glue.at(lam, 0)
+
+        vp = VirtualPolynomial.new(log_k)
+        r_cols, r_rows, bias_evals = [], [], []
+        for i, name in enumerate(NAMES):
+            pt = claims[i].point
+            assert pt.shape[0] == log_n + log_m
+            r_col = glue.prefix(pt, log_n)
+            r_row = glue.suffix(pt, log_n)
+            r_cols.append(r_col)
+            r_rows.append(r_row)
+            bias_evals.append(
+                mle_mod._evaluate_kernel(comms[f"b_{name}"][1], r_col, log_n)
+            )
+            x_fixed = mle_mod._fix_high_kernel(x_gf, r_row, log_m)
+            w_fixed = mle_mod._fix_low_kernel(comms[f"w_{name}"][1], r_col, log_n)
+            ix = vp.add_mle(x_fixed)
+            iw = vp.add_mle(w_fixed)
+            vp.add_product((1, 0), [ix, iw])  # real coeff from coeffs_dev
+        vp.coeffs_dev = glue.powers_padded(lam_s, 3, 4)
+        out = prove_device(vp, prover.dt)
+        k_pt = out.proof.point
+
+        # commitment claims: weights at (r_col_i ++ k_pt), biases at r_col_i
+        common = {}
+        for i, name in enumerate(NAMES):
+            common[f"w_{name}"] = glue.DevClaim(
+                point=glue.concat_points([r_cols[i], k_pt]),
+                eval=glue.at(out.final_evals, 2 * i + 1),
+            )
+            common[f"b_{name}"] = glue.DevClaim(
+                point=r_cols[i], eval=bias_evals[i]
+            )
+        prover.commit_prover.add_common_claims(node_id, common)
+
+        # merge the three input claims X(k_pt ++ r_row_i) over the tiny
+        # restriction g(rows) = X(k_pt, rows)
+        g = mle_mod._fix_low_kernel(x_gf, k_pt, log_k)
+        x_claims = [
+            glue.DevClaim(point=r_rows[i], eval=glue.at(out.final_evals, 2 * i))
+            for i in range(3)
+        ]
+        sp = same_poly_prove_device(g, x_claims, prover.dt)
+        merged = sp.extract_claim()
+
+        prover.push_proof(
+            node_id,
+            QKVProof(
+                sumcheck=out.proof,
+                individual_claims=out.final_evals,
+                bias_evals=bias_evals,
+                same_poly=sp,
+            ),
+        )
+        return [
+            glue.DevClaim(
+                point=glue.concat_points([k_pt, merged.point]), eval=merged.eval
+            )
+        ]
+
+
+@dataclasses.dataclass
+class QKVProof:
+    sumcheck: object
+    individual_claims: list  # [x_q, w_q, x_k, w_k, x_v, w_v]
+    bias_evals: list  # 3 × ExtPair
+    same_poly: object
+
+    def get_lookup_data(self):
+        return None
+
+
+@dataclasses.dataclass
+class QKVCtx:
+    node_id: int
+    log_k: int
+    log_n: int
+
+    @property
+    def is_provable(self) -> bool:
+        return True
+
+    def verify(self, proof: QKVProof, last_claims, verifier) -> list[Claim]:
+        from ..commit import same_poly_verify
+
+        t = verifier.transcript
+        assert len(last_claims) == 3
+        log_n, log_k = self.log_n, self.log_k
+        log_m = len(last_claims[0].point) - log_n
+
+        lam = t.read_challenge()
+        lams = [(1, 0), lam, host.ext_mul(lam, lam)]
+        claimed = (0, 0)
+        r_cols, r_rows = [], []
+        for i in range(3):
+            pt = list(last_claims[i].point)
+            r_cols.append(pt[:log_n])
+            r_rows.append(pt[log_n:])
+            claimed = host.ext_add(
+                claimed,
+                host.ext_mul(
+                    lams[i],
+                    host.ext_sub(last_claims[i].eval, proof.bias_evals[i]),
+                ),
+            )
+        sub = sumcheck_verify(
+            claimed, proof.sumcheck.round_messages, log_k, 2, t
+        )
+        f = proof.individual_claims
+        got = (0, 0)
+        for i in range(3):
+            got = host.ext_add(
+                got, host.ext_mul(lams[i], host.ext_mul(f[2 * i], f[2 * i + 1]))
+            )
+        assert got == sub.expected_evaluation, "qkv sumcheck final mismatch"
+        k_pt = list(sub.point)
+
+        common = {}
+        for i, name in enumerate(NAMES):
+            common[f"w_{name}"] = Claim(point=r_cols[i] + k_pt, eval=f[2 * i + 1])
+            common[f"b_{name}"] = Claim(point=r_cols[i], eval=proof.bias_evals[i])
+        verifier.commit_verifier.add_common_claims(self.node_id, common)
+
+        x_claims = [Claim(point=r_rows[i], eval=f[2 * i]) for i in range(3)]
+        merged = same_poly_verify(proof.same_poly, x_claims, log_m, t)
+        return [Claim(point=k_pt + list(merged.point), eval=merged.eval)]

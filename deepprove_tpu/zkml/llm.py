@@ -29,6 +29,7 @@ from .layers.embeddings import Embeddings, Positional
 from .layers.layernorm import LayerNorm
 from .layers.logits import Logits
 from .layers.matmul import MatMul
+from .layers.qkv import QKV
 from .layers.requant import Requant
 from .layers.softmax import Softmax
 from .model import Edge, Model
@@ -283,30 +284,45 @@ class GPT2Builder:
     def _attention(self, m, x_id, s_x, blk, i, sc):
         c, seq = self.c, self.seq
         h, d = c.heads, c.head_dim
+        h_pad, d_pad = next_pow2(h), next_pow2(d)
         ln = LayerNorm.from_float(blk.ln1_g, blk.ln1_b, c.eps, s_x)
         n_ln = m.add_node(ln, [Edge(node=x_id, index=0)])
         s_ln_full = _ln_out_scale(blk.ln1_g, s_x)
         s_h = sc[f"b{i}.ln1"] / Q.MAX
         n_h = _requant(m, n_ln, s_ln_full, s_h, ln.output_bitsize())
 
-        # QKV: three constant matmuls reading the same normed input
-        # (the reference's fused QKV layer, qkv.rs, done compositionally —
-        # fan-out claim merging covers the shared input)
-        heads_ids = {}
-        scales = {}
-        for name, col in (("q", 0), ("k", 1), ("v", 2)):
+        # Fused QKV: ONE layer proving all three projections with a single
+        # λ-batched sumcheck (layers/qkv.py; reference qkv.rs). Weight
+        # columns are embedded into the (h_pad, d_pad) pow2 head layout
+        # with ZERO pad columns/biases, so pad lanes and pad heads are
+        # exactly zero downstream — the MHA garbage-pad neutralization of
+        # padding.rs:26-59 without any garbage (non-pow2 head counts and
+        # head dims both supported).
+        ws, bs, s_ws = [], [], []
+        for col in range(3):
+            wq = blk.qkv_w[:, col * c.emb : (col + 1) * c.emb]
+            s_w = _mx(wq) / Q.MAX
+            s_ws.append(s_w)
+        # one shared weight scale keeps the shared-input sumcheck simple
+        s_w = max(s_ws)
+        for col in range(3):
             wq = blk.qkv_w[:, col * c.emb : (col + 1) * c.emb]
             bq = blk.qkv_b[col * c.emb : (col + 1) * c.emb]
-            s_w = _mx(wq) / Q.MAX
-            mmq = MatMul.new_constant(_q(wq, s_w), _q(bq, s_h * s_w))
-            n_mm = m.add_node(mmq, [Edge(node=n_h, index=0)])
+            ws.append(_embed_head_cols(_q(wq, s_w), h, d, h_pad, d_pad))
+            bs.append(_embed_head_vec(_q(bq, s_h * s_w), h, d, h_pad, d_pad))
+        qkv = QKV(ws=ws, bs=bs)
+        n_qkv = m.add_node(qkv, [Edge(node=n_h, index=0)])
+
+        heads_ids = {}
+        scales = {}
+        for wire, name in enumerate(("q", "k", "v")):
             s_out = sc[f"b{i}.{name}"] / Q.MAX
-            n_rq = _requant(
-                m, n_mm, s_h * s_w, s_out, mmq.output_bitsize()
+            n_rq = _requant_wire(
+                m, n_qkv, wire, s_h * s_w, s_out, qkv.output_bitsize()
             )
-            # (seq, emb) = (seq, h, d) row-major → permute to (h, seq, d)
+            # (seq, h_pad·d_pad) = (seq, h_pad, d_pad) row-major → (h_pad, seq, d_pad)
             n_p = m.add_node(
-                Permute((1, 0, 2), (seq, h, next_pow2(d))),
+                Permute((1, 0, 2), (seq, h_pad, d_pad)),
                 [Edge(node=n_rq, index=0)],
             )
             heads_ids[name] = n_p
@@ -330,14 +346,14 @@ class GPT2Builder:
             ConcatMatMul(),
             [Edge(node=n_sm, index=0), Edge(node=heads_ids["v"], index=0)],
         )
-        # (h, seq, d) → (seq, h, d) = (seq, emb)
+        # (h_pad, seq, d_pad) → (seq, h_pad, d_pad) = (seq, h_pad·d_pad)
         n_pb = m.add_node(
-            Permute((1, 0, 2), (h, seq, next_pow2(d))), [Edge(node=n_fm, index=0)]
+            Permute((1, 0, 2), (h_pad, seq, d_pad)), [Edge(node=n_fm, index=0)]
         )
         from .layers.shape_ops import Reshape
 
         n_pb = m.add_node(
-            Reshape((seq, h * next_pow2(d))), [Edge(node=n_pb, index=0)]
+            Reshape((seq, h_pad * d_pad)), [Edge(node=n_pb, index=0)]
         )
         from .lookup_context import OUTPUT_SCALE_FACTOR
 
@@ -348,7 +364,10 @@ class GPT2Builder:
             2 * (Q.BIT_LEN - 1) + ceil_log2(OUTPUT_SCALE_FACTOR * seq) + 2,
         )
         s_w = _mx(blk.proj_w) / Q.MAX
-        mmp = MatMul.new_constant(_q(blk.proj_w, s_w), _q(blk.proj_b, s_ao * s_w))
+        # zero ROWS at pad positions neutralize the (h_pad, d_pad) layout
+        # (the downstream half of the reference's MHA garbage pad)
+        proj_q = _embed_head_rows(_q(blk.proj_w, s_w), h, d, h_pad, d_pad)
+        mmp = MatMul.new_constant(proj_q, _q(blk.proj_b, s_ao * s_w))
         n_mm = m.add_node(mmp, [Edge(node=n_rq, index=0)])
         # requant the projection back to the residual-stream scale s_x
         n_rqp = _requant(m, n_mm, s_ao * s_w, s_x, mmp.output_bitsize())
@@ -403,6 +422,43 @@ def _ln_out_scale(gamma_f, s_in: float) -> float:
 def _requant(m: Model, src: int, s_before: float, s_after: float, bits: int) -> int:
     spec = RequantSpec.from_multiplier(s_before / s_after, bits)
     return m.add_node(Requant(spec=spec), [Edge(node=src, index=0)])
+
+
+def _requant_wire(
+    m: Model, src: int, wire: int, s_before: float, s_after: float, bits: int
+) -> int:
+    spec = RequantSpec.from_multiplier(s_before / s_after, bits)
+    return m.add_node(Requant(spec=spec), [Edge(node=src, index=wire)])
+
+
+def _embed_head_cols(
+    w: np.ndarray, h: int, d: int, h_pad: int, d_pad: int
+) -> np.ndarray:
+    """(in, h·d) → (in, h_pad·d_pad): head hh's columns land at
+    hh·d_pad + j, pad columns stay ZERO (so pad outputs are exactly 0)."""
+    out = np.zeros((w.shape[0], h_pad * d_pad), dtype=np.int64)
+    for hh in range(h):
+        out[:, hh * d_pad : hh * d_pad + d] = w[:, hh * d : (hh + 1) * d]
+    return out
+
+
+def _embed_head_vec(b: np.ndarray, h: int, d: int, h_pad: int, d_pad: int) -> np.ndarray:
+    out = np.zeros(h_pad * d_pad, dtype=np.int64)
+    for hh in range(h):
+        out[hh * d_pad : hh * d_pad + d] = b[hh * d : (hh + 1) * d]
+    return out
+
+
+def _embed_head_rows(
+    w: np.ndarray, h: int, d: int, h_pad: int, d_pad: int
+) -> np.ndarray:
+    """(h·d, out) → (h_pad·d_pad, out) with zero rows at pad positions —
+    neutralizes the head-layout padding in the projection matmul
+    (padding.rs:26-59 pad_matrix_to_ignore_mha_garbage analogue)."""
+    out = np.zeros((h_pad * d_pad, w.shape[1]), dtype=np.int64)
+    for hh in range(h):
+        out[hh * d_pad : hh * d_pad + d, :] = w[hh * d : (hh + 1) * d, :]
+    return out
 
 
 # ---------------------------------------------------------------------------

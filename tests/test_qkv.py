@@ -1,0 +1,110 @@
+"""Fused QKV layer: one λ-batched sumcheck for all three projections
+(layers/qkv.py; reference zkml/src/layers/transformer/qkv.rs) plus the
+zero-embedded (h_pad, d_pad) head layout that replaces the reference's
+MHA garbage pad (padding.rs:26-59) for non-pow2 head counts/dims."""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.transcript import BasicTranscript
+from deepprove_tpu.zkml import quantization as Q
+from deepprove_tpu.zkml.iop import Context, Prover, verify
+from deepprove_tpu.zkml.iop.verifier import IO
+from deepprove_tpu.zkml.layers.qkv import QKV
+from deepprove_tpu.zkml.layers.requant import Requant
+from deepprove_tpu.zkml.llm import (
+    _embed_head_cols,
+    _embed_head_rows,
+    _embed_head_vec,
+)
+from deepprove_tpu.zkml.model import Edge, Model
+from deepprove_tpu.zkml.quantization import RequantSpec
+from deepprove_tpu.zkml.tensor import Tensor
+
+
+def _qkv_model(rng, seq=4, k=8, n=8):
+    ws = [rng.integers(Q.MIN, Q.MAX + 1, size=(k, n)).astype(np.int64) for _ in range(3)]
+    bs = [rng.integers(Q.MIN, Q.MAX + 1, size=n).astype(np.int64) for _ in range(3)]
+    qkv = QKV(ws=ws, bs=bs)
+    m = Model()
+    nq = m.add_node(qkv, [Edge(node=None, index=0)])
+    spec = RequantSpec.from_multiplier(
+        1.0 / (1 << (Q.BIT_LEN - 1)) / k, qkv.output_bitsize()
+    )
+    for wire in range(3):
+        m.add_node(Requant(spec=spec), [Edge(node=nq, index=wire)])
+    x = Tensor(rng.integers(Q.MIN, Q.MAX + 1, size=(seq, k)).astype(np.int64))
+    return m, qkv, ws, bs, x
+
+
+def test_qkv_evaluate_matches_numpy(rng):
+    m, qkv, ws, bs, x = _qkv_model(rng)
+    outs = qkv.evaluate([x])
+    for o, w, b in zip(outs, qkv.ws, qkv.bs):
+        np.testing.assert_array_equal(
+            np.asarray(o.data), np.asarray(x.data) @ w + b[None, :]
+        )
+
+
+def test_qkv_single_sumcheck_proof_count(rng):
+    """The fused layer's proof carries ONE matmul sumcheck (plus the tiny
+    same-poly input merge) — not three."""
+    m, qkv, ws, bs, x = _qkv_model(rng)
+    trace = m.run([x])
+    ctx = Context.generate(m, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    qp = proof.steps[0]
+    assert hasattr(qp, "sumcheck") and hasattr(qp, "same_poly")
+    # the batched sumcheck runs over the shared contracted axis only
+    assert len(qp.sumcheck.round_messages) == 3  # log2(k=8)
+    verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_qkv_rejects_tampered_output(rng):
+    m, qkv, ws, bs, x = _qkv_model(rng)
+    trace = m.run([x])
+    ctx = Context.generate(m, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    bad_outputs = [Tensor(np.asarray(o.data).copy()) for o in trace.outputs]
+    bad_outputs[1].data[0, 0] += 1
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([x], bad_outputs), BasicTranscript(b"m2vec"))
+
+
+def test_qkv_rejects_tampered_bias_eval(rng):
+    from deepprove_tpu.fields import host
+
+    m, qkv, ws, bs, x = _qkv_model(rng)
+    trace = m.run([x])
+    ctx = Context.generate(m, num_queries=7, basecode_msg_size_log=2)
+    proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+    qp = proof.steps[0]
+    qp.bias_evals[2] = host.ext_add(qp.bias_evals[2], (1, 0))
+    with pytest.raises(AssertionError):
+        verify(ctx, proof, IO([x], trace.outputs), BasicTranscript(b"m2vec"))
+
+
+def test_head_embedding_zero_pads(rng):
+    """Non-pow2 head count/dim: embedded weights put exact zeros in every
+    pad lane and pad head, and the row-embedded projection ignores them."""
+    h, d, h_pad, d_pad = 3, 6, 4, 8
+    emb = h * d
+    w = rng.integers(Q.MIN, Q.MAX + 1, size=(emb, emb)).astype(np.int64)
+    b = rng.integers(Q.MIN, Q.MAX + 1, size=emb).astype(np.int64)
+    we = _embed_head_cols(w, h, d, h_pad, d_pad)
+    be = _embed_head_vec(b, h, d, h_pad, d_pad)
+    x = rng.integers(Q.MIN, Q.MAX + 1, size=(4, emb)).astype(np.int64)
+    y = x @ we + be[None, :]
+    yv = y.reshape(4, h_pad, d_pad)
+    # pad heads and pad lanes are exactly zero
+    assert np.all(yv[:, h:, :] == 0)
+    assert np.all(yv[:, :h, d:] == 0)
+    # real lanes equal the unpadded projection
+    y_ref = (x @ w + b[None, :]).reshape(4, h, d)
+    np.testing.assert_array_equal(yv[:, :h, :d], y_ref)
+    # downstream projection with zero rows recovers the unpadded result
+    p = rng.integers(Q.MIN, Q.MAX + 1, size=(emb, 5)).astype(np.int64)
+    pe = _embed_head_rows(p, h, d, h_pad, d_pad)
+    np.testing.assert_array_equal(
+        y.reshape(4, -1) @ pe, y_ref.reshape(4, -1) @ p
+    )
