@@ -49,6 +49,35 @@ def fuse_kernels() -> bool:
     return False
 
 
+def _tpu_backend() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def fuse_small_logup(max_size: int) -> bool:
+    """Whole-logup-proof-in-one-kernel for SMALL inputs.
+
+    The per-level logup path costs ~10 dispatches per GKR level; at
+    2^10-sized requant/relu columns the whole proof is latency, not
+    compute (~270 ms/node on the tunneled TPU, r4 profile). The fused
+    kernel is one dispatch; its XLA compile at small sizes is seconds
+    (the round-2 blowup was at Dense-4M sizes) and lands in the
+    persistent cache. TPU only — XLA CPU compiles the inlined Poseidon
+    instances for minutes (tests stay on the per-level path).
+    ZKML_FUSE=1 forces fusion everywhere, ZKML_FUSE=0 disables it.
+    """
+    v = os.environ.get("ZKML_FUSE")
+    if v == "1":
+        return True
+    if v is not None and not bool_flag("ZKML_FUSE"):
+        return False
+    return max_size <= (1 << 12) and _tpu_backend()
+
+
 def sync_profile() -> bool:
     return bool_flag("ZKML_SYNC_PROFILE")
 

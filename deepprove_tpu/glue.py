@@ -382,16 +382,15 @@ def materialize(root):
             a0 = u64(pulled[off], pulled[off + 1])
             a1 = u64(pulled[off + 2], pulled[off + 3])
             off += 4
+            # .tolist() converts at C speed — the per-element python loop
+            # was ~40% of the proof-materialize phase at Dense-4M
             if a0.ndim == 0:
                 values.append((int(a0), int(a1)))
             elif a0.ndim == 1:
-                values.append([(int(x), int(y)) for x, y in zip(a0, a1)])
+                values.append(list(zip(a0.tolist(), a1.tolist())))
             elif a0.ndim == 2:
                 values.append(
-                    [
-                        [(int(x), int(y)) for x, y in zip(r0, r1)]
-                        for r0, r1 in zip(a0, a1)
-                    ]
+                    [list(zip(r0, r1)) for r0, r1 in zip(a0.tolist(), a1.tolist())]
                 )
             else:
                 raise AssertionError(f"GF2 ndim {a0.ndim} unsupported")
@@ -405,7 +404,7 @@ def materialize(root):
             elif v.ndim == 0:
                 values.append(int(v))
             else:
-                values.append([int(x) for x in v])
+                values.append(v.tolist())
 
     return _resolve(root, values)
 

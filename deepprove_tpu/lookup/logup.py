@@ -476,7 +476,7 @@ def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
     from ..sumcheck.fused import prove_device
     from ..sumcheck.prover import SumcheckProof
 
-    from ..config import fuse_kernels
+    from ..config import fuse_kernels, fuse_small_logup
 
     sizes = {int(c.shape[0]) for c in inp.column_evals}
     # the mega-fused kernel trades XLA module size for dispatch count: on
@@ -484,7 +484,12 @@ def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
     # one dispatch wins big; on CPU (tests) the same module takes minutes
     # of XLA compile (~linear in inlined Poseidon instances) for zero
     # benefit — gate by backend (ZKML_FUSE=1/0 overrides, config.py).
-    if fuse_kernels() and len(sizes) == 1 and next(iter(sizes)) >= 4:
+    # Small inputs (≤2^12) fuse by default on TPU: their compile is cheap
+    # and the per-level path is pure latency (fuse_small_logup).
+    use_fused = fuse_kernels() or (
+        len(sizes) == 1 and fuse_small_logup(next(iter(sizes)))
+    )
+    if use_fused and len(sizes) == 1 and next(iter(sizes)) >= 4:
         L = next(iter(sizes))
         total_layers = L.bit_length() - 2
         num_instances = inp.num_instances

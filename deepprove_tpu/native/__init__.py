@@ -104,6 +104,13 @@ def permute_batch(states: np.ndarray) -> np.ndarray:
     return out
 
 
+def permute_inplace(state: np.ndarray) -> None:
+    """Permute ONE width-8 state in place (the sequential transcript's
+    hot call — avoids the copy + ascontiguousarray of permute_batch)."""
+    lib = get_lib()
+    lib.poseidon2_permute_batch(_ptr(state), 1)
+
+
 def compress_batch(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     lib = get_lib()
     assert lib is not None

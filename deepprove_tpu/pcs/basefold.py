@@ -73,6 +73,17 @@ def _geom_powers(g, n: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class BasefoldParams:
+    """Soundness parameterization (encoding/rs.rs:203-214): the reference
+    fixes rate 1/2, 200 queries, basecode message 2^7 for λ=100 in the
+    list-decoding regime. A smaller `basecode_msg_size_log` adds fold
+    rounds: each extra round adds (a) a union-bound term over one more
+    folded oracle in the proximity argument and (b) one more batched-fold
+    error term, so per-query soundness at equal rate/queries is NOT
+    automatically preserved — it must be recomputed per the rs.rs
+    analysis. All recorded benchmarks therefore run the reference's
+    exact (rate 1/2, 200, 2^7); other values are for experiments only
+    (r3 VERDICT item 10)."""
+
     max_message_size_log: int
     rate_log: int = 1
     num_queries: int = 200
@@ -276,6 +287,48 @@ def _encode_basecode(params: BasefoldParams, evals) -> tuple:
     return bh, codeword
 
 
+@partial(jax.jit, static_argnames=("full_log", "rate_log", "lg_n"))
+def _commit_small_rs_kernel(evals, full_log: int, rate_log: int, lg_n: int):
+    """Encode + bit-reverse + the FULL Merkle tree in ONE dispatch.
+
+    A small witness commit (lookup columns, 2^10-2^11) is ~20 chained
+    kernels on the per-op path — pure tunnel latency (~60-100 ms each;
+    requant witness gen alone was ~0.5 s/node in the r4 MLP profile).
+    Small static shapes keep the XLA module tiny, so the one-dispatch
+    trade is free here (the round-2 compile blowup was at 2^22)."""
+    from .merkle import tree_levels
+
+    rev_coeffs = _evals_to_rev_coeffs(evals, lg_n)
+    cw = ntt.encode_rs(rev_coeffs, full_log, rate_log)
+    cw = ntt.bit_reverse(cw, lg_n + rate_log)
+    bh = ntt.bit_reverse(evals, lg_n)
+    return bh, cw, tree_levels(cw)
+
+
+@partial(jax.jit, static_argnames=("c", "rate_log", "lg_n"))
+def _commit_small_basecode_kernel(evals, domain, tables, c: int, rate_log: int, lg_n: int):
+    from .merkle import tree_levels
+
+    coeffs = ntt.interpolate_over_hypercube(evals)
+    cw = _basecode_encode_kernel(coeffs, domain, tables, c, rate_log, lg_n)
+    cw = ntt.bit_reverse(cw, lg_n + rate_log)
+    bh = ntt.bit_reverse(evals, lg_n)
+    return bh, cw, tree_levels(cw)
+
+
+_COMMIT_FUSE_MAX_LOG = 12
+
+
+def _fuse_small_commit(lg_n: int) -> bool:
+    import jax as _j
+
+    from ..config import fuse_kernels
+
+    if fuse_kernels():
+        return True
+    return lg_n <= _COMMIT_FUSE_MAX_LOG and _j.default_backend() != "cpu"
+
+
 def commit(params: BasefoldParams, evals, lazy_root: bool = False) -> CommitmentWithWitness:
     """Commit to one polynomial given little-endian hypercube evals (GF).
 
@@ -293,8 +346,32 @@ def commit(params: BasefoldParams, evals, lazy_root: bool = False) -> Commitment
         root = glue.TupleGF(tree.root_gf()) if lazy_root else tree.root
         cm = BasefoldCommitment(root=root, num_vars=lg_n, is_trivial=True)
         return CommitmentWithWitness(cm, codeword=evals, bh_evals=[evals], tree=tree)
-    bh, codeword = _encode(params, evals)
-    tree = MerkleTree.from_leaves(codeword)
+    if _fuse_small_commit(lg_n):
+        if params.encoding == "basecode":
+            c, r = params.basecode_msg_size_log, params.rate_log
+            if not hasattr(params, "_bc_dev"):
+                params._bc_dev = {}
+            if "domain" not in params._bc_dev:
+                params._bc_dev["domain"] = gf.from_u64(
+                    np.arange(1, (1 << (c + r)) + 1, dtype=np.uint64)
+                )
+            tables = []
+            for lvl in range(c, lg_n):
+                key = ("t", lvl + r)
+                if key not in params._bc_dev:
+                    params._bc_dev[key] = gf.from_u64(params.basecode_table(lvl + r))
+                tables.append(params._bc_dev[key])
+            bh, codeword, levels = _commit_small_basecode_kernel(
+                evals, params._bc_dev["domain"], tuple(tables), c, r, lg_n
+            )
+        else:
+            bh, codeword, levels = _commit_small_rs_kernel(
+                evals, params.max_message_size_log, params.rate_log, lg_n
+            )
+        tree = MerkleTree(leaves=codeword, levels=list(levels))
+    else:
+        bh, codeword = _encode(params, evals)
+        tree = MerkleTree.from_leaves(codeword)
     root = glue.TupleGF(tree.root_gf()) if lazy_root else tree.root
     cm = BasefoldCommitment(root=root, num_vars=lg_n)
     return CommitmentWithWitness(cm, codeword=codeword, bh_evals=[bh], tree=tree)
@@ -755,6 +832,56 @@ def _gather_pairs(arr, pair_idx: np.ndarray):
     return glue.materialize([lo, hi])
 
 
+@partial(jax.jit, static_argnames=("shifts",))
+def _multi_query_kernel(codewords: tuple, levels: tuple, idx0, shifts: tuple):
+    """Pair gathers + Merkle path siblings for MANY trees in ONE dispatch.
+
+    codewords[k]: GF/GF2 flat codeword; levels[k]: tuple of GF (M, 4)
+    digest planes (root level excluded); shifts[k]: static per-tree index
+    shift. Replaces the per-tree gather+path pair of dispatches (~150
+    dispatches for the MLP-4M batch opening's 63 commitments + 13 fold
+    oracles) with one kernel."""
+    outs = []
+    for cw, lv, sh in zip(codewords, levels, shifts):
+        take = idx0 >> sh
+        lo, hi = _gather_pairs_body(cw, take)
+        idx = take
+        sibs = []
+        for l in lv:
+            s = idx ^ 1
+            outs_l = gf.GF(jnp.take(l.lo, s, axis=0), jnp.take(l.hi, s, axis=0))
+            sibs.append(outs_l)
+            idx = idx >> 1
+        outs.append((lo, hi, gf.stack(sibs, axis=1)))
+    return tuple(outs)
+
+
+def _multi_query_entries(items, idx0, q: int):
+    """items: list of (codeword, tree, shift). Returns aligned
+    [lo, hi, paths-NpGF] entries, batching all no-tail deep trees into one
+    `_multi_query_kernel` dispatch and falling back per-tree otherwise."""
+    from .. import glue
+
+    entries = [None] * len(items)
+    grouped = []
+    for i, (cw, tree, shift) in enumerate(items):
+        if tree.tail is None and tree.depth > 0:
+            grouped.append(i)
+        else:
+            lo, hi = _gather_pairs_shift_kernel(cw, idx0, shift)
+            entries[i] = [lo, hi, _paths_entry_dev(tree, idx0, shift, q)]
+    if grouped:
+        outs = _multi_query_kernel(
+            tuple(items[i][0] for i in grouped),
+            tuple(tuple(items[i][1].levels[:-1]) for i in grouped),
+            idx0,
+            tuple(items[i][2] for i in grouped),
+        )
+        for i, (lo, hi, paths) in zip(grouped, outs):
+            entries[i] = [lo, hi, glue.NpGF(paths)]
+    return entries
+
+
 def _paths_entry(tree: MerkleTree, pair_idx: np.ndarray, q: int):
     from .. import glue
 
@@ -782,13 +909,13 @@ def _prover_queries_dev(
 
     q = len(indices)
     idx0 = jnp.asarray(np.asarray(indices, dtype=np.int32))
-    lo0, hi0 = _gather_pairs_shift_kernel(comm.codeword, idx0, 1)
-    entry0 = [lo0, hi0, _paths_entry_dev(comm.tree, idx0, 1, q)]
-    per_tree = []
-    for t_i, t in enumerate(trees):
-        lo, hi = _gather_pairs_shift_kernel(t.leaves, idx0, t_i + 2)
-        per_tree.append([lo, hi, _paths_entry_dev(t, idx0, t_i + 2, q)])
-    (lo0, hi0, paths0), per_tree_h = glue.materialize([entry0, per_tree])
+    items = [(comm.codeword, comm.tree, 1)] + [
+        (t.leaves, t, t_i + 2) for t_i, t in enumerate(trees)
+    ]
+    entries = _multi_query_entries(items, idx0, q)
+    (lo0, hi0, paths0), per_tree_h = glue.materialize(
+        [entries[0], entries[1:]]
+    )
     out = []
     for i in range(q):
         out.append(
@@ -922,10 +1049,107 @@ def _ext_np(pairs) -> np.ndarray:
     return np.asarray(pairs, dtype=np.uint64)
 
 
-def _verify_paths_batch(leaf_digests, idxs, paths, root, label: str):
-    """Recompute roots for a batch of Merkle paths.
+
+def _trivial_root_host(trivial_evals) -> tuple:
+    """Host-side Merkle root of a trivial commitment (native Poseidon) —
+    mirrors MerkleTree.from_leaves' layout for base leaves (single poly:
+    pair digests [a,b,0,0]; K≤4 polys: column packing, merkle.py:57-97)
+    without any device traffic (a tree rebuild + root pull costs ~60 ms
+    over the TPU tunnel per trivial proof)."""
+    from ..hashing import poseidon2 as _p2h
+
+    cols = [np.asarray(e, dtype=np.uint64) for e in trivial_evals]
+    k, n = len(cols), cols[0].shape[0]
+    if k == 1:
+        if n == 1:
+            return (int(cols[0][0]), 0, 0, 0)
+        zeros = np.zeros(n // 2, dtype=np.uint64)
+        d = np.stack([cols[0][0::2], cols[0][1::2], zeros, zeros], axis=-1)
+    else:
+        assert k <= 4, "column hash for >4 polys needs sponge path"
+        pad = [np.zeros(n, dtype=np.uint64)] * (4 - k)
+        allc = cols + pad
+        left = np.stack([c[0::2] for c in allc], axis=-1)  # (N/2, 4)
+        right = np.stack([c[1::2] for c in allc], axis=-1)
+        d = _p2h.compress_host(left, right)
+    while d.shape[0] > 1:
+        d = _p2h.compress_host(d[0::2], d[1::2])
+    return tuple(int(x) for x in d[0])
+
+
+class PathJobs:
+    """Deferred Merkle path checks, executed in ONE per-level batched pass
+    across every tree of a verification (fold oracles + all commitment
+    trees). Path checks are pure assertions with no transcript effect, so
+    they can run after the sequential FS walk; batching them turns
+    ~Σ_tree depth native Poseidon calls (830 for the MLP-4M batch
+    opening) into max-depth (~19) calls over all trees' queries at once.
+    """
+
+    def __init__(self):
+        self.jobs = []
+
+    def add(self, leaf_digests, idxs, paths, root, label: str):
+        self.jobs.append(
+            (
+                np.asarray(leaf_digests, dtype=np.uint64),
+                np.asarray(idxs, dtype=np.int64).copy(),
+                np.asarray(paths, dtype=np.uint64),
+                np.asarray(root, dtype=np.uint64),
+                label,
+            )
+        )
+
+    def run(self):
+        from .. import native
+        from ..hashing import poseidon2 as _p2
+
+        if not self.jobs:
+            return
+        if native.get_lib() is None:
+            for ld, ii, paths, root, label in self.jobs:
+                _verify_paths_batch(ld, ii, paths, root, label)
+            self.jobs = []
+            return
+        d = np.concatenate([j[0] for j in self.jobs])
+        ii = np.concatenate([j[1] for j in self.jobs])
+        depths = np.concatenate(
+            [np.full(j[0].shape[0], j[2].shape[1], dtype=np.int64) for j in self.jobs]
+        )
+        max_d = int(depths.max())
+        n = d.shape[0]
+        paths = np.zeros((n, max_d, 4), dtype=np.uint64)
+        off = 0
+        for j in self.jobs:
+            k = j[0].shape[0]
+            paths[off : off + k, : j[2].shape[1]] = j[2]
+            off += k
+        for lvl in range(max_d):
+            act = depths > lvl
+            sib = paths[act, lvl, :]
+            da = d[act]
+            odd = (ii[act] & 1).astype(bool)[:, None]
+            left = np.where(odd, sib, da)
+            right = np.where(odd, da, sib)
+            d[act] = _p2.compress_host(left, right)
+            ii[act] = ii[act] >> 1
+        off = 0
+        for ld, _, _, root, label in self.jobs:
+            k = ld.shape[0]
+            assert np.array_equal(
+                d[off : off + k], np.broadcast_to(root, (k, 4))
+            ), label
+            off += k
+        self.jobs = []
+
+
+def _verify_paths_batch(leaf_digests, idxs, paths, root, label: str, jobs=None):
+    """Recompute roots for a batch of Merkle paths (or defer into `jobs`).
 
     leaf_digests (Q, 4) u64, idxs (Q,) pair indices, paths (Q, D, 4)."""
+    if jobs is not None:
+        jobs.add(leaf_digests, idxs, paths, root, label)
+        return
     from .. import native
     from ..hashing import poseidon2 as _p2
 
@@ -961,6 +1185,7 @@ def _verify_fold_chain_batch(
     cur_lo: np.ndarray,  # (Q, 2) ext
     cur_hi: np.ndarray,
     merge_fn=None,  # optional (rnd, cur_lo, cur_hi) -> (cur_lo, cur_hi)
+    jobs=None,
 ):
     """All queries' fold chains at once (query_phase.rs re-fold check)."""
     q_n = len(queries)
@@ -994,7 +1219,7 @@ def _verify_fold_chain_batch(
         paths = np.stack(
             [np.asarray(q.oracle_paths[rnd], dtype=np.uint64) for q in queries]
         )
-        _verify_paths_batch(ld, nxt, paths, roots[rnd], f"oracle path {rnd}")
+        _verify_paths_batch(ld, nxt, paths, roots[rnd], f"oracle path {rnd}", jobs=jobs)
         cur_lo, cur_hi = o_lo, o_hi
         if merge_fn is not None:
             cur_lo, cur_hi = merge_fn(rnd, cur_lo, cur_hi)
@@ -1013,9 +1238,10 @@ def verify(
     """Single-poly verification (basefold.rs:863)."""
     if proof.is_trivial:
         evals = np.asarray(proof.trivial_evals[0], dtype=np.uint64)
-        tree = MerkleTree.from_leaves(gf.from_u64(evals))
-        assert tree.root == commitment.root, "trivial root mismatch"
-        got = mle_mod.evaluate_pairs(gf.from_u64(evals), point)
+        assert _trivial_root_host([evals]) == tuple(commitment.root), (
+            "trivial root mismatch"
+        )
+        got = host.mle_eval_v(evals, point)
         assert got == eval_, "trivial eval mismatch"
         return
 
@@ -1045,14 +1271,16 @@ def verify(
     cpaths = np.stack(
         [np.asarray(q.commitment_path, dtype=np.uint64) for q in proof.queries]
     )
-    _verify_paths_batch(ld, pairs, cpaths, commitment.root, "commitment path")
+    jobs = PathJobs()
+    _verify_paths_batch(ld, pairs, cpaths, commitment.root, "commitment path", jobs=jobs)
     cur_lo = np.stack([cp[:, 0], zeros], axis=-1)
     cur_hi = np.stack([cp[:, 1], zeros], axis=-1)
     _verify_fold_chain_batch(
         params, proof.queries, pairs, fold_challenges, num_rounds,
         num_vars + params.rate_log - 1, final_codeword, proof.roots,
-        cur_lo, cur_hi,
+        cur_lo, cur_hi, jobs=jobs,
     )
+    jobs.run()
 
     # sumcheck chain (query_phase.rs:188-206)
     assert eval_ == _deg2_zero_plus_one(proof.sumcheck_messages[0]), "claimed eval"
@@ -1188,15 +1416,12 @@ def simple_batch_verify(
     k = commitment.num_polys
     assert len(evals) == k
     if proof.is_trivial:
-        leaves = gf.stack(
-            [gf.from_u64(np.asarray(e, dtype=np.uint64)) for e in proof.trivial_evals],
-            axis=0,
-        ) if k > 1 else gf.from_u64(np.asarray(proof.trivial_evals[0], dtype=np.uint64))
-        tree = MerkleTree.from_leaves(leaves)
-        assert tree.root == commitment.root, "trivial root mismatch"
+        assert _trivial_root_host(proof.trivial_evals) == tuple(commitment.root), (
+            "trivial root mismatch"
+        )
         for i in range(k):
-            got = mle_mod.evaluate_pairs(
-                gf.from_u64(np.asarray(proof.trivial_evals[i], dtype=np.uint64)), point
+            got = host.mle_eval_v(
+                np.asarray(proof.trivial_evals[i], dtype=np.uint64), point
             )
             assert got == evals[i], f"trivial eval {i}"
         return
@@ -1246,7 +1471,8 @@ def simple_batch_verify(
     cpaths = np.stack(
         [np.asarray(q.commitment_path, dtype=np.uint64) for q in proof.queries]
     )
-    _verify_paths_batch(ld, pairs, cpaths, commitment.root, "batch leaf path")
+    jobs = PathJobs()
+    _verify_paths_batch(ld, pairs, cpaths, commitment.root, "batch leaf path", jobs=jobs)
     # RLC the opened column values, then walk the fold chain
     zeros = np.zeros(q_n, dtype=np.uint64)
     cur_lo = np.zeros((q_n, 2), dtype=np.uint64)
@@ -1262,8 +1488,9 @@ def simple_batch_verify(
     _verify_fold_chain_batch(
         params, proof.queries, pairs, fold_challenges, num_rounds,
         num_vars + params.rate_log - 1, final_codeword, proof.roots,
-        cur_lo, cur_hi,
+        cur_lo, cur_hi, jobs=jobs,
     )
+    jobs.run()
 
     assert target_eval == _deg2_zero_plus_one(proof.sumcheck_messages[0]), "claimed eval"
     for i in range(len(fold_challenges) - 1):
@@ -1422,17 +1649,13 @@ def batch_open_session(
     # ONE index put, one jitted dispatch per gather/path set, ONE pull
     q = len(indices)
     idx0 = jnp.asarray(np.asarray(indices, dtype=np.int32))
-    comm_entries = []
-    for comm in comms:
-        shift = num_vars - comm.num_vars
-        lo, hi = _gather_pairs_shift_kernel(comm.codeword, idx0, shift + 1)
-        comm_entries.append(
-            [lo, hi, _paths_entry_dev(comm.tree, idx0, shift + 1, q)]
-        )
-    per_tree = []
-    for t_i, t in enumerate(trees):
-        lo, hi = _gather_pairs_shift_kernel(t.leaves, idx0, t_i + 2)
-        per_tree.append([lo, hi, _paths_entry_dev(t, idx0, t_i + 2, q)])
+    items = [
+        (comm.codeword, comm.tree, num_vars - comm.num_vars + 1)
+        for comm in comms
+    ] + [(t.leaves, t, t_i + 2) for t_i, t in enumerate(trees)]
+    entries = _multi_query_entries(items, idx0, q)
+    comm_entries = entries[: len(comms)]
+    per_tree = entries[len(comms) :]
     stream_metrics(f"open_q_gather_c{len(comms)}_t{len(trees)}", _ms.to_span())
     _ms = Metrics("open_q_pull")
     comm_h, per_tree_h = glue.materialize([comm_entries, per_tree])
@@ -1534,6 +1757,7 @@ def batch_verify(
     cp_all = np.asarray(
         [q.commitment_pair for q in proof.queries], dtype=np.uint64
     )
+    jobs = PathJobs()
     for ci, cm in enumerate(commitments):
         shift = num_vars - cm.num_vars
         cpairs = (idx_arr >> shift) >> 1
@@ -1545,7 +1769,7 @@ def batch_verify(
                 for q in proof.queries
             ]
         )
-        _verify_paths_batch(ld, cpairs, paths, cm.root, f"commitment {ci} path")
+        _verify_paths_batch(ld, cpairs, paths, cm.root, f"commitment {ci} path", jobs=jobs)
 
     def rlc_at(size_vars, cur_lo, cur_hi):
         """Merge commitment contributions whose codeword matches."""
@@ -1566,7 +1790,9 @@ def batch_verify(
         num_vars + params.rate_log - 1, final_codeword, proof.roots,
         cur_lo, cur_hi,
         merge_fn=lambda rnd, lo, hi: rlc_at(num_vars - (rnd + 1), lo, hi),
+        jobs=jobs,
     )
+    jobs.run()
 
     for i in range(len(fold_challenges) - 1):
         assert _deg2_eval(proof.sumcheck_messages[i], fold_challenges[i]) == (

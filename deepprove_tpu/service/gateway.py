@@ -23,6 +23,7 @@ gateway: accepts one worker, queues tasks, collects replies.
 from __future__ import annotations
 
 import base64
+import dataclasses
 import json
 import queue
 import socket
@@ -125,13 +126,18 @@ def run_worker(
     pcs_kw=None,
     max_tasks: int | None = None,
     store=None,
+    task_handler=None,
 ) -> int:
     """Dial the gateway and serve tasks until EOF (or max_tasks, for tests).
 
     Returns the number of tasks processed. Task failures are reported as
     WorkerDone.worker_error, never crash the loop (grpc.rs:55-66).
+    `task_handler(store, request, pcs_kw) -> response` defaults to the
+    real prover (run_model_v1); tests inject stubs to exercise the
+    dispatch protocol without proving.
     """
     store = store if store is not None else MemStore()
+    handler = task_handler or run_model_v1
     processed = 0
     with socket.create_connection(gateway_addr) as sock:
         sock.sendall(f"authorization: Bearer {token}\n".encode())
@@ -149,7 +155,7 @@ def run_worker(
                 break
             try:
                 request = decode_task(task.task)
-                resp = run_model_v1(store, request, pcs_kw)
+                resp = handler(store, request, pcs_kw)
                 done = pb.WorkerDone(
                     task_id=task.task_id, task_output=encode_result(resp)
                 )
@@ -158,6 +164,215 @@ def run_worker(
             send_frame(sock, pb.WorkerToGwRequest(worker_done=done))
             processed += 1
     return processed
+
+
+# ---------------------------------------------------------------------------
+# reconnect loop with exponential backoff (grpc.rs main loop; the
+# reference uses the `exponential-backoff` crate, deep-prove/Cargo.toml:39)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Backoff:
+    """Deterministic exponential backoff: initial·factor^k capped at max."""
+
+    initial_s: float = 0.2
+    factor: float = 2.0
+    max_s: float = 30.0
+    max_retries: int = 8
+
+    def delays(self):
+        d = self.initial_s
+        for _ in range(self.max_retries):
+            yield d
+            d = min(d * self.factor, self.max_s)
+
+
+def run_worker_forever(
+    gateway_addr: tuple[str, int],
+    token: str = "",
+    worker_class: str = "deepprove-tpu",
+    pcs_kw=None,
+    store=None,
+    backoff: Backoff | None = None,
+    max_sessions: int | None = None,
+    max_tasks_per_session: int | None = None,
+    sleep=None,
+) -> int:
+    """Long-lived worker: dial, serve, and on disconnect/refusal reconnect
+    with exponential backoff; a session that served ≥1 task resets the
+    backoff (grpc.rs:36-75 semantics). Returns total tasks processed.
+
+    `sleep` is injectable for tests; `max_sessions` bounds the loop so
+    tests terminate."""
+    import time as _time
+
+    backoff = backoff or Backoff()
+    sleep = sleep or _time.sleep
+    store = store if store is not None else MemStore()
+    total = 0
+    sessions = 0
+    delays = iter(backoff.delays())
+    while max_sessions is None or sessions < max_sessions:
+        sessions += 1
+        try:
+            n = run_worker(
+                gateway_addr,
+                token=token,
+                worker_class=worker_class,
+                pcs_kw=pcs_kw,
+                max_tasks=max_tasks_per_session,
+                store=store,
+            )
+        except OSError:
+            n = 0
+        total += n
+        if n > 0:  # successful session → reset backoff
+            delays = iter(backoff.delays())
+            continue
+        try:
+            sleep(next(delays))
+        except StopIteration:
+            break  # gave up after max_retries consecutive failures
+    return total
+
+
+# ---------------------------------------------------------------------------
+# multi-worker gateway: registry + idle-queue dispatch + requeue on drop
+# (the LPN gateway side of grpc.rs, here for fleet tests / local clusters)
+# ---------------------------------------------------------------------------
+
+
+class Gateway:
+    """Accepts N workers; dispatches tasks to idle workers; requeues the
+    in-flight task of a worker that drops mid-proof (failure detection)."""
+
+    def __init__(self, token: str = ""):
+        self.token = token
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(16)
+        self.addr = self._srv.getsockname()
+        self.replies: queue.Queue = queue.Queue()
+        self.pending: queue.Queue = queue.Queue()  # (task_id, encoded blob)
+        self._idle: queue.Queue = queue.Queue()  # worker ids ready for a task
+        self._workers: dict[int, socket.socket] = {}
+        self._inflight: dict[int, tuple[str, bytes]] = {}
+        self._lock = threading.Lock()
+        self._closed = False
+        self._next_wid = 0
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        threading.Thread(target=self._dispatch_loop, daemon=True).start()
+
+    # -- worker intake -------------------------------------------------------
+    def _accept_loop(self):
+        while not self._closed:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._register_worker, args=(conn,), daemon=True
+            ).start()
+
+    def _register_worker(self, conn: socket.socket):
+        preamble = b""
+        while not preamble.endswith(b"\n"):
+            c = conn.recv(1)
+            if not c:
+                return
+            preamble += c
+        if preamble.decode().strip() != f"authorization: Bearer {self.token}".strip():
+            conn.close()
+            return
+        msg = recv_frame(conn, pb.WorkerToGwRequest)
+        if msg is None or msg.WhichOneof("request") != "worker_ready":
+            conn.close()
+            return
+        with self._lock:
+            wid = self._next_wid
+            self._next_wid += 1
+            self._workers[wid] = conn
+        self._idle.put(wid)
+        self._reader(wid, conn)
+
+    def _reader(self, wid: int, conn: socket.socket):
+        while True:
+            try:
+                reply = recv_frame(conn, pb.WorkerToGwRequest)
+            except OSError:
+                reply = None
+            if reply is None:
+                self._drop_worker(wid)
+                return
+            with self._lock:
+                self._inflight.pop(wid, None)
+            self.replies.put(reply.worker_done)
+            self._idle.put(wid)
+
+    def _drop_worker(self, wid: int):
+        with self._lock:
+            self._workers.pop(wid, None)
+            dropped = self._inflight.pop(wid, None)
+        if dropped is not None:  # requeue the task the dead worker held
+            self.pending.put(dropped)
+
+    # -- dispatch ------------------------------------------------------------
+    def _dispatch_loop(self):
+        while not self._closed:
+            try:
+                task_id, blob = self.pending.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            while True:
+                wid = self._idle.get()
+                with self._lock:
+                    conn = self._workers.get(wid)
+                if conn is None:
+                    continue  # stale idle entry for a dropped worker
+                with self._lock:
+                    self._inflight[wid] = (task_id, blob)
+                try:
+                    send_frame(
+                        conn, pb.WorkerToGwResponse(task_id=task_id, task=blob)
+                    )
+                except OSError:
+                    self._drop_worker(wid)
+                    continue
+                break
+
+    # -- client API ----------------------------------------------------------
+    def submit(self, task_id: str, request: ProofRequest) -> None:
+        self.pending.put((task_id, encode_task(request)))
+
+    def num_workers(self) -> int:
+        with self._lock:
+            return len(self._workers)
+
+    def wait_workers(self, n: int, timeout: float = 10.0) -> None:
+        import time
+
+        deadline = time.time() + timeout
+        while self.num_workers() < n:
+            if time.time() > deadline:
+                raise TimeoutError(f"only {self.num_workers()}/{n} workers")
+            time.sleep(0.01)
+
+    def next_reply(self, timeout: float = 300.0) -> pb.WorkerDone:
+        return self.replies.get(timeout=timeout)
+
+    def close(self):
+        self._closed = True
+        with self._lock:
+            conns = list(self._workers.values())
+            self._workers.clear()
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+        self._srv.close()
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +405,7 @@ class MockGateway:
                 return
             preamble += c
         auth = preamble.decode().strip()
-        if auth != f"authorization: Bearer {self.token}":
+        if auth != f"authorization: Bearer {self.token}".strip():
             conn.close()
             return
         msg = recv_frame(conn, pb.WorkerToGwRequest)

@@ -55,9 +55,68 @@ class FileStore:
             pickle.dump(value, f)
 
 
+class S3Store:
+    """Object-store backend speaking the S3 REST dialect
+    (GET/PUT `http://endpoint/bucket/key`) — the reference's `S3Store`
+    via object_store (store.rs:84). Works against any S3-compatible
+    endpoint (minio, localstack, or the in-process test server in
+    tests/test_service.py); auth is a bearer token header when given
+    (real AWS SigV4 is out of scope offline)."""
+
+    def __init__(self, endpoint: str, bucket: str, prefix: str = "", token: str = ""):
+        self.endpoint = endpoint.rstrip("/")
+        self.bucket = bucket
+        self.prefix = prefix
+        self.token = token
+
+    def _url(self, key: str) -> str:
+        name = f"{self.prefix}{key}"
+        return f"{self.endpoint}/{self.bucket}/{name}"
+
+    def _headers(self) -> dict:
+        return {"Authorization": f"Bearer {self.token}"} if self.token else {}
+
+    def get(self, key: str):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(self._url(key), headers=self._headers())
+        try:
+            with urllib.request.urlopen(req) as r:
+                return pickle.loads(r.read())
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def put(self, key: str, value):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(key),
+            data=pickle.dumps(value),
+            method="PUT",
+            headers={"Content-Type": "application/octet-stream", **self._headers()},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status in (200, 201), f"S3 PUT failed: {r.status}"
+
+
 def get_or_init_model(store, model_bytes: bytes, strategy: str, init_fn):
     """store.rs:57 get_or_init_model_with semantics."""
     key = model_key(model_bytes, strategy)
+    cached = store.get(key)
+    if cached is not None:
+        return cached
+    value = init_fn()
+    store.put(key, value)
+    return value
+
+
+def get_or_init_params(store, model_bytes: bytes, init_fn):
+    """store.rs ParamsKey semantics: PCS params keyed by model sha256 only
+    (independent of scaling strategy)."""
+    key = "params-" + model_key(model_bytes, "")
     cached = store.get(key)
     if cached is not None:
         return cached

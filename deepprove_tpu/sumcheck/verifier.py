@@ -11,6 +11,7 @@ polynomial evaluation — exactly the reference's `SumCheckSubClaim`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 from ..fields import host
 from ..transcript import BasicTranscript
@@ -40,19 +41,28 @@ def interpolate_uni_poly(evals: list[ExtPair], at: ExtPair) -> ExtPair:
     for i in range(n - 1, -1, -1):
         suffix[i] = host.ext_mul(suffix[i + 1], host.ext_sub(at, (i % host.P, 0)))
     out = (0, 0)
-    # denominator for point i: i! * (n-1-i)! * (-1)^(n-1-i)
+    den_invs = _den_invs(n)
+    for i in range(n):
+        num = host.ext_mul(prefix[i], suffix[i + 1])
+        term = host.ext_mul(evals[i], host.ext_mul(num, (den_invs[i], 0)))
+        out = host.ext_add(out, term)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _den_invs(n: int) -> tuple:
+    """Inverted Lagrange denominators 1/(i!·(n−1−i)!·(−1)^(n−1−i)) for
+    the node set {0..n−1} — constants per arity, computed once."""
     fact = [1] * n
     for i in range(1, n):
         fact[i] = fact[i - 1] * i % host.P
+    out = []
     for i in range(n):
-        num = host.ext_mul(prefix[i], suffix[i + 1])
         den = fact[i] * fact[n - 1 - i] % host.P
         if (n - 1 - i) % 2 == 1:
             den = (-den) % host.P
-        den_inv = pow(den, host.P - 2, host.P)
-        term = host.ext_mul(evals[i], host.ext_mul(num, (den_inv, 0)))
-        out = host.ext_add(out, term)
-    return out
+        out.append(pow(den, host.P - 2, host.P))
+    return tuple(out)
 
 
 def verify(

@@ -20,6 +20,10 @@ from ..fields.host import P
 from ..hashing import poseidon2
 from ..hashing.constants import RATE, WIDTH
 
+from .. import native as _native_mod
+
+_NATIVE = _native_mod if _native_mod.get_lib() is not None else None
+
 
 class DuplexChallenger:
     def __init__(self):
@@ -39,8 +43,11 @@ class DuplexChallenger:
         for i, v in enumerate(self.input_buffer):
             self.state[i] = v
         self.input_buffer.clear()
-        self.state = poseidon2.permute_host(self.state)
-        self.output_buffer = [int(x) for x in self.state[:RATE]]
+        if _NATIVE is not None:
+            _NATIVE.permute_inplace(self.state)
+        else:
+            self.state = poseidon2.permute_host(self.state)
+        self.output_buffer = self.state[:RATE].tolist()
 
     def observe(self, value):
         value = int(value)

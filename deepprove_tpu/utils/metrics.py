@@ -39,10 +39,13 @@ class Metrics:
         if sync_profile():
             # drain the device queue so async dispatch time is charged to
             # the phase that enqueued it (TPU executes in launch order; a
-            # fresh trivial computation completes only after prior work)
+            # fresh trivial computation completes only after prior work).
+            # NB: a real host pull — block_until_ready does not actually
+            # sync on the axon tunnel.
+            import numpy as _np
             import jax.numpy as jnp
 
-            jnp.zeros(()).block_until_ready()
+            _np.asarray(jnp.zeros(()))
         return MetricsSpan(
             name=self.name, wall_s=time.time() - self.t0, rss_mb=_rss_mb()
         )

@@ -72,7 +72,7 @@ def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
     for out in io.outputs:
         n = out.num_vars()
         r = [transcript.read_challenge() for _ in range(n)]
-        out_claims.append(Claim(point=r, eval=mle_mod.evaluate_pairs(out.to_gf(), r)))
+        out_claims.append(Claim(point=r, eval=host.mle_eval_v(out.to_field(), r)))
 
     # backward verification loop
     claims_by_layer = {}
@@ -125,7 +125,7 @@ def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
             if edge.node is None:
                 claim = node_claims[slot]
                 inp = io.inputs[edge.index]
-                y = mle_mod.evaluate_pairs(inp.to_gf(), claim.point)
+                y = host.mle_eval_v(inp.to_field(), claim.point)
                 assert y == claim.eval, "input claim mismatch"
 
     # batched opening

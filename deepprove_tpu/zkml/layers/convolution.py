@@ -592,7 +592,7 @@ class ConvCtx:
         v = self.n - self.k + 1
         m[:v, :v] = 1
         mask_tiled = np.tile(m.reshape(-1), self.kw)
-        mask_eval = mle_mod.evaluate_pairs(gf.from_u64(Q.to_field(mask_tiled)), s0)
+        mask_eval = host.mle_eval_v(Q.to_field(mask_tiled), s0)
         b_eval = proof.clearing_evals[2]
         got = host.ext_mul(host.ext_mul(eq_eval, mask_eval), b_eval)
         assert got == sub1.expected_evaluation, "conv clearing mismatch"

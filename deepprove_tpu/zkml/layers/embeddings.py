@@ -231,7 +231,7 @@ def _tokens_eval(tokens: np.ndarray, r_t) -> ExtPair:
     t_padded = next_pow2(max(1, tokens.size))
     padded = np.zeros(t_padded, dtype=np.int64)
     padded[: tokens.size] = tokens
-    return mle_mod.evaluate_pairs(gf.from_u64(Q.to_field(padded)), r_t)
+    return host.mle_eval_v(Q.to_field(padded), r_t)
 
 
 @dataclasses.dataclass

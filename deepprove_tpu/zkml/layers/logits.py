@@ -219,9 +219,7 @@ class LogitsCtx:
         rows, vocab = 1 << log_r, 1 << k
         one_hot = np.zeros((rows, vocab), dtype=np.int64)
         one_hot[np.arange(min(rows, out_idx.size)), out_idx[:rows]] = 1
-        oh_eval = mle_mod.evaluate_pairs(
-            gf.from_u64(Q.to_field(one_hot.reshape(-1))), v
-        )
+        oh_eval = host.mle_eval_v(Q.to_field(one_hot.reshape(-1)), v)
         assert zf[1] == oh_eval, "logits one-hot claim mismatch"
         got = host.ext_mul(
             host.ext_mul(eq_eval, oh_eval), host.ext_sub(zf[2], zf[3])

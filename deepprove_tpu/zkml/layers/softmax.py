@@ -669,8 +669,8 @@ def _tril_eval(seq, k: int, n: int, point) -> tuple:
         return (1, 0)
     ls = (seq - 1).bit_length() if seq > 1 else 0
     if (1 << ls) != seq or ls != k or n < 2 * k:
-        tril_gf = gf.from_u64(Q.to_field(_tril_np(seq, 1 << (n - k), 1 << k).reshape(-1)))
-        return mle_mod.evaluate_pairs(tril_gf, point)
+        tril = Q.to_field(_tril_np(seq, 1 << (n - k), 1 << k).reshape(-1))
+        return host.mle_eval_v(tril, point)
     one = (1, 0)
     acc = one
     for c, r in zip(point[:k], point[k : 2 * k]):

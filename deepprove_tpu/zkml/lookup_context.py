@@ -187,11 +187,10 @@ class TableType:
             size = self.params[0]
             assert len(point) == size
             first = host.ext_sub(ident(point), ((1 << (size - 1)) % host.P, 0))
-            # second column has no closed form: evaluate its MLE (device)
-            from ..poly import mle as mle_mod
-
+            # second column has no closed form: evaluate its MLE (host —
+            # a device round-trip costs ~60 ms over the tunnel)
             _, cols = self.table_columns()
-            second = mle_mod.evaluate_pairs(gf.from_u64(cols[1]), point)
+            second = host.mle_eval_v(np.asarray(cols[1], dtype=np.uint64), point)
             return [first, second]
         if self.kind == "zero":
             bits = self.params[0]
@@ -382,6 +381,7 @@ def generate_lookup_witnesses(trace, ctx, transcript: BasicTranscript):
     lookups, count per-table multiplicities, commit columns + multiplicity
     polys, then derive the challenge storage."""
     from ..pcs import basefold
+    from ..utils import Metrics, stream_metrics
 
     element_count: dict[TableType, dict] = {}
     logup_witnesses: dict[int, list[LogUpWitness]] = {}
@@ -392,17 +392,24 @@ def generate_lookup_witnesses(trace, ctx, transcript: BasicTranscript):
         if not hasattr(op, "gen_lookup_witness"):
             continue
         step = trace.steps[node_id]
+        mg = Metrics()
         gen = op.gen_lookup_witness(node_id, ctx, step)
+        stream_metrics(
+            f"wit_gen_node{node_id}_{type(op).__name__}", mg.to_span()
+        )
         if gen is None:
             continue
         witnesses, counts = gen
         logup_witnesses[node_id] = witnesses
+        mg = Metrics()
         for tt, cmap in counts.items():
             agg = element_count.setdefault(tt, {})
             for k, v in cmap.items():
                 agg[k] = agg.get(k, 0) + v
+        stream_metrics(f"wit_count_node{node_id}", mg.to_span())
 
     table_witnesses = []
+    m_tbl = Metrics()
     for tt in sorted(element_count.keys()):
         counts = element_count[tt]
         merged, cols = tt.table_columns()
@@ -447,5 +454,6 @@ def generate_lookup_witnesses(trace, ctx, transcript: BasicTranscript):
             )
         )
 
+    stream_metrics("wit_tables", m_tbl.to_span())
     storage = ChallengeStorage.initialise(list(element_count.keys()), transcript)
     return storage, logup_witnesses, table_witnesses

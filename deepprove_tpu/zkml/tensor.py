@@ -40,11 +40,15 @@ class Tensor:
 
     def to_gf(self) -> gf.GF:
         """Pad to a power of two and lift to the field (device array)."""
+        return gf.from_u64(self.to_field())
+
+    def to_field(self) -> np.ndarray:
+        """Pad to a power of two and lift to the field (host u64 array)."""
         flat = self.flat()
         n = next_pow2(flat.size)
         padded = np.zeros(n, dtype=np.int64)
         padded[: flat.size] = flat
-        return gf.from_u64(Q.to_field(padded))
+        return Q.to_field(padded)
 
     def pad_1d(self, size: int) -> "Tensor":
         flat = self.flat()

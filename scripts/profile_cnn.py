@@ -1,0 +1,61 @@
+"""Profile the CNN-264k (cnn-cifar-01.onnx) prove + verify on the real TPU.
+
+Usage: python scripts/profile_cnn.py [--skip-verify]
+Per-phase CSV to /tmp/cnn_prof.csv (TIMED_OUTPUT, ZKML_SYNC_PROFILE=1).
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("TIMED_OUTPUT", "/tmp/cnn_prof.csv")
+os.environ.setdefault("ZKML_SYNC_PROFILE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/deepprove_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import bench
+    from deepprove_tpu.parser.onnx import load_onnx
+    from deepprove_tpu.transcript import BasicTranscript
+    from deepprove_tpu.zkml.float_model import quantize
+    from deepprove_tpu.zkml.iop import Context, Prover, verify
+    from deepprove_tpu.zkml.iop.verifier import IO
+    from deepprove_tpu.zkml.tensor import Tensor
+
+    asset = "/root/reference/zkml/assets/scripts/CNN/cnn-cifar-01.onnx"
+    m = load_onnx(asset)
+    rng = np.random.default_rng(0)
+    xs = [rng.uniform(-1, 1, size=m.input_shape) for _ in range(2)]
+    q, s_in, _ = quantize(m, "inference", xs)
+    x = Tensor(s_in.quantize(xs[0]).astype(np.int64))
+    trace = q.run([x])
+    t0 = time.time()
+    ctx = Context.generate(
+        q, num_queries=bench.NUM_QUERIES, basecode_msg_size_log=bench.MSG_LOG
+    )
+    print(f"setup: {time.time()-t0:.2f}s", flush=True)
+
+    for tag in ("cold", "warm1", "warm2"):
+        t0 = time.time()
+        proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+        print(f"prove ({tag}): {time.time()-t0:.2f}s", flush=True)
+
+    if "--skip-verify" in sys.argv:
+        return
+    io_obj = IO([x], trace.outputs)
+    for tag in ("cold", "warm1", "warm2"):
+        t0 = time.time()
+        verify(ctx, proof, io_obj, BasicTranscript(b"m2vec"))
+        print(f"verify ({tag}): {time.time()-t0:.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Profile the honest MLP-4M (5×1024) prove + verify on the real TPU.
+
+Usage:  python scripts/profile_mlp.py [--skip-verify]
+Writes per-phase CSV to /tmp/mlp_prof.csv (TIMED_OUTPUT) with
+ZKML_SYNC_PROFILE=1 so each phase's device work is charged to it, then
+prints wall times and a cProfile top list for verify.
+"""
+
+import cProfile
+import io
+import os
+import pstats
+import sys
+import time
+
+os.environ.setdefault("TIMED_OUTPUT", "/tmp/mlp_prof.csv")
+os.environ.setdefault("ZKML_SYNC_PROFILE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/deepprove_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import bench
+    from deepprove_tpu.transcript import BasicTranscript
+    from deepprove_tpu.zkml.iop import Context, Prover, verify
+    from deepprove_tpu.zkml.iop.verifier import IO
+    from deepprove_tpu.zkml.tensor import Tensor
+
+    model, x_np, params = bench.build_mlp_4m()
+    x = Tensor(x_np)
+    trace = model.run([x])
+    t0 = time.time()
+    ctx = Context.generate(
+        model, num_queries=bench.NUM_QUERIES, basecode_msg_size_log=bench.MSG_LOG
+    )
+    print(f"setup: {time.time()-t0:.2f}s", flush=True)
+
+    for tag in ("cold", "warm1", "warm2"):
+        t0 = time.time()
+        proof = Prover(ctx, BasicTranscript(b"m2vec")).prove(trace)
+        print(f"prove ({tag}): {time.time()-t0:.2f}s", flush=True)
+
+    if "--skip-verify" in sys.argv:
+        return
+    io_obj = IO([x], trace.outputs)
+    t0 = time.time()
+    verify(ctx, proof, io_obj, BasicTranscript(b"m2vec"))
+    print(f"verify (cold): {time.time()-t0:.2f}s", flush=True)
+    for i in range(2):
+        t0 = time.time()
+        verify(ctx, proof, io_obj, BasicTranscript(b"m2vec"))
+        print(f"verify (warm): {time.time()-t0:.2f}s", flush=True)
+
+    pr = cProfile.Profile()
+    pr.enable()
+    verify(ctx, proof, io_obj, BasicTranscript(b"m2vec"))
+    pr.disable()
+    s = io.StringIO()
+    pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(45)
+    print(s.getvalue(), flush=True)
+
+
+if __name__ == "__main__":
+    main()

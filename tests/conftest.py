@@ -37,3 +37,28 @@ def rng():
     # zkml/src/lib.rs:337) — tests must pass for any seed.
     seed = int(os.environ.get("RNG_SEED", np.random.SeedSequence().entropy % (2**32)))
     return np.random.default_rng(seed)
+
+
+# Full-suite memory bound: XLA CPU executables accumulate in jax's caches
+# (~22 GB RSS by the suite's midpoint), eventually segfaulting the
+# compiler. Clearing per-test would recompile everything; instead clear
+# only when RSS crosses a threshold — bounded memory, mostly-preserved
+# compile sharing.
+_RSS_LIMIT_MB = float(os.environ.get("ZKML_TEST_RSS_LIMIT_MB", "9000"))
+
+
+@pytest.fixture(autouse=True)
+def _bound_jax_cache_memory():
+    yield
+    import resource
+
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    # ru_maxrss is a high-water mark; track actual via /proc for the live
+    # value (Linux-only, fine here)
+    try:
+        with open("/proc/self/statm") as f:
+            live_mb = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**20
+    except OSError:
+        live_mb = rss_mb
+    if live_mb > _RSS_LIMIT_MB:
+        jax.clear_caches()

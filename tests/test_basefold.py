@@ -4,6 +4,10 @@ Mirrors mpcs test_util roundtrips (mpcs/src/lib.rs:388) with a small
 basecode/query count for test speed (protocol defaults are 2^7/200).
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 import pytest
 

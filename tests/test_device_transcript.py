@@ -8,6 +8,10 @@ duplex refill. Mirrors transcript/src/basic.rs observe/sample
 discipline.
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from deepprove_tpu.fields import gf

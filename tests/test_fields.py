@@ -4,6 +4,10 @@ Mirrors the reference's property-test style for ff_ext (random operands,
 algebraic identities) — reference: ff_ext/src/lib.rs.
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 import pytest
 

@@ -13,6 +13,10 @@ reference's published Poseidon2/Goldilocks parameters, and are frozen so
 any later regression is loud.
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import json
 import os
 

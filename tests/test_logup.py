@@ -1,6 +1,10 @@
 """logup-GKR prove/verify roundtrips (mirrors logup_gkr tests + the global
 Σ num = 0 soundness identity from iop/verifier.rs:275-291)."""
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from deepprove_tpu.fields import gf, host

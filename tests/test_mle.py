@@ -4,6 +4,10 @@ Mirrors multilinear_extensions tests: little-endian variable order,
 fix_variables (low-first) and fix_high_variables semantics.
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from deepprove_tpu.fields import gf, host

@@ -5,6 +5,10 @@ challenger must follow p3 DuplexChallenger semantics (rate 4, pop-from-end
 sampling) — reference: poseidon/src/challenger.rs, poseidon_hash.rs.
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from deepprove_tpu.fields import gf, host

@@ -34,6 +34,10 @@ plonky3 file in seconds) and asserts:
 import importlib.util
 import os
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from deepprove_tpu.hashing import constants as C

@@ -6,6 +6,8 @@ MHA garbage pad (padding.rs:26-59) for non-pow2 head counts/dims."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from deepprove_tpu.transcript import BasicTranscript
 from deepprove_tpu.zkml import quantization as Q
 from deepprove_tpu.zkml.iop import Context, Prover, verify

@@ -141,3 +141,203 @@ def test_gateway_worker_roundtrip(rng):
     t.join(timeout=30)
     assert not t.is_alive()
     mock.close()
+
+
+class _LocalS3Server:
+    """Minimal in-process S3-compatible object server (GET/PUT/404)."""
+
+    def __init__(self, token: str = ""):
+        import http.server
+        import threading
+
+        objects = {}
+        expect_auth = f"Bearer {token}" if token else None
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _authed(self):
+                if expect_auth is None:
+                    return True
+                return self.headers.get("Authorization") == expect_auth
+
+            def do_GET(self):
+                if not self._authed():
+                    self.send_response(403); self.end_headers(); return
+                body = objects.get(self.path)
+                if body is None:
+                    self.send_response(404); self.end_headers(); return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_PUT(self):
+                if not self._authed():
+                    self.send_response(403); self.end_headers(); return
+                n = int(self.headers.get("Content-Length", 0))
+                objects[self.path] = self.rfile.read(n)
+                self.send_response(200); self.end_headers()
+
+        self.objects = objects
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.endpoint = f"http://127.0.0.1:{self.server.server_address[1]}"
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.server.shutdown()
+
+
+def test_store_backend_swap():
+    """The same get_or_init flow runs unchanged over Mem, File and S3
+    backends (store.rs Store-trait pluggability)."""
+    import tempfile
+
+    from deepprove_tpu.service.store import S3Store, get_or_init_params
+
+    srv = _LocalS3Server(token="tok")
+    backends = [
+        MemStore(),
+        FileStore(tempfile.mkdtemp()),
+        S3Store(srv.endpoint, "models", prefix="ci/", token="tok"),
+    ]
+    try:
+        for store in backends:
+            calls = []
+
+            def init():
+                calls.append(1)
+                return {"params": [1, 2, 3]}
+
+            a = get_or_init_model(store, b"m", "abs", init)
+            b = get_or_init_model(store, b"m", "abs", init)
+            assert a == b == {"params": [1, 2, 3]}
+            assert len(calls) == 1, type(store).__name__
+            p1 = get_or_init_params(store, b"m", lambda: "P")
+            p2 = get_or_init_params(store, b"m", lambda: "Q")
+            assert p1 == p2 == "P"
+    finally:
+        srv.close()
+    # the S3 objects really crossed HTTP
+    assert any("/models/ci/" in k for k in srv.objects)
+
+
+def test_s3_store_auth_required():
+    import urllib.error
+
+    from deepprove_tpu.service.store import S3Store
+
+    srv = _LocalS3Server(token="tok")
+    try:
+        bad = S3Store(srv.endpoint, "models", token="wrong")
+        with pytest.raises(urllib.error.HTTPError):
+            bad.put("k", 1)
+    finally:
+        srv.close()
+
+
+class _EchoResp:
+    """Stub worker response (dispatch-protocol tests need no real prover;
+    the single-worker roundtrip test covers gateway + real prove)."""
+
+    def __init__(self, tag):
+        self.proofs = [tag]
+        self.outputs = []
+        self.errors = []
+
+
+def _echo_handler(store, request, pcs_kw):
+    import time
+
+    time.sleep(0.05)  # force interleaving across workers
+    return _EchoResp(f"proof-of-{len(request.inputs)}-inputs")
+
+
+def test_gateway_two_workers_dispatch_and_requeue(rng):
+    """Two workers registered; tasks dispatch to idle workers; all tasks
+    complete (grpc.rs fleet semantics)."""
+    import threading
+
+    from deepprove_tpu.service import gateway as gw
+
+    g = gw.Gateway(token="t")
+    threads = [
+        threading.Thread(
+            target=gw.run_worker,
+            args=(g.addr,),
+            kwargs=dict(token="t", max_tasks=3, task_handler=_echo_handler),
+            daemon=True,
+        )
+        for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    g.wait_workers(2)
+
+    for i in range(4):
+        g.submit(
+            f"task-{i}",
+            ProofRequest(model_bytes=b"m", inputs=[[0.0] * 8]),
+        )
+    done = {g.next_reply(timeout=60.0).task_id for _ in range(4)}
+    assert done == {"task-0", "task-1", "task-2", "task-3"}
+    g.close()
+
+
+def test_gateway_requeues_on_worker_drop(rng):
+    """A fake worker that registers then dies mid-task: the gateway
+    requeues its in-flight task and a real worker completes it."""
+    import socket as socketlib
+    import threading
+
+    from deepprove_tpu.service import gateway as gw
+
+    g = gw.Gateway(token="")
+
+    # fake worker: register, take one task, drop the connection
+    def fake_worker():
+        with socketlib.create_connection(g.addr) as s:
+            s.sendall(b"authorization: Bearer \n")
+            gw.send_frame(
+                s,
+                gw.pb.WorkerToGwRequest(
+                    worker_ready=gw.pb.WorkerReady(version="1", worker_class="fake")
+                ),
+            )
+            gw.recv_frame(s, gw.pb.WorkerToGwResponse)  # receive a task...
+            # ...and die without replying
+
+    ft = threading.Thread(target=fake_worker, daemon=True)
+    ft.start()
+    g.wait_workers(1)
+    g.submit("t0", ProofRequest(model_bytes=b"m", inputs=[[0.0] * 8]))
+    ft.join(timeout=30)
+
+    # now a live worker joins and should pick up the requeued task
+    rt = threading.Thread(
+        target=gw.run_worker,
+        args=(g.addr,),
+        kwargs=dict(max_tasks=1, task_handler=_echo_handler),
+        daemon=True,
+    )
+    rt.start()
+    done = g.next_reply(timeout=60.0)
+    assert done.task_id == "t0"
+    assert done.WhichOneof("reply") == "task_output"
+    g.close()
+
+
+def test_worker_reconnect_backoff():
+    """run_worker_forever retries with exponential backoff while the
+    gateway is down, and gives up after max_retries."""
+    from deepprove_tpu.service import gateway as gw
+
+    sleeps = []
+    n = gw.run_worker_forever(
+        ("127.0.0.1", 1),  # nothing listens here
+        backoff=gw.Backoff(initial_s=0.1, factor=2.0, max_s=1.0, max_retries=5),
+        sleep=sleeps.append,
+    )
+    assert n == 0
+    assert sleeps == [0.1, 0.2, 0.4, 0.8, 1.0]

@@ -7,6 +7,10 @@ mesh — XLA SPMD inserts the collectives — and must produce EXACTLY the
 same proof (hence transcript) as the unsharded prover.
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from deepprove_tpu.parallel.prover import default_mesh, shard_context

@@ -5,6 +5,10 @@ real transcript both sides, final-evaluation check against the folded
 MLEs — the canonical seeded-random roundtrip pattern (SURVEY.md §4).
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from deepprove_tpu.fields import gf, host

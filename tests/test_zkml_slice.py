@@ -5,6 +5,10 @@ sumcheck, logup (Range + Clamping + Relu tables), same-poly accumulation,
 PCS batched opening, orchestration.
 """
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 import pytest
 
