@@ -59,23 +59,19 @@ def _tpu_backend() -> bool:
 
 
 def fuse_small_logup(max_size: int) -> bool:
-    """Whole-logup-proof-in-one-kernel for SMALL inputs.
+    """Whole-logup-proof-in-one-kernel for SMALL inputs — DEFAULT OFF.
 
-    The per-level logup path costs ~10 dispatches per GKR level; at
-    2^10-sized requant/relu columns the whole proof is latency, not
-    compute (~270 ms/node on the tunneled TPU, r4 profile). The fused
-    kernel is one dispatch; its XLA compile at small sizes is seconds
-    (the round-2 blowup was at Dense-4M sizes) and lands in the
-    persistent cache. TPU only — XLA CPU compiles the inlined Poseidon
-    instances for minutes (tests stay on the per-level path).
-    ZKML_FUSE=1 forces fusion everywhere, ZKML_FUSE=0 disables it.
+    Measured r4 on the axon TPU: even at 2^10 requant columns one fused
+    variant took XLA 5-30+ MINUTES to compile (nested while_loops with
+    inlined per-level Poseidon transcripts — module size, not data size,
+    drives the blowup; cache entries reach 163 MB), against ~1 s of warm
+    win per prove. Cold start matters more (VERDICT r3 item 4), so the
+    per-level path stays the default; ZKML_FUSE=1 opts in.
     """
     v = os.environ.get("ZKML_FUSE")
     if v == "1":
         return True
-    if v is not None and not bool_flag("ZKML_FUSE"):
-        return False
-    return max_size <= (1 << 12) and _tpu_backend()
+    return False
 
 
 def sync_profile() -> bool:

@@ -522,6 +522,39 @@ def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
         )
 
     circuits = make_circuits(inp)
+    return _prove_circuits(circuits, inp.base_mles(), inp.is_table, dt)
+
+
+def batch_prove_grouped(instances, dt) -> LogUpProof:
+    """Consolidated lookup proof: MANY heterogeneous lookup instances
+    (each with its own columns and per-table challenges) in ONE GKR.
+
+    The reference proves one LogUp batch per NODE (iop/prover.rs:439 →
+    gen_lookup_witness per layer); on a tunneled TPU each per-node proof
+    costs ~10 levels × ~10 dispatches of pure latency (~300 ms at 2^10 —
+    the whole claims phase of the MLP-4M warm prove). Batching every
+    requant/relu instance of equal column size into one circuit set pays
+    that latency once per model instead of once per node. Instance order
+    (and with it the α-batching order) is fixed by the orchestrator.
+
+    instances: list of (columns list[GF], const_chal, sep_chal).
+    """
+    circuits = []
+    base: list = []
+    for cols, const_c, sep_c in instances:
+        den = merge_columns(
+            tuple(cols), _ext_scalar(const_c), _ext_scalar(sep_c), len(cols)
+        )
+        nums, dens = _lookup_tree(den)
+        circuits.append(_Circuit(nums, dens, initial_lookup=True))
+        base.extend(cols)
+    return _prove_circuits(circuits, base, False, dt)
+
+
+def _prove_circuits(circuits, base_mles, is_table: bool, dt) -> LogUpProof:
+    from .. import glue
+    from ..sumcheck.fused import prove_device
+
     num_instances = len(circuits)
     total_layers = max(c.num_vars for c in circuits)
     out_ext = glue.concat(
@@ -601,7 +634,7 @@ def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
             current_claim = _next_claim_kernel(
                 evals, bc, alpha_next, lam_next, num_instances
             )
-        elif inp.is_table:
+        elif is_table:
             current_claim = _next_claim_kernel(
                 evals, bc, alpha_next, lam_next, num_instances
             )
@@ -614,13 +647,13 @@ def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
         round_evaluations.append(evals)
 
     evals = _batch_eval_kernel(
-        glue.stack_mles(inp.base_mles()),
+        glue.stack_mles(list(base_mles)),
         sumcheck_point,
         int(sumcheck_point.shape[0]),
     )  # GF2 (k,) device
     output_claims = [
         glue.DevClaim(point=sumcheck_point, eval=glue.at(evals, i))
-        for i in range(len(inp.base_mles()))
+        for i in range(len(base_mles))
     ]
 
     return LogUpProof(
@@ -628,7 +661,7 @@ def batch_prove_device(inp: LogUpInput, dt) -> LogUpProof:
         round_evaluations=round_evaluations,
         output_claims=output_claims,
         circuit_outputs=out_ext.reshape(num_instances, 4),
-        is_table=inp.is_table,
+        is_table=is_table,
     )
 
 
@@ -695,7 +728,13 @@ def verify_logup_proof(
     constant_challenge: ExtPair,
     column_separation_challenge: ExtPair,
     transcript: BasicTranscript,
+    instance_specs=None,
 ) -> VerifierClaim:
+    """instance_specs (grouped proofs): list of (k_cols, const_chal,
+    sep_chal) per instance — overrides the uniform challenge pair and
+    num_instances for proofs produced by `batch_prove_grouped`."""
+    if instance_specs is not None:
+        num_instances = len(instance_specs)
     transcript.append_field_element(num_instances)
     for evals in proof.circuit_outputs:
         transcript.append_field_element_exts(evals)
@@ -782,9 +821,13 @@ def verify_logup_proof(
         sumcheck_point = list(subclaim.point)
         sumcheck_point.append(bc)
 
-    calculated = _calculate_final_eval(
-        proof, constant_challenge, column_separation_challenge, alpha, lam, num_instances
-    )
+    if instance_specs is not None:
+        calculated = _calculate_final_eval_grouped(proof, instance_specs, alpha)
+    else:
+        calculated = _calculate_final_eval(
+            proof, constant_challenge, column_separation_challenge, alpha, lam,
+            num_instances,
+        )
     if calculated != current_claim:
         raise AssertionError("logup final column-claim check failed")
 
@@ -793,6 +836,24 @@ def verify_logup_proof(
         numerators=numerators,
         denominators=denominators,
     )
+
+
+def _calculate_final_eval_grouped(proof: LogUpProof, instance_specs, alpha) -> ExtPair:
+    """Final column-claim check for grouped lookup proofs: instance i has
+    its own (k_i, const_i, sep_i); claims are flat in instance order."""
+    acc = (0, 0)
+    alpha_comb = (1, 0)
+    off = 0
+    for k, const_c, sep_c in instance_specs:
+        merged = const_c
+        csc = (1, 0)
+        for cl in proof.output_claims[off : off + k]:
+            merged = host.ext_add(merged, host.ext_mul(cl.eval, csc))
+            csc = host.ext_mul(csc, sep_c)
+        acc = host.ext_add(acc, host.ext_mul(merged, alpha_comb))
+        alpha_comb = host.ext_mul(alpha_comb, alpha)
+        off += k
+    return acc
 
 
 def _calculate_final_eval(

@@ -856,10 +856,16 @@ def _multi_query_kernel(codewords: tuple, levels: tuple, idx0, shifts: tuple):
     return tuple(outs)
 
 
+_QUERY_GROUP = 8
+
+
 def _multi_query_entries(items, idx0, q: int):
     """items: list of (codeword, tree, shift). Returns aligned
-    [lo, hi, paths-NpGF] entries, batching all no-tail deep trees into one
-    `_multi_query_kernel` dispatch and falling back per-tree otherwise."""
+    [lo, hi, paths-NpGF] entries, batching no-tail deep trees into
+    `_multi_query_kernel` dispatches of ≤_QUERY_GROUP trees (sorted by
+    (depth, shift, ext-ness) so same-shape chunks share ONE XLA compile —
+    a single all-trees kernel at MLP-4M scale was ~900 gathers and took
+    XLA tens of minutes), falling back per-tree otherwise."""
     from .. import glue
 
     entries = [None] * len(items)
@@ -870,14 +876,20 @@ def _multi_query_entries(items, idx0, q: int):
         else:
             lo, hi = _gather_pairs_shift_kernel(cw, idx0, shift)
             entries[i] = [lo, hi, _paths_entry_dev(tree, idx0, shift, q)]
-    if grouped:
-        outs = _multi_query_kernel(
-            tuple(items[i][0] for i in grouped),
-            tuple(tuple(items[i][1].levels[:-1]) for i in grouped),
-            idx0,
-            tuple(items[i][2] for i in grouped),
+    grouped.sort(
+        key=lambda i: (
+            items[i][1].depth, items[i][2], isinstance(items[i][0], gf.GF2)
         )
-        for i, (lo, hi, paths) in zip(grouped, outs):
+    )
+    for g0 in range(0, len(grouped), _QUERY_GROUP):
+        chunk = grouped[g0 : g0 + _QUERY_GROUP]
+        outs = _multi_query_kernel(
+            tuple(items[i][0] for i in chunk),
+            tuple(tuple(items[i][1].levels[:-1]) for i in chunk),
+            idx0,
+            tuple(items[i][2] for i in chunk),
+        )
+        for i, (lo, hi, paths) in zip(chunk, outs):
             entries[i] = [lo, hi, glue.NpGF(paths)]
     return entries
 
@@ -986,20 +998,60 @@ def _deg2_zero_plus_one(msg: list[ExtPair]) -> ExtPair:
     return host.ext_add(host.ext_add(msg[0], msg[0]), host.ext_add(msg[1], msg[2]))
 
 
+def _interp_bh_host(v: np.ndarray) -> np.ndarray:
+    """interpolate_field_type_over_boolean_hypercube on host ext pairs
+    (n, 2): per variable, hi −= lo."""
+    v = v.copy()
+    n = v.shape[0]
+    lg_n = n.bit_length() - 1
+    for i in range(lg_n):
+        m = 1 << (i + 1)
+        w = v.reshape(-1, m, 2)
+        half = m // 2
+        w[:, half:] = host.ext_sub_v(w[:, half:], w[:, :half])
+    return v
+
+
+def _coset_fft_host(v: np.ndarray, shift: int, lg_n: int) -> np.ndarray:
+    """Host mirror of ntt.coset_fft for ext values (n, 2) — the final
+    message is ≤2^7 elements; a device round-trip here cost a ~30-260 ms
+    pull in every verify."""
+    from .ntt import _root_rows_host, _shift_powers_host, geom_powers
+
+    sp = _shift_powers_host(int(shift), v.shape[0])
+    v = np.stack([host.mul(v[:, 0], sp), host.mul(v[:, 1], sp)], axis=-1)
+    v = v[bit_reverse_perm(lg_n)]
+    rows = _root_rows_host(lg_n)
+    for lg_m in range(1, lg_n + 1):
+        m = 1 << lg_m
+        half = m // 2
+        w = v.reshape(-1, m, 2)
+        u, t_in = w[:, :half], w[:, half:]
+        om = rows[lg_m - 1][:half, None]
+        t = np.stack(
+            [host.mul(t_in[..., 0], om[..., 0]), host.mul(t_in[..., 1], om[..., 0])],
+            axis=-1,
+        )
+        v = np.concatenate(
+            [host.ext_add_v(u, t), host.ext_sub_v(u, t)], axis=1
+        ).reshape(-1, 2)
+    return v
+
+
 def _encode_final_message_host(params: BasefoldParams, final_message: list[ExtPair]):
     """Re-encode the final message like the verifier (query_phase.rs:159-171).
 
     For basecode the final message is exactly one base chunk, so the
     verifier re-encodes with the naive-domain RS (basecode.rs encode_small).
+    All host — the verifier must not pay device round-trips here.
     """
     k = len(final_message).bit_length() - 1
-    fm = gf.ext_from_u64(
-        np.asarray([m[0] for m in final_message], dtype=np.uint64),
-        np.asarray([m[1] for m in final_message], dtype=np.uint64),
+    fm = np.asarray(
+        [[m[0] % host.P, m[1] % host.P] for m in final_message], dtype=np.uint64
     )
-    coeffs = ntt.interpolate_over_hypercube(fm)
+    coeffs = _interp_bh_host(fm)
     if params.encoding == "basecode":
-        cpairs = _pairs_host(coeffs)
+        cpairs = [tuple(int(x) for x in row) for row in coeffs]
         d = len(final_message) << params.rate_log
         cw = []
         for x in range(1, d + 1):
@@ -1010,10 +1062,19 @@ def _encode_final_message_host(params: BasefoldParams, final_message: list[ExtPa
             cw.append(acc)
         rev = bit_reverse_perm(k + params.rate_log)
         return [cw[j] for j in rev]
-    coeffs = ntt.bit_reverse(coeffs, k)
-    cw = ntt.encode_rs(coeffs, params.max_message_size_log, params.rate_log)
-    cw = ntt.bit_reverse(cw, k + params.rate_log)
-    return _pairs_host(cw)
+    # RS: pad bit-reversed coeffs to the rate, coset-FFT on
+    # γ^2^(full−k)·H (rs.rs:458 encode_internal), then bit-reverse
+    coeffs = coeffs[bit_reverse_perm(k)]
+    n_out = len(final_message) << params.rate_log
+    padded = np.zeros((n_out, 2), dtype=np.uint64)
+    padded[: coeffs.shape[0]] = coeffs
+    shift = host.pow_const(
+        np.uint64(host.MULTIPLICATIVE_GENERATOR),
+        1 << (params.max_message_size_log - k),
+    )
+    cw = _coset_fft_host(padded, int(shift), k + params.rate_log)
+    cw = cw[bit_reverse_perm(k + params.rate_log)]
+    return [(int(a), int(b)) for a, b in cw]
 
 
 def _eq_eval_host(x: list[ExtPair], y: list[ExtPair]) -> ExtPair:
@@ -1077,6 +1138,42 @@ def _trivial_root_host(trivial_evals) -> tuple:
     return tuple(int(x) for x in d[0])
 
 
+@partial(jax.jit, static_argnames=("max_d",))
+def _pathjobs_kernel(d: gf.GF, paths_flat: gf.GF, ii, depths, max_d: int) -> gf.GF:
+    """Walk every Merkle path one level at a time, all rows at once.
+
+    d (N, 4) leaf digests; paths_flat (N, max_d·4) sibling digests
+    (zero-padded past each row's depth); ii (N,) pair indices; depths
+    (N,). Rows past their depth carry their digest through unchanged.
+    Compression matches merkle._compress_level_scan exactly (duplex
+    two_to_one, digest = reversed state[:4])."""
+    from ..hashing import poseidon2 as _p2d
+
+    n = d.shape[0]
+    paths = paths_flat.reshape(n, max_d, 4)
+    for lvl in range(max_d):
+        sib = paths[:, lvl, :]
+        odd = (ii & 1).astype(bool)[:, None]
+
+        def sel(mask, a: gf.GF, b: gf.GF) -> gf.GF:
+            return gf.GF(
+                jnp.where(mask, a.lo, b.lo), jnp.where(mask, a.hi, b.hi)
+            )
+
+        left = sel(odd, sib, d)
+        right = sel(odd, d, sib)
+        zeros = gf.zeros(left.shape)
+        st1 = _p2d.permute_device(gf.concatenate([left, zeros], axis=-1))
+        st2 = _p2d.permute_device(
+            gf.concatenate([right, st1[:, 4:]], axis=-1)
+        )
+        parent = st2[:, :4][:, ::-1]
+        act = (depths > lvl)[:, None]
+        d = sel(act, parent, d)
+        ii = ii >> 1
+    return d
+
+
 class PathJobs:
     """Deferred Merkle path checks, executed in ONE per-level batched pass
     across every tree of a verification (fold oracles + all commitment
@@ -1101,15 +1198,12 @@ class PathJobs:
         )
 
     def run(self):
+        import jax as _j
+
         from .. import native
         from ..hashing import poseidon2 as _p2
 
         if not self.jobs:
-            return
-        if native.get_lib() is None:
-            for ld, ii, paths, root, label in self.jobs:
-                _verify_paths_batch(ld, ii, paths, root, label)
-            self.jobs = []
             return
         d = np.concatenate([j[0] for j in self.jobs])
         ii = np.concatenate([j[1] for j in self.jobs])
@@ -1124,15 +1218,35 @@ class PathJobs:
             k = j[0].shape[0]
             paths[off : off + k, : j[2].shape[1]] = j[2]
             off += k
-        for lvl in range(max_d):
-            act = depths > lvl
-            sib = paths[act, lvl, :]
-            da = d[act]
-            odd = (ii[act] & 1).astype(bool)[:, None]
-            left = np.where(odd, sib, da)
-            right = np.where(odd, da, sib)
-            d[act] = _p2.compress_host(left, right)
-            ii[act] = ii[act] >> 1
+        if _j.default_backend() != "cpu":
+            # device walk: one put, one kernel (~0.5 M permutes at
+            # 46.5 M/s), one pull. Host native Poseidon runs at only
+            # ~0.15 M permutes/s on this VM's vCPU — the MLP-4M verify
+            # spent 1.3 s there.
+            d = gf.to_u64(
+                _pathjobs_kernel(
+                    gf.from_u64(d),
+                    gf.from_u64(paths.reshape(n, -1)),
+                    jnp.asarray(ii, dtype=jnp.int32),
+                    jnp.asarray(depths, dtype=jnp.int32),
+                    max_d,
+                )
+            )
+        elif native.get_lib() is not None:
+            for lvl in range(max_d):
+                act = depths > lvl
+                sib = paths[act, lvl, :]
+                da = d[act]
+                odd = (ii[act] & 1).astype(bool)[:, None]
+                left = np.where(odd, sib, da)
+                right = np.where(odd, da, sib)
+                d[act] = _p2.compress_host(left, right)
+                ii[act] = ii[act] >> 1
+        else:
+            for ld, iii, pth, root, label in self.jobs:
+                _verify_paths_batch(ld, iii, pth, root, label)
+            self.jobs = []
+            return
         off = 0
         for ld, _, _, root, label in self.jobs:
             k = ld.shape[0]

@@ -33,17 +33,19 @@ def _register_proof_types():
     from ..pcs.basefold import BasefoldProof, BatchEvaluation, QueryOpening
     from ..sumcheck.prover import ProverOutput, SumcheckProof
     from ..zkml.commit import SamePolyProof
-    from ..zkml.iop.prover import Proof, TableProof
+    from ..zkml.iop.prover import Proof, SharedLogUpGroup, TableProof
 
     for cls in (
         Claim, LogUpProof, BasefoldProof, BatchEvaluation, QueryOpening,
         ProverOutput, SumcheckProof, SamePolyProof, Proof, TableProof,
+        SharedLogUpGroup,
     ):
         register(cls)
     # layer proof types
     from ..zkml.layers import (  # noqa: F401
         activation, add, concat_matmul, convolution, dense, embeddings,
-        layernorm, logits, matmul, pooling, requant, softmax,
+        layernorm, logits, matmul, pad, pooling, qkv, requant, shape_ops,
+        softmax,
     )
     import sys
 

@@ -32,12 +32,26 @@ class TableProof:
 
 
 @dataclasses.dataclass
+class SharedLogUpGroup:
+    """One consolidated lookup proof covering many nodes' instances of a
+    common column size (logup.batch_prove_grouped). `instances` lists
+    (node_id, witness_idx, instance_idx, cols_per_instance) in α-batching
+    order; per-instance challenges are re-derived by the verifier from
+    the CONTEXT's table layout, never trusted from the proof."""
+
+    instances: list
+    proof: object  # LogUpProof
+
+
+@dataclasses.dataclass
 class Proof:
     steps: dict  # NodeId -> layer proof
     table_proofs: list[TableProof]
     commit: dict  # {"batch": ..., "trivial": [...]}
     # fan-out claim merges: (node_id, wire) -> SamePolyProof
     merges: dict = dataclasses.field(default_factory=dict)
+    # consolidated node-lookup proofs, grouped by column size (ascending)
+    shared_logup: list = dataclasses.field(default_factory=list)
 
 
 class Prover:
@@ -56,6 +70,48 @@ class Prover:
 
     def lookup_witnesses_for(self, node_id):
         return self.lookup_witness.pop(node_id)
+
+    def shared_claims_for(self, node_id, wit_idx):
+        """Column claims for one witness from the consolidated lookup
+        proof (all at that group's shared point, in column order)."""
+        return self.shared_logup_claims[(node_id, wit_idx)]
+
+    def _prove_shared_logup(self):
+        """Consolidate every opted-in node lookup (op.shared_logup) into
+        one grouped logup proof per column size — the per-node proofs
+        cost ~300 ms of dispatch latency each on a tunneled TPU (the
+        whole claims phase of the MLP-4M prove; see
+        logup.batch_prove_grouped)."""
+        self.shared_logup_claims = {}
+        self.shared_logup_groups = []
+        by_size = {}
+        for nid in sorted(self.lookup_witness):
+            op = self.ctx.steps_info[nid].op
+            if not getattr(op, "shared_logup", False):
+                continue
+            for wi, wit in enumerate(self.lookup_witness[nid]):
+                size = int(wit.column_evals[0].shape[0])
+                by_size.setdefault(size, []).append((nid, wi, wit))
+        for size in sorted(by_size):
+            instances, index = [], []
+            for nid, wi, wit in by_size[size]:
+                const_c, sep_c = self.challenge_storage.get(wit.table_type.name())
+                k = wit.columns_per_instance
+                for j in range(len(wit.column_evals) // k):
+                    instances.append(
+                        (wit.column_evals[j * k : (j + 1) * k], const_c, sep_c)
+                    )
+                    index.append((nid, wi, j, k))
+            proof = logup.batch_prove_grouped(instances, self.dt)
+            off = 0
+            for nid, wi, j, k in index:
+                self.shared_logup_claims.setdefault((nid, wi), []).extend(
+                    proof.output_claims[off : off + k]
+                )
+                off += k
+            self.shared_logup_groups.append(
+                SharedLogUpGroup(instances=index, proof=proof)
+            )
 
     def prove(self, trace: InferenceTrace) -> Proof:
         """Fully async device-session prove: the transcript state, claims
@@ -76,6 +132,9 @@ class Prover:
             self.lookup_witness = witnesses
             self.table_witness = table_witnesses
         stream_metrics("witness_ctx", m.to_span())
+        m = Metrics("shared_logup")
+        self._prove_shared_logup()
+        stream_metrics("shared_logup", m.to_span())
         m = Metrics("claims")
 
         # output claims from FS (iop/prover.rs:423-436)
@@ -156,7 +215,7 @@ class Prover:
         self.dt.sync_to_host(self.transcript)
         proof = Proof(
             steps=self.proofs, table_proofs=self.table_proofs, commit=commit_proof,
-            merges=self.merge_proofs,
+            merges=self.merge_proofs, shared_logup=self.shared_logup_groups,
         )
         proof = glue.materialize(proof)
         stream_metrics("materialize", mo.to_span())

@@ -51,8 +51,44 @@ def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
     if ctx.lookup:
         v.challenge_storage = ChallengeStorage.initialise(ctx.lookup, transcript)
 
-    # collect lookup fractional outputs in forward node order, then tables
+    # consolidated node-lookup proofs FIRST (mirrors the prover's
+    # transcript order: right after challenge derivation). Per-instance
+    # (k, challenges) come from the CONTEXT's expected layout — the
+    # proof only supplies the grouping order, and every expected
+    # instance must be consumed exactly once.
     numerators, denominators = [], []
+    expected = {}
+    for nid in ctx.forward_order():
+        op = ctx.steps_info[nid].op
+        if getattr(op, "shared_logup", False):
+            for wi, (n_inst, k, tt) in enumerate(op.shared_lookup_layout()):
+                expected[(nid, wi)] = [n_inst, k, tt]
+    v.shared_logup_claims = {}
+    for group in proof.shared_logup:
+        specs = []
+        for nid, wi, j, k_claimed in group.instances:
+            exp = expected.get((nid, wi))
+            assert exp is not None, f"unexpected shared-logup instance {nid}/{wi}"
+            n_inst, k, tt = exp
+            assert k == k_claimed and 0 <= j < n_inst, "shared-logup layout"
+            const_c, sep_c = v.challenge_storage.get(tt.name())
+            specs.append((k, const_c, sep_c))
+        out = logup.verify_logup_proof(
+            group.proof, 0, (0, 0), (0, 0), transcript, instance_specs=specs
+        )
+        off = 0
+        for (nid, wi, j, k), _spec in zip(group.instances, specs):
+            bucket = v.shared_logup_claims.setdefault((nid, wi), [])
+            assert j * k == len(bucket), "shared-logup instance order"
+            bucket.extend(out.claims[off : off + k])
+            expected[(nid, wi)][0] -= 1
+            off += k
+        numerators.extend(out.numerators)
+        denominators.extend(out.denominators)
+    for key, (n_left, _, _) in expected.items():
+        assert n_left == 0, f"shared-logup instance count mismatch at {key}"
+
+    # remaining per-node lookup fractions (ops not consolidated), then tables
     for nid in ctx.forward_order():
         step_proof = proof.steps.get(nid)
         if step_proof is None:

@@ -33,6 +33,11 @@ class Relu:
     def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
         return [Tensor(np.maximum(inputs[0].data, 0))]
 
+    shared_logup = True
+
+    def shared_lookup_layout(self):
+        return [(1, 2, TableType("relu"))]
+
     def step_info(self, node_id: int, aux):
         aux.tables.add(TableType("relu"))
         return ReluCtx(node_id=node_id)
@@ -66,11 +71,7 @@ class Relu:
 
         last_claim = glue.as_dev(last_claims[0])
         (wit,) = prover.lookup_witnesses_for(node_id)
-        logup_input = wit.get_logup_input(prover.challenge_storage)
-        lookup_proof = logup.batch_prove_device(logup_input, prover.dt)
-
-        input_claim = lookup_proof.output_claims[0]
-        output_claim = lookup_proof.output_claims[1]
+        input_claim, output_claim = prover.shared_claims_for(node_id, 0)
         out_poly = wit.column_evals[1]
         acc_proof = same_poly_prove_device(
             out_poly, [last_claim, output_claim], prover.dt
@@ -84,9 +85,7 @@ class Relu:
 
         prover.push_proof(
             node_id,
-            ActivationProof(
-                io_accumulation=acc_proof, lookup=lookup_proof, commits=commits
-            ),
+            ActivationProof(io_accumulation=acc_proof, commits=commits),
         )
         return [input_claim]
 
@@ -116,6 +115,11 @@ class Gelu:
         _, out = _gelu_rows(self.table_type.params)
         idx = inputs[0].data - (Q.MIN - 1)
         return [Tensor(out[idx])]
+
+    shared_logup = True
+
+    def shared_lookup_layout(self):
+        return [(1, 2, self.table_type)]
 
     def step_info(self, node_id: int, aux):
         aux.tables.add(self.table_type)
@@ -157,10 +161,7 @@ class Gelu:
 
         last_claim = glue.as_dev(last_claims[0])
         (wit,) = prover.lookup_witnesses_for(node_id)
-        logup_input = wit.get_logup_input(prover.challenge_storage)
-        lookup_proof = logup.batch_prove_device(logup_input, prover.dt)
-        input_claim = lookup_proof.output_claims[0]
-        output_claim = lookup_proof.output_claims[1]
+        input_claim, output_claim = prover.shared_claims_for(node_id, 0)
         acc_proof = same_poly_prove_device(
             wit.column_evals[1], [last_claim, output_claim], prover.dt
         )
@@ -171,9 +172,7 @@ class Gelu:
             commits.append(comm.commitment)
         prover.push_proof(
             node_id,
-            ActivationProof(
-                io_accumulation=acc_proof, lookup=lookup_proof, commits=commits
-            ),
+            ActivationProof(io_accumulation=acc_proof, commits=commits),
         )
         return [input_claim]
 
@@ -191,32 +190,28 @@ class GeluCtx:
     def verify(self, proof, last_claims, verifier) -> list[Claim]:
         from ..lookup_context import gelu_table_type
 
-        tt = gelu_table_type(self.s_in, self.s_out)
         last_claim = last_claims[0]
-        const_c, sep_c = verifier.challenge_storage.get(tt.name())
-        claims = logup.verify_logup_proof(
-            proof.lookup, 1, const_c, sep_c, verifier.transcript
-        )
+        in_claim, out_claim = verifier.shared_logup_claims[(self.node_id, 0)]
         num_vars = len(last_claim.point)
         new_output_claim = same_poly_verify(
             proof.io_accumulation,
-            [last_claim] + claims.claims[1:],
+            [last_claim, out_claim],
             num_vars,
             verifier.transcript,
         )
-        for commit, claim in zip(proof.commits, [claims.claims[0], new_output_claim]):
+        for commit, claim in zip(proof.commits, [in_claim, new_output_claim]):
             verifier.commit_verifier.add_witness_claim(commit, claim)
-        return [claims.claims[0]]
+        return [in_claim]
 
 
 @dataclasses.dataclass
 class ActivationProof:
     io_accumulation: SamePolyProof
-    lookup: object
     commits: list
 
     def get_lookup_data(self):
-        return logup.fractional_outputs(self.lookup)
+        # fractions live in the consolidated proof (Proof.shared_logup)
+        return None
 
 
 @dataclasses.dataclass
@@ -229,19 +224,14 @@ class ReluCtx:
 
     def verify(self, proof: ActivationProof, last_claims, verifier) -> list[Claim]:
         last_claim = last_claims[0]
-        const_c, sep_c = verifier.challenge_storage.get(TableType("relu").name())
-        claims = logup.verify_logup_proof(
-            proof.lookup, 1, const_c, sep_c, verifier.transcript
-        )
+        in_claim, out_claim = verifier.shared_logup_claims[(self.node_id, 0)]
         num_vars = len(last_claim.point)
         new_output_claim = same_poly_verify(
             proof.io_accumulation,
-            [last_claim] + claims.claims[1:],
+            [last_claim, out_claim],
             num_vars,
             verifier.transcript,
         )
-        for commit, claim in zip(
-            proof.commits, [claims.claims[0], new_output_claim]
-        ):
+        for commit, claim in zip(proof.commits, [in_claim, new_output_claim]):
             verifier.commit_verifier.add_witness_claim(commit, claim)
-        return [claims.claims[0]]
+        return [in_claim]

@@ -93,6 +93,17 @@ class Requant:
         ]
         return wits, {TableType("range"): range_counts, clamp_tt: clamp_counts}
 
+    shared_logup = True
+
+    def shared_lookup_layout(self):
+        """(num_instances, cols_per_instance, table) per witness — the
+        verifier-side contract for the consolidated lookup proof."""
+        spec = self.spec
+        return [
+            (1, 2, TableType("clamping", (spec.clamping_size(),))),
+            (spec.shift // Q.BIT_LEN, 1, TableType("range")),
+        ]
+
     def prove(self, node_id, ctx, last_claims, step_data, prover):
         from ... import glue
         from ...sumcheck.fused import prove_device
@@ -103,10 +114,10 @@ class Requant:
         last_claim = glue.as_dev(last_claims[0])
         clamping_wit, shifted_wit = prover.lookup_witnesses_for(node_id)
 
-        clamping_input = clamping_wit.get_logup_input(prover.challenge_storage)
-        shifted_input = shifted_wit.get_logup_input(prover.challenge_storage)
-        clamping_proof = logup.batch_prove_device(clamping_input, dt)
-        shifted_proof = logup.batch_prove_device(shifted_input, dt)
+        # column claims come from the consolidated lookup proof (all at
+        # one shared point per size group — iop/prover._prove_shared_logup)
+        clamping_claims = prover.shared_claims_for(node_id, 0)
+        shifted_claims = prover.shared_claims_for(node_id, 1)
 
         bc = dt.get_and_append_challenge(b"requant_batching")
 
@@ -116,11 +127,11 @@ class Requant:
 
         one = glue.one()
         clamping_beta = mle_mod._eq_table_kernel(
-            clamping_proof.output_claims[0].point, one, num_vars
+            clamping_claims[0].point, one, num_vars
         )
         last_beta = mle_mod._eq_table_kernel(last_claim.point, one, num_vars)
         shifted_beta = mle_mod._eq_table_kernel(
-            shifted_proof.output_claims[0].point, one, num_vars
+            shifted_claims[0].point, one, num_vars
         )
 
         # storage order: [clamp_out, last_beta, clamping_beta, clamp_in,
@@ -152,9 +163,7 @@ class Requant:
 
         combined_eval = _recombine_kernel(
             clamp_in_eval, shifted_evals,
-            spec_shift=spec.shift,
-            fpm=spec.fixed_point_multiplier,
-            bit_len=Q.BIT_LEN,
+            gf.from_u64(_recombine_consts(spec, len(chunk_cols))),
         )
 
         acc_idx = (3, 0) + tuple(range(5, 5 + len(chunk_cols)))
@@ -173,8 +182,6 @@ class Requant:
             RequantProof(
                 io_accumulation=out.proof,
                 accumulation_evals=accumulation_evals,
-                clamping_lookup=clamping_proof,
-                shifted_lookup=shifted_proof,
                 commitments=commitments,
             ),
         )
@@ -186,27 +193,37 @@ from functools import partial as _partial
 import jax as _jax
 
 
-@_partial(_jax.jit, static_argnames=("spec_shift", "fpm", "bit_len"))
-def _recombine_kernel(
-    clamp_in_eval: gf.GF2, shifted_evals: gf.GF2, spec_shift: int, fpm: int,
-    bit_len: int,
-):
+@_jax.jit
+def _recombine_kernel(clamp_in_eval: gf.GF2, shifted_evals: gf.GF2, consts: gf.GF):
     """Device recombine_claims (requant.rs:499):
-    fpm⁻¹·(clamp_in·2^shift + Σ chunk_j·2^(j·B) − 2^(shift−1))."""
-    p = host.P
-    k = shifted_evals.shape[0]
-    shift_c = gf.full((), (1 << spec_shift) % p)
+    fpm⁻¹·(clamp_in·2^shift + Σ chunk_j·2^(j·B) − 2^(shift−1)).
+
+    consts = GF [2^shift, 2^(shift−1), fpm⁻¹, 2^0B, 2^1B, …] — TRACED so
+    every requant node shares ONE compile (spec values as static args
+    meant one XLA compile per distinct fixed_point_multiplier: ~30 extra
+    compiles on a transformer prove)."""
+    shift_c = consts[0]
     acc = mle_mod.ext_mul_by_base(clamp_in_eval, shift_c)
-    w = gf.from_u64(
-        np.asarray([pow(1 << bit_len, j, p) for j in range(k)], dtype=np.uint64)
-    )
+    k = shifted_evals.shape[0]
+    w = consts[3 : 3 + k]
     acc = gf.ext_add(
         acc, gf.ext_sum_axis(mle_mod.ext_mul_by_base(shifted_evals, w), 0)
     )
-    rounding = gf.full((), (1 << (spec_shift - 1)) % p)
-    acc = gf.ext_sub(acc, gf.ext_from_base(rounding))
-    fpm_inv = gf.full((), pow(fpm % p, p - 2, p))
-    return mle_mod.ext_mul_by_base(acc, fpm_inv)
+    acc = gf.ext_sub(acc, gf.ext_from_base(consts[1]))
+    return mle_mod.ext_mul_by_base(acc, consts[2])
+
+
+def _recombine_consts(spec, k: int) -> np.ndarray:
+    p = host.P
+    return np.asarray(
+        [
+            (1 << spec.shift) % p,
+            (1 << (spec.shift - 1)) % p,
+            pow(spec.fixed_point_multiplier % p, p - 2, p),
+        ]
+        + [pow(1 << Q.BIT_LEN, j, p) for j in range(k)],
+        dtype=np.uint64,
+    )
 
 
 def recombine_claims(spec: RequantSpec, clamp_in_eval, shifted_evals) -> ExtPair:
@@ -225,14 +242,11 @@ def recombine_claims(spec: RequantSpec, clamp_in_eval, shifted_evals) -> ExtPair
 class RequantProof:
     io_accumulation: object
     accumulation_evals: list[ExtPair]
-    clamping_lookup: object
-    shifted_lookup: object
     commitments: list
 
     def get_lookup_data(self):
-        n1, d1 = logup.fractional_outputs(self.clamping_lookup)
-        n2, d2 = logup.fractional_outputs(self.shifted_lookup)
-        return n1 + n2, d1 + d2
+        # fractions live in the consolidated proof (Proof.shared_logup)
+        return None
 
 
 @dataclasses.dataclass
@@ -248,25 +262,15 @@ class RequantCtx:
         """requant.rs:689 verify_requant."""
         spec = self.spec
         last_claim = last_claims[0]
-        clamp_tt = TableType("clamping", (spec.clamping_size(),))
-        const_c, sep_c = verifier.challenge_storage.get(clamp_tt.name())
-        shifted_instances = spec.shift // Q.BIT_LEN
-
-        clamping_claims = logup.verify_logup_proof(
-            proof.clamping_lookup, 1, const_c, sep_c, verifier.transcript
-        )
-        range_const, _ = verifier.challenge_storage.get(TableType("range").name())
-        shifted_claims = logup.verify_logup_proof(
-            proof.shifted_lookup, shifted_instances, range_const, (1, 0),
-            verifier.transcript,
-        )
+        clamping_claims = verifier.shared_logup_claims[(self.node_id, 0)]
+        shifted_claims = verifier.shared_logup_claims[(self.node_id, 1)]
 
         bc = verifier.transcript.get_and_append_challenge(b"requant_batching")
 
-        clamping_point = clamping_claims.claims[0].point
-        clamping_evals = [c.eval for c in clamping_claims.claims]
-        shifted_point = shifted_claims.claims[0].point
-        shifted_evals = [c.eval for c in shifted_claims.claims]
+        clamping_point = clamping_claims[0].point
+        clamping_evals = [c.eval for c in clamping_claims]
+        shifted_point = shifted_claims[0].point
+        shifted_evals = [c.eval for c in shifted_claims]
 
         initial_eval = (0, 0)
         chal = (1, 0)
