@@ -561,12 +561,15 @@ def _prove_circuits(circuits, base_mles, is_table: bool, dt) -> LogUpProof:
         tuple(glue.concat((c.nums[-1], c.dens[-1])) for c in circuits)
     )  # (4I,) — per instance [n0, n1, d0, d1]
 
+    from .. import glue
+
     dt.append_constants([num_instances])
     dt.append_exts(out_ext)
 
-    bc = dt.get_and_append_challenge(b"initial_batching")
-    alpha = dt.get_and_append_challenge(b"initial_alpha")
-    lam = dt.get_and_append_challenge(b"initial_lambda")
+    chals = dt.get_and_append_challenge_multi(
+        (b"initial_batching", b"initial_alpha", b"initial_lambda")
+    )
+    bc, alpha, lam = glue.at(chals, 0), glue.at(chals, 1), glue.at(chals, 2)
 
     current_claim = _initial_claim_kernel(out_ext, bc, alpha, lam, num_instances)
     sumcheck_point = bc.reshape((1,))
@@ -624,9 +627,11 @@ def _prove_circuits(circuits, base_mles, is_table: bool, dt) -> LogUpProof:
         out = prove_device(vp, dt)
         evals = glue.suffix(out.final_evals, 1)  # skip eq — GF2 (k,) device
 
-        bc = dt.get_and_append_challenge(b"logup_batching")
-        alpha_next = dt.get_and_append_challenge(b"logup_alpha")
-        lam_next = dt.get_and_append_challenge(b"logup_lambda")
+        chals = dt.get_and_append_challenge_multi(
+            (b"logup_batching", b"logup_alpha", b"logup_lambda")
+        )
+        bc = glue.at(chals, 0)
+        alpha_next, lam_next = glue.at(chals, 1), glue.at(chals, 2)
         sumcheck_point = glue.concat_points([out.proof.point, bc])
         sumcheck_proofs.append(out.proof)
 

@@ -132,6 +132,20 @@ def _challenge_vec(state, chunks: tuple, k: int):
     return jax.lax.fori_loop(0, k, body, (state, buf0))
 
 
+@partial(jax.jit, static_argnames=("chunks_multi",))
+def _challenge_multi(state, chunks_multi: tuple):
+    """One (absorb label, squeeze) per label, ALL in one dispatch —
+    the per-GKR-level (batching, alpha, lambda) triple was 3 dispatches
+    per level across every logup proof."""
+    outs = []
+    for chunks in chunks_multi:
+        for c in chunks:
+            state = devt.observe_u64_constant(state, c)
+        state, e = devt.sample_ext(state)
+        outs.append(e)
+    return state, gf.ext_stack(outs)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _sample_base_vec(state, k: int):
     def body(i, carry):
@@ -203,6 +217,13 @@ class DeviceTranscript:
     def get_and_append_challenge(self, label: bytes) -> gf.GF2:
         self.append_message(label)
         return self.read_challenge()
+
+    def get_and_append_challenge_multi(self, labels) -> gf.GF2:
+        """One challenge per label (distinct labels), one dispatch;
+        returns GF2 (len(labels),)."""
+        chunks_multi = tuple(_label_chunks(l) for l in labels)
+        self.state, e = _challenge_multi(self.state, chunks_multi)
+        return e
 
     def get_and_append_challenges(self, label: bytes, k: int):
         """k× (label, squeeze) in one dispatch; returns GF2 (k,) (None if 0)."""

@@ -336,7 +336,22 @@ class Convolution:
         return m.reshape(-1)
 
     def _conv_field(self, x: np.ndarray):
-        """Device FFT conv; returns (c GF2? no — GF (kw, N), B int64 (kw, n²))."""
+        """Device FFT conv; returns (c GF (kw, N), B int64 (kw, n²)).
+
+        Memoized on the input bytes: `evaluate` (inference) computes it
+        first and `prove` reuses the SAME device arrays — recomputing in
+        prove added two FFT chains and, worse, a blocking device→host
+        pull mid-prove that drained the whole async proof queue (~4.7 s
+        of the CNN-264k warm prove)."""
+        key = hash(x.tobytes())
+        cached = getattr(self, "_conv_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2]
+        c, b_vals = self._conv_field_uncached(x)
+        self._conv_cache = (key, c, b_vals)
+        return c, b_vals
+
+    def _conv_field_uncached(self, x: np.ndarray):
         xt = self._x_tilde(x)
         x_gf = gf.from_u64(Q.to_field(xt.reshape(-1))).reshape(self.kx, self.N)
         x_fft = ntt.fft_rows(x_gf)  # (kx, N)
