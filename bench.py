@@ -105,11 +105,12 @@ def _timed_warm(prove, metric=None, baseline_ms=None):
             if baseline_ms else 0.0,
             "cold": True,
         })
-    # best-of-3 warm runs: the tunneled-TPU latency fluctuates ~2x run to
-    # run (shared infra); min is the standard latency-bench statistic
-    # (criterion reports a distribution for the same reason)
+    # best-of-5 warm runs: the tunneled-TPU latency fluctuates ~2x run to
+    # run (shared infra; measured 1.9-3.2 s for identical MLP proves);
+    # min is the standard latency-bench statistic (criterion reports a
+    # distribution for the same reason)
     best = None
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_WARM_RUNS", "5"))):
         t0 = time.time()
         proof = prove()
         dt = time.time() - t0
@@ -137,7 +138,7 @@ def _timed_warm2(fn):
     per-run verify ms."""
     fn()
     best = None
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_WARM_RUNS", "5"))):
         t0 = time.time()
         out = fn()
         dt = time.time() - t0

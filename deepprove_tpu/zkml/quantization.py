@@ -100,6 +100,12 @@ class RequantSpec:
         total = int_part + FIXED_POINT_SCALE
         next_multiple = ((total + BIT_LEN - 1) // BIT_LEN) * BIT_LEN
         fp_scale = next_multiple - int_part
+        # wide intermediates (e.g. transformer LayerNorm outputs at ~37
+        # bits) would overflow i64 at the preferred precision: back off
+        # fp_scale by whole BIT_LEN chunks (keeping shift ≡ 0 mod BIT_LEN
+        # so range chunks stay table-aligned) until the product fits
+        while intermediate_bit_size + fp_scale > 63 and fp_scale > BIT_LEN:
+            fp_scale -= BIT_LEN
         fpm = int(round(epsilon * (1 << fp_scale)))
         assert intermediate_bit_size + fp_scale <= 63, (
             intermediate_bit_size, fp_scale, int_part,
