@@ -187,12 +187,32 @@ class BasefoldCommitment:
     is_trivial: bool = False
 
 
-@dataclasses.dataclass
 class CommitmentWithWitness:
-    commitment: BasefoldCommitment
-    codeword: object  # GF|GF2 bit-reversed codeword ((K,N) for simple-batch)
-    bh_evals: list  # list of GF|GF2 bit-reversed eval arrays (len num_polys)
-    tree: MerkleTree
+    """Prover-side commitment: codeword + Merkle tree (+ eval layouts).
+
+    `bh_evals` (bit-reversed evals) is stored directly for small polys
+    and recomputed on access from the little-endian evals for big ones —
+    keeping both layouts resident cost ~2.5 GB of the GPT-2 setup's
+    HBM OOM."""
+
+    def __init__(self, commitment, codeword, bh_evals=None, tree=None, lazy_bh=None):
+        self.commitment = commitment
+        self.codeword = codeword
+        self.tree = tree
+        self._bh_store = bh_evals
+        self._bh_lazy = lazy_bh
+
+    @property
+    def bh_evals(self) -> list:
+        if self._bh_store is not None:
+            return self._bh_store
+        lg_n = self.commitment.num_vars
+        return [ntt.bit_reverse(e, lg_n) for e in self._bh_lazy]
+
+    @bh_evals.setter
+    def bh_evals(self, v):
+        self._bh_store = v
+        self._bh_lazy = None
 
     @property
     def num_vars(self) -> int:
@@ -203,9 +223,18 @@ class CommitmentWithWitness:
 
 
 @partial(jax.jit, static_argnames=("lg_n",))
-def _evals_to_rev_coeffs(evals, lg_n: int):
+def _evals_to_rev_coeffs_fused(evals, lg_n: int):
     coeffs = ntt._interp_bh_kernel(evals, lg_n)
     return ntt.bit_reverse(coeffs, lg_n)
+
+
+def _evals_to_rev_coeffs(evals, lg_n: int):
+    if lg_n >= ntt._INTERP_STAGED_MIN_LOG:
+        # big polys: per-stage interp (the fused module crashed the axon
+        # remote compiler at 2^26 — GPT-2 wte commit)
+        coeffs = ntt.interpolate_over_hypercube(evals)
+        return ntt.bit_reverse(coeffs, lg_n)
+    return _evals_to_rev_coeffs_fused(evals, lg_n)
 
 
 def _encode(params: BasefoldParams, evals) -> tuple:
@@ -346,6 +375,7 @@ def commit(params: BasefoldParams, evals, lazy_root: bool = False) -> Commitment
         root = glue.TupleGF(tree.root_gf()) if lazy_root else tree.root
         cm = BasefoldCommitment(root=root, num_vars=lg_n, is_trivial=True)
         return CommitmentWithWitness(cm, codeword=evals, bh_evals=[evals], tree=tree)
+    lazy_bh = lg_n >= ntt._INTERP_STAGED_MIN_LOG
     if _fuse_small_commit(lg_n):
         if params.encoding == "basecode":
             c, r = params.basecode_msg_size_log, params.rate_log
@@ -370,10 +400,25 @@ def commit(params: BasefoldParams, evals, lazy_root: bool = False) -> Commitment
             )
         tree = MerkleTree(leaves=codeword, levels=list(levels))
     else:
-        bh, codeword = _encode(params, evals)
+        if lazy_bh:
+            # skip materializing bh: recomputable as bit_reverse(evals)
+            rev_coeffs = _evals_to_rev_coeffs(evals, lg_n)
+            codeword = ntt.encode_rs(
+                rev_coeffs, params.max_message_size_log, params.rate_log
+            ) if params.encoding != "basecode" else None
+            if codeword is None:
+                bh, codeword = _encode(params, evals)
+            else:
+                codeword = ntt.bit_reverse(codeword, lg_n + params.rate_log)
+        else:
+            bh, codeword = _encode(params, evals)
         tree = MerkleTree.from_leaves(codeword)
     root = glue.TupleGF(tree.root_gf()) if lazy_root else tree.root
     cm = BasefoldCommitment(root=root, num_vars=lg_n)
+    if lazy_bh:
+        return CommitmentWithWitness(
+            cm, codeword=codeword, tree=tree, lazy_bh=[evals]
+        )
     return CommitmentWithWitness(cm, codeword=codeword, bh_evals=[bh], tree=tree)
 
 

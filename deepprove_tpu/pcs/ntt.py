@@ -193,8 +193,30 @@ def _interp_bh_kernel(values, lg_n: int):
     return values
 
 
+@partial(jax.jit, static_argnames=("m",))
+def _interp_step_kernel(values, m: int):
+    is_ext = isinstance(values, gf.GF2)
+    v = values.reshape(-1, m)
+    half = m // 2
+    lo, hi = v[:, :half], v[:, half:]
+    if is_ext:
+        return gf.ext_concatenate([lo, gf.ext_sub(hi, lo)], axis=1).reshape(-1)
+    return gf.concatenate([lo, gf.sub(hi, lo)], axis=1).reshape(-1)
+
+
+# Above this size the monolithic unrolled interp (lg_n fused stages in one
+# HLO module) crashed the axon remote-compile helper (GPT-2's 2^26 wte
+# commit); per-stage dispatches compile one tiny kernel per m and reuse
+# them across every big poly.
+_INTERP_STAGED_MIN_LOG = 22
+
+
 def interpolate_over_hypercube(values):
     lg_n = values.shape[0].bit_length() - 1
+    if lg_n >= _INTERP_STAGED_MIN_LOG:
+        for i in range(lg_n):
+            values = _interp_step_kernel(values, 1 << (i + 1))
+        return values
     return _interp_bh_kernel(values, lg_n)
 
 
