@@ -43,13 +43,34 @@ def _bit_reverse_perm_dev(lg_n: int):
     return rev
 
 
+# Above this size a flat bit-reverse gather is decomposed into
+# transpose + two half-width gathers: XLA:TPU's lowering of a 2^27
+# arbitrary-permutation gather demanded 16.25 GB of HBM scratch (the
+# GPT-2 wte commit OOM); the transpose form peaks at ~3 copies.
+_BITREV_SPLIT_MIN_LOG = 22
+
+
 def bit_reverse(values, lg_n: int):
-    perm = _bit_reverse_perm_dev(lg_n)
     if isinstance(values, gf.GF2):
         return gf.GF2(bit_reverse(values.a0, lg_n), bit_reverse(values.a1, lg_n))
     if isinstance(values, gf.GF):
-        return gf.GF(jnp.take(values.lo, perm), jnp.take(values.hi, perm))
-    return jnp.take(values, perm)
+        return gf.GF(
+            _bit_reverse_plane(values.lo, lg_n), _bit_reverse_plane(values.hi, lg_n)
+        )
+    return _bit_reverse_plane(values, lg_n)
+
+
+def _bit_reverse_plane(plane, lg_n: int):
+    if lg_n >= _BITREV_SPLIT_MIN_LOG:
+        # i = hi·2^b + lo → rev(i) = rev_b(lo)·2^a + rev_a(hi):
+        # out.reshape(2^b, 2^a)[rev_b(lo), rev_a(hi)] = in.reshape(2^a, 2^b)[hi, lo]
+        a = lg_n // 2
+        b = lg_n - a
+        t = jnp.swapaxes(plane.reshape(1 << a, 1 << b), 0, 1)  # (2^b, 2^a)
+        t = jnp.take(t, _bit_reverse_perm_dev(b), axis=0)
+        t = jnp.take(t, _bit_reverse_perm_dev(a), axis=1)
+        return t.reshape(-1)
+    return jnp.take(plane, _bit_reverse_perm_dev(lg_n))
 
 
 def geom_powers(g, n: int) -> np.ndarray:
