@@ -216,9 +216,52 @@ def _interp_bh_kernel(values, lg_n: int):
 
 @partial(jax.jit, static_argnames=("m",))
 def _interp_step_kernel(values, m: int):
+    """One hypercube-interpolation step (variable lg(m)−1): hi −= lo.
+
+    For m < 256 the natural (−1, m) reshape has a tiny minor dim that
+    XLA:TPU tiles to T(8,128) — a 64× HBM padding blowup at 2^26 (the
+    GPT-2 wte commit OOM). Small-m steps therefore run on a (−1, 128)
+    view with a roll+mask: for columns c with bit i set,
+    w[:, c] −= w[:, c − 2^i] (the roll wrap only lands on masked-out
+    columns). Per-variable steps of the Möbius transform commute, so
+    layouts can differ per step."""
     is_ext = isinstance(values, gf.GF2)
-    v = values.reshape(-1, m)
     half = m // 2
+    if m < 256 and values.shape[0] >= 256:
+        i = m.bit_length() - 2  # variable index; 2^i == half
+        w = values.reshape(-1, 128)
+        cols = jnp.arange(128, dtype=jnp.int32)
+        mask = ((cols >> i) & 1).astype(bool)[None, :]
+
+        def roll(a):
+            return jnp.roll(a, half, axis=1)
+
+        if is_ext:
+            shifted = gf.GF2(
+                gf.GF(roll(w.a0.lo), roll(w.a0.hi)),
+                gf.GF(roll(w.a1.lo), roll(w.a1.hi)),
+            )
+            new = gf.ext_sub(w, shifted)
+            out = gf.GF2(
+                gf.GF(
+                    jnp.where(mask, new.a0.lo, w.a0.lo),
+                    jnp.where(mask, new.a0.hi, w.a0.hi),
+                ),
+                gf.GF(
+                    jnp.where(mask, new.a1.lo, w.a1.lo),
+                    jnp.where(mask, new.a1.hi, w.a1.hi),
+                ),
+            )
+        else:
+            shifted = gf.GF(roll(w.lo), roll(w.hi))
+            new = gf.sub(w, shifted)
+            out = gf.GF(
+                jnp.where(mask, new.lo, w.lo), jnp.where(mask, new.hi, w.hi)
+            )
+        return out.reshape(-1)
+    # large m: (A, 2, B) view — variable bit is the middle axis, minor
+    # dim B = half ≥ 128 stays tile-friendly
+    v = values.reshape(-1, m)
     lo, hi = v[:, :half], v[:, half:]
     if is_ext:
         return gf.ext_concatenate([lo, gf.ext_sub(hi, lo)], axis=1).reshape(-1)
