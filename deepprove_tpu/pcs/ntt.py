@@ -121,6 +121,39 @@ def _stage_kernel(values, omega, lg_m: int):
     is_ext = isinstance(values, gf.GF2)
     m = 1 << lg_m
     half_m = m // 2
+    if m < 256 and values.shape[0] >= (1 << 22):
+        # big arrays, small m: the (-1, m) reshape's tiny minor dim gets
+        # T(8,128)-tiled by XLA:TPU — up to a 64x HBM padding blowup at
+        # 2^26+ (GPT-2 commit OOM). Run the stage on a (-1, 128) view:
+        # blocks tile exactly within a row (128 % m == 0); u-columns
+        # read their partner at +half via roll(-half) (never wraps for
+        # u-cols), t-columns at -half via roll(+half); the per-column
+        # twiddle exponent is (c mod m) mod half for BOTH roles.
+        w = values.reshape(-1, 128)
+        cols = jnp.arange(128, dtype=jnp.int32)
+        p = cols % m
+        is_t = (p >= half_m)[None, :]
+        om_full = omega[:half_m] if half_m > 1 else omega[:1]
+        idx = p % max(half_m, 1)
+        om128 = gf.GF(jnp.take(om_full.lo, idx), jnp.take(om_full.hi, idx))
+
+        def roll_gf(a: gf.GF, sh: int) -> gf.GF:
+            return gf.GF(jnp.roll(a.lo, sh, axis=1), jnp.roll(a.hi, sh, axis=1))
+
+        def stage_base(wb: gf.GF) -> gf.GF:
+            omb = gf.broadcast_to(om128, wb.shape)
+            minus = roll_gf(wb, -half_m)  # partner at c+half (u-cols)
+            plus = roll_gf(wb, half_m)  # partner at c-half (t-cols)
+            out_u = gf.add(wb, gf.mul(omb, minus))
+            out_t = gf.sub(plus, gf.mul(omb, wb))
+            return gf.GF(
+                jnp.where(is_t, out_t.lo, out_u.lo),
+                jnp.where(is_t, out_t.hi, out_u.hi),
+            )
+
+        if is_ext:
+            return gf.GF2(stage_base(w.a0), stage_base(w.a1)).reshape(-1)
+        return stage_base(w).reshape(-1)
     v = values.reshape(-1, m)
     u, t_in = v[:, :half_m], v[:, half_m:]
     om = omega[:half_m]
