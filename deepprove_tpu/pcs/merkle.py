@@ -57,10 +57,18 @@ def _compress_level(digests: gf.GF) -> gf.GF:
 def _leaf_digests_base(leaves: gf.GF) -> gf.GF:
     """Base-field leaves (N,) -> (N/2, 4) pair digests [a, b, 0, 0].
 
-    A single leaf packs to one digest [a, 0, 0, 0] (hash_or_noop)."""
+    A single leaf packs to one digest [a, 0, 0, 0] (hash_or_noop).
+    Big N uses strided 1D slices — the (N/2, 2) reshape intermediate
+    gets T(8,128)-tiled by XLA:TPU (64x padding; 32 GB at the GPT-2
+    2^27 codeword)."""
     n = leaves.shape[0]
     if n == 1:
         return gf.concatenate([leaves.reshape(1, 1), gf.zeros((1, 3))], axis=-1)
+    if n >= (1 << 22):
+        a = gf.GF(leaves.lo[0::2], leaves.hi[0::2])
+        b = gf.GF(leaves.lo[1::2], leaves.hi[1::2])
+        z = gf.zeros((n // 2,))
+        return gf.stack([a, b, z, z], axis=-1)
     pairs = leaves.reshape(n // 2, 2)
     z = gf.zeros((n // 2, 2))
     return gf.concatenate([pairs, z], axis=-1)
