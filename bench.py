@@ -34,11 +34,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 # Insurance against external timeouts (the driver runs bench.py cold under
-# `timeout`): a watchdog prints the best result recorded so far as the ONE
+# `timeout` with a ~600 s window — r2 and r4 both got killed with nothing
+# recorded): a watchdog prints the best result recorded so far as the ONE
 # JSON line and exits 0 before the external kill would discard everything.
-_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "3600"))
+# Every phase below additionally checks _left() and trims/skips work to fit.
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "430"))
+_T0 = time.time()
 _BEST: dict | None = None
 _PRINTED = threading.Event()
+
+
+def _left() -> float:
+    """Seconds remaining before the watchdog deadline."""
+    return _DEADLINE_S - (time.time() - _T0)
 
 
 def _record(line: dict):
@@ -62,7 +70,8 @@ def _emit(line: dict) -> None:
 
 
 def _watchdog():
-    time.sleep(_DEADLINE_S)
+    while _left() > 0:
+        time.sleep(min(5.0, max(0.1, _left())))
     if _PRINTED.is_set():
         return
     line = _BEST or {
@@ -103,14 +112,17 @@ def _timed_warm(prove, metric=None, baseline_ms=None):
             "metric": metric, "value": round(cold_s * 1000.0, 2), "unit": "ms",
             "vs_baseline": round(baseline_ms / (cold_s * 1000.0), 4)
             if baseline_ms else 0.0,
-            "cold": True,
+            "cold": True, "phase": metric + ":cold_done",
         })
     # best-of-5 warm runs: the tunneled-TPU latency fluctuates ~2x run to
     # run (shared infra; measured 1.9-3.2 s for identical MLP proves);
     # min is the standard latency-bench statistic (criterion reports a
-    # distribution for the same reason)
-    best = None
+    # distribution for the same reason). Each extra run is gated on the
+    # watchdog budget: a warm run costing ~dt must fit in _left().
+    best = cold_s
     for _ in range(int(os.environ.get("BENCH_WARM_RUNS", "5"))):
+        if _left() < max(10.0, 1.5 * (best if best else cold_s)):
+            break
         t0 = time.time()
         proof = prove()
         dt = time.time() - t0
@@ -121,7 +133,7 @@ def _timed_warm(prove, metric=None, baseline_ms=None):
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / (best * 1000.0), 4)
                 if baseline_ms else 0.0,
-                "cold": False,
+                "cold": False, "phase": metric + ":warm",
             })
     return best, proof, cold_s
 
@@ -134,15 +146,18 @@ def _timed(fn):
 
 def _timed_warm2(fn):
     """Warm wall seconds for a side computation (verify): first run
-    compiles, best-of-3 counts — the reference reports steady-state
-    per-run verify ms."""
-    fn()
-    best = None
+    compiles, best-of-N counts — the reference reports steady-state
+    per-run verify ms. Budget-gated like _timed_warm."""
+    t0 = time.time()
+    out = fn()
+    best = time.time() - t0
     for _ in range(int(os.environ.get("BENCH_WARM_RUNS", "5"))):
+        if _left() < max(10.0, 1.5 * best):
+            break
         t0 = time.time()
         out = fn()
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        best = min(best, dt)
     return best, out
 
 
@@ -192,11 +207,17 @@ def bench_mlp():
     model, x_np, params = build_mlp_4m()
     x = Tensor(x_np)
     infer_s, trace = _timed(lambda: model.run([x]))
+    _merge({
+        "metric": "mlp_4m_prove_ms", "value": 0.0, "unit": "ms",
+        "vs_baseline": 0.0, "phase": "mlp_inference_done",
+        "inference_ms": round(infer_s * 1000.0, 2),
+    })
     setup_s, ctx = _timed(
         lambda: Context.generate(
             model, num_queries=NUM_QUERIES, basecode_msg_size_log=MSG_LOG
         )
     )
+    _merge({"phase": "mlp_setup_done", "setup_ms": round(setup_s * 1000.0, 2)})
 
     prove_s, proof, cold_s = _timed_warm(
         lambda: Prover(ctx, BasicTranscript(b"m2vec")).prove(trace),
@@ -240,6 +261,10 @@ def bench_cnn(prefix=""):
             q, num_queries=NUM_QUERIES, basecode_msg_size_log=MSG_LOG
         )
     )
+    _merge({
+        "phase": "cnn_setup_done",
+        "cnn_setup_ms": round(setup_s * 1000.0, 2),
+    })
 
     prove_s, proof, cold_s = _timed_warm(
         lambda: Prover(ctx, BasicTranscript(b"m2vec")).prove(trace),
@@ -317,9 +342,19 @@ def bench_all():
     line = {
         "metric": metric, "value": round(prove_ms, 2), "unit": "ms",
         "vs_baseline": round(vs, 4),
+        # duplicated under stable keys so a watchdog fire during the CNN
+        # phase (whose _merge calls overwrite metric/value) keeps them
+        "mlp_4m_prove_ms": round(prove_ms, 2),
+        "mlp_vs_baseline": round(vs, 4),
     }
     line.update(extras)
     _merge(line)
+    # CNN only with enough budget left (the watchdog line must carry the
+    # MLP result even if the CNN attempt would have overflowed the window)
+    cnn_min_left = float(os.environ.get("BENCH_CNN_MIN_LEFT_S", "150"))
+    if _left() < cnn_min_left:
+        line["cnn_skipped"] = f"budget: {_left():.0f}s left < {cnn_min_left:.0f}s"
+        return line
     try:
         c_metric, c_ms, c_vs, c_extras = bench_cnn()
         line["cnn_cifar_264k_prove_ms"] = round(c_ms, 2)
@@ -328,6 +363,7 @@ def bench_all():
             line["cnn_" + k] = v
     except Exception as e:  # CNN failure must not discard the MLP result
         line["cnn_error"] = repr(e)[:200]
+    line = dict(_BEST or {}, **line)
     return line
 
 

@@ -176,6 +176,82 @@ def permute_device(state: gf.GF) -> gf.GF:
     return st
 
 
+def _ext_lin_planes(s: list) -> list:
+    """MDS-light external linear layer over 8 separate GF planes."""
+
+    def m4(s0, s1, s2, s3):
+        t01 = gf.add(s0, s1)
+        t23 = gf.add(s2, s3)
+        t0123 = gf.add(t01, t23)
+        t01123 = gf.add(t0123, s1)
+        t01233 = gf.add(t0123, s3)
+        return [
+            gf.add(t01123, t01),
+            gf.add(t01123, gf.add(s2, s2)),
+            gf.add(t01233, t23),
+            gf.add(t01233, gf.add(s0, s0)),
+        ]
+
+    a = m4(*s[:4])
+    b = m4(*s[4:])
+    out = [None] * 8
+    for k in range(4):
+        tot = gf.add(a[k], b[k])
+        out[k] = gf.add(a[k], tot)
+        out[4 + k] = gf.add(b[k], tot)
+    return out
+
+
+def permute_planes(s: list) -> list:
+    """Poseidon2 over 8 SEPARATE equal-shape GF planes (plane-major state).
+
+    Same permutation as `permute_device`, but the state is a list of 8
+    GF arrays instead of one GF with a trailing size-8 axis: an (N, 8)
+    state T(8,128)-tiles to 16× HBM padding on TPU (the scan carry
+    materializes it every round), while per-element planes tile cleanly
+    at any N. This is the layout the Merkle digest-plane trees use.
+    """
+    import jax
+
+    def bc(x: gf.GF, like: gf.GF) -> gf.GF:
+        return gf.GF(
+            jnp.broadcast_to(x.lo, like.lo.shape),
+            jnp.broadcast_to(x.hi, like.hi.shape),
+        )
+
+    def pack(planes):
+        return tuple(p.lo for p in planes) + tuple(p.hi for p in planes)
+
+    def unpack(t):
+        return [gf.GF(t[i], t[8 + i]) for i in range(8)]
+
+    def ext_round(carry, rc):  # rc: GF (8,)
+        st = unpack(carry)
+        st = [
+            _sbox_d(gf.add(st[i], bc(rc[i], st[i]))) for i in range(8)
+        ]
+        return pack(_ext_lin_planes(st)), None
+
+    def int_round(carry, rc):  # rc: GF ()
+        st = unpack(carry)
+        s0 = _sbox_d(gf.add(st[0], bc(rc, st[0])))
+        st = [s0] + st[1:]
+        total = st[0]
+        for i in range(1, 8):
+            total = gf.add(total, st[i])
+        diag = _rc_gf(_DIAG)
+        out = [
+            gf.add(gf.mul(st[i], bc(diag[i], st[i])), total) for i in range(8)
+        ]
+        return pack(out), None
+
+    st = _ext_lin_planes(list(s))
+    t, _ = jax.lax.scan(ext_round, pack(st), _rc_gf(_INIT_RC))
+    t, _ = jax.lax.scan(int_round, t, _rc_gf(_INT_RC))
+    t, _ = jax.lax.scan(ext_round, t, _rc_gf(_TERM_RC))
+    return unpack(t)
+
+
 # ---------------------------------------------------------------------------
 # Sponge hashing helpers (host) — mirror poseidon/src/poseidon_hash.rs
 # ---------------------------------------------------------------------------

@@ -174,42 +174,25 @@ def _compress_chunk(llo, lhi, rlo, rhi):
     )(*llo, *rlo, *lhi, *rhi, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI))
 
 
-@jax.jit
-def _to_planes(digests: gf.GF):
-    """(2M, 4) digests → (2, 4, M) lo/hi planes via ONE transpose each
-    (strided per-column gathers were ~4× slower than the kernel itself)."""
-    m = digests.shape[0] // 2
-    lo = jnp.transpose(digests.lo.reshape(m, 2, 4), (1, 2, 0))
-    hi = jnp.transpose(digests.hi.reshape(m, 2, 4), (1, 2, 0))
-    return lo, hi
-
-
-@jax.jit
-def _from_planes(lo_planes, hi_planes) -> gf.GF:
-    """(4, M) planes → (M, 4) digests."""
-    return gf.GF(
-        jnp.transpose(lo_planes, (1, 0)), jnp.transpose(hi_planes, (1, 0))
-    )
-
-
 @partial(jax.jit, static_argnames=("chunk",))
 def _slice_chunk(lo, hi, c, chunk: int):
-    """Chunk c of (2, 4, M) planes → 16 (crows, 128) arrays, ONE dispatch
-    (eager slicing cost ~3.6 ms PER slice over the tunnel)."""
+    """Chunk c of (4, 2M) digest planes → 16 (crows, 128) arrays, ONE
+    dispatch (eager slicing cost ~3.6 ms PER slice over the tunnel).
+    De-interleaves even/odd digests (left/right children) per row."""
     crows = chunk // 128
-    slo = jax.lax.dynamic_slice(lo, (0, 0, c * chunk), (2, 4, chunk))
-    shi = jax.lax.dynamic_slice(hi, (0, 0, c * chunk), (2, 4, chunk))
+    slo = jax.lax.dynamic_slice(lo, (0, c * 2 * chunk), (4, 2 * chunk))
+    shi = jax.lax.dynamic_slice(hi, (0, c * 2 * chunk), (4, 2 * chunk))
     r = lambda a: a.reshape(crows, 128)
-    llo = [r(slo[0, i]) for i in range(4)]
-    rlo = [r(slo[1, i]) for i in range(4)]
-    lhi = [r(shi[0, i]) for i in range(4)]
-    rhi = [r(shi[1, i]) for i in range(4)]
+    llo = [r(slo[i, 0::2]) for i in range(4)]
+    rlo = [r(slo[i, 1::2]) for i in range(4)]
+    lhi = [r(shi[i, 0::2]) for i in range(4)]
+    rhi = [r(shi[i, 1::2]) for i in range(4)]
     return llo, lhi, rlo, rhi
 
 
 @jax.jit
 def _assemble(outs):
-    """chunks × 8 × (crows, 128) kernel outputs → (M, 4) digests."""
+    """chunks × 8 × (crows, 128) kernel outputs → (4, M) digest planes."""
     lo_p = jnp.stack(
         [jnp.concatenate([o[i].reshape(-1) for o in outs]) for i in range(4)],
         axis=0,
@@ -218,21 +201,22 @@ def _assemble(outs):
         [jnp.concatenate([o[4 + i].reshape(-1) for o in outs]) for i in range(4)],
         axis=0,
     )
-    return _from_planes(lo_p, hi_p)
+    return gf.GF(lo_p, hi_p)
 
 
 def _compress_level_planes(digests: gf.GF) -> gf.GF:
-    """(2M, 4) digests → (M, 4) parents via fixed-size kernel chunks.
-    NOT jitted as a whole: `_compress_chunk` must stay the only
+    """(4, 2M) digest planes → (4, M) parents via fixed-size kernel
+    chunks. NOT jitted as a whole: `_compress_chunk` must stay the only
     pallas-containing jit so Mosaic compiles once per chunk size, not
     once per Merkle level shape; the slicing/assembly helpers are cheap
     per-shape jits with no pallas inside."""
-    m = digests.shape[0] // 2
+    m = digests.shape[1] // 2
     chunk = CHUNK_BIG if m >= CHUNK_BIG else CHUNK_PAIRS
-    lo, hi = _to_planes(digests)  # (2, 4, M)
     outs = []
     for c in range(m // chunk):
-        llo, lhi, rlo, rhi = _slice_chunk(lo, hi, jnp.int32(c), chunk)
+        llo, lhi, rlo, rhi = _slice_chunk(
+            digests.lo, digests.hi, jnp.int32(c), chunk
+        )
         outs.append(_compress_chunk(llo, lhi, rlo, rhi))
     return _assemble(tuple(outs))
 
@@ -247,5 +231,5 @@ def use_pallas(num_pairs: int) -> bool:
 
 
 def compress_level_pallas(digests: gf.GF) -> gf.GF:
-    """(2M, 4) → (M, 4); caller must have checked use_pallas(M)."""
+    """(4, 2M) → (4, M) digest planes; caller checked use_pallas(M)."""
     return _compress_level_planes(digests)

@@ -551,6 +551,33 @@ def batch_prove_grouped(instances, dt) -> LogUpProof:
     return _prove_circuits(circuits, base, False, dt)
 
 
+def batch_prove_grouped_tables(instances, dt) -> LogUpProof:
+    """Consolidated TABLE proof: many equal-size tables (each with its own
+    columns, multiplicity poly and per-table challenges) in ONE GKR.
+
+    The reference proves one LogUp batch per TABLE (iop/prover.rs:110);
+    with 2^8-row quantization tables each proof is ~8 levels of pure
+    dispatch latency (~240 ms apiece on a tunneled TPU — the CNN-264k
+    prove carried 5 of them). One grouped circuit pays it once. Claim
+    layout: flat per instance [multiplicity, col_0..col_{k-1}] in the
+    instance order fixed by the orchestrator (sorted table order).
+
+    instances: list of (columns list[GF], multiplicities GF, const_chal,
+    sep_chal).
+    """
+    circuits = []
+    base: list = []
+    for cols, mult, const_c, sep_c in instances:
+        den = merge_columns(
+            tuple(cols), _ext_scalar(const_c), _ext_scalar(sep_c), len(cols)
+        )
+        nums, dens = _table_tree(gf.ext_from_base(mult), den)
+        circuits.append(_Circuit(nums, dens, initial_lookup=False))
+        base.append(mult)
+        base.extend(cols)
+    return _prove_circuits(circuits, base, True, dt)
+
+
 def _prove_circuits(circuits, base_mles, is_table: bool, dt) -> LogUpProof:
     from .. import glue
     from ..sumcheck.fused import prove_device
@@ -734,12 +761,17 @@ def verify_logup_proof(
     column_separation_challenge: ExtPair,
     transcript: BasicTranscript,
     instance_specs=None,
+    table_instance_specs=None,
 ) -> VerifierClaim:
-    """instance_specs (grouped proofs): list of (k_cols, const_chal,
-    sep_chal) per instance — overrides the uniform challenge pair and
-    num_instances for proofs produced by `batch_prove_grouped`."""
+    """instance_specs (grouped lookup proofs): list of (k_cols,
+    const_chal, sep_chal) per instance — overrides the uniform challenge
+    pair and num_instances for proofs produced by `batch_prove_grouped`.
+    table_instance_specs: same, for `batch_prove_grouped_tables` proofs
+    (claims laid out per instance as [multiplicity, col_0..col_{k-1}])."""
     if instance_specs is not None:
         num_instances = len(instance_specs)
+    if table_instance_specs is not None:
+        num_instances = len(table_instance_specs)
     transcript.append_field_element(num_instances)
     for evals in proof.circuit_outputs:
         transcript.append_field_element_exts(evals)
@@ -826,7 +858,11 @@ def verify_logup_proof(
         sumcheck_point = list(subclaim.point)
         sumcheck_point.append(bc)
 
-    if instance_specs is not None:
+    if table_instance_specs is not None:
+        calculated = _calculate_final_eval_grouped_tables(
+            proof, table_instance_specs, alpha, lam
+        )
+    elif instance_specs is not None:
         calculated = _calculate_final_eval_grouped(proof, instance_specs, alpha)
     else:
         calculated = _calculate_final_eval(
@@ -858,6 +894,29 @@ def _calculate_final_eval_grouped(proof: LogUpProof, instance_specs, alpha) -> E
         acc = host.ext_add(acc, host.ext_mul(merged, alpha_comb))
         alpha_comb = host.ext_mul(alpha_comb, alpha)
         off += k
+    return acc
+
+
+def _calculate_final_eval_grouped_tables(
+    proof: LogUpProof, table_instance_specs, alpha, lam
+) -> ExtPair:
+    """Final claim check for grouped TABLE proofs: instance i contributes
+    α^i·(mult_eval_i + λ·(const_i + Σ_k col_eval_k·sep_i^k)) — the
+    per-instance form of `_calculate_final_eval`'s table branch."""
+    acc = (0, 0)
+    alpha_comb = (1, 0)
+    off = 0
+    for k, const_c, sep_c in table_instance_specs:
+        mult_eval = proof.output_claims[off].eval
+        merged = const_c
+        csc = (1, 0)
+        for cl in proof.output_claims[off + 1 : off + 1 + k]:
+            merged = host.ext_add(merged, host.ext_mul(cl.eval, csc))
+            csc = host.ext_mul(csc, sep_c)
+        term = host.ext_add(mult_eval, host.ext_mul(lam, merged))
+        acc = host.ext_add(acc, host.ext_mul(term, alpha_comb))
+        alpha_comb = host.ext_mul(alpha_comb, alpha)
+        off += 1 + k
     return acc
 
 

@@ -43,12 +43,30 @@ def shard_flat(x, mesh: Mesh, axis: str = "x"):
     return gf.GF(place(x.lo), place(x.hi))
 
 
+def shard_digest_planes(x, mesh: Mesh, axis: str = "x"):
+    """Place a (4, M) digest-plane level with its MINOR (digest-index)
+    dim sharded on `axis` (merkle.py plane-major layout); levels smaller
+    than the mesh stay replicated."""
+
+    def place(a):
+        n = mesh.devices.size
+        if a.ndim >= 2 and a.shape[-1] % n == 0 and a.shape[-1] >= n:
+            spec = P(*([None] * (a.ndim - 1)), axis)
+        else:
+            spec = P(*([None] * a.ndim))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return gf.GF(place(x.lo), place(x.hi))
+
+
 def shard_commitment(comm, mesh: Mesh, axis: str = "x"):
     """Shard a CommitmentWithWitness's codeword / evals / Merkle levels."""
     comm.codeword = shard_flat(comm.codeword, mesh, axis)
     comm.bh_evals = [shard_flat(b, mesh, axis) for b in comm.bh_evals]
     comm.tree.leaves = shard_flat(comm.tree.leaves, mesh, axis)
-    comm.tree.levels = [shard_flat(l, mesh, axis) for l in comm.tree.levels]
+    comm.tree.levels = [
+        shard_digest_planes(l, mesh, axis) for l in comm.tree.levels
+    ]
     return comm
 
 

@@ -640,7 +640,9 @@ def _commit_phase_session(
                     )
                 )
             trees.append(MerkleTree(leaves=oracle, levels=list(levels)))
-            roots_dev.append(levels[-1][0])
+            from .merkle import _root_of
+
+            roots_dev.append(_root_of(levels[-1]))
         dt.state = t_state
         return trees, msgs_dev, roots_dev, fm_dev
 
@@ -697,7 +699,7 @@ def _fold_tree_round_kernel(t_state, msg, oracle, eq, evals, x0, w):
     dispatches per round over the tunnel (~1.9 s of the dim-2048 warm
     prove, BENCH r2 sync profile)."""
     from ..transcript import device as devt
-    from .merkle import tree_levels
+    from .merkle import _root_of, tree_levels
 
     def absorb_msg(ts, i):
         m = gf.GF2(
@@ -716,7 +718,7 @@ def _fold_tree_round_kernel(t_state, msg, oracle, eq, evals, x0, w):
     ev2 = _fold_pair_linear(evals, r)
     next_msg = _sumcheck_first_round(eq2, ev2)
     levels = tree_levels(new_oracle)
-    root = levels[-1][0]
+    root = _root_of(levels[-1])
     for i in range(4):
         t_state = devt.observe(t_state, gf.GF(root.lo[i], root.hi[i]))
     return t_state, new_oracle, eq2, ev2, next_msg, levels
@@ -727,14 +729,14 @@ def _fold_tree_tail_kernel(t_state, oracle, eq, evals, r, x0, w):
     """The fold+tree tail of a round whose challenge was sampled outside
     (batch-open merger rounds): fold, next message, tree, root absorb."""
     from ..transcript import device as devt
-    from .merkle import tree_levels
+    from .merkle import _root_of, tree_levels
 
     new_oracle = _fri_fold(oracle, r, x0, w)
     eq2 = _fold_pair_linear(eq, r)
     ev2 = _fold_pair_linear(evals, r)
     next_msg = _sumcheck_first_round(eq2, ev2)
     levels = tree_levels(new_oracle)
-    root = levels[-1][0]
+    root = _root_of(levels[-1])
     for i in range(4):
         t_state = devt.observe(t_state, gf.GF(root.lo[i], root.hi[i]))
     return t_state, new_oracle, eq2, ev2, next_msg, levels
@@ -881,7 +883,7 @@ def _gather_pairs(arr, pair_idx: np.ndarray):
 def _multi_query_kernel(codewords: tuple, levels: tuple, idx0, shifts: tuple):
     """Pair gathers + Merkle path siblings for MANY trees in ONE dispatch.
 
-    codewords[k]: GF/GF2 flat codeword; levels[k]: tuple of GF (M, 4)
+    codewords[k]: GF/GF2 flat codeword; levels[k]: tuple of GF (4, M)
     digest planes (root level excluded); shifts[k]: static per-tree index
     shift. Replaces the per-tree gather+path pair of dispatches (~150
     dispatches for the MLP-4M batch opening's 63 commitments + 13 fold
@@ -894,8 +896,8 @@ def _multi_query_kernel(codewords: tuple, levels: tuple, idx0, shifts: tuple):
         sibs = []
         for l in lv:
             s = idx ^ 1
-            outs_l = gf.GF(jnp.take(l.lo, s, axis=0), jnp.take(l.hi, s, axis=0))
-            sibs.append(outs_l)
+            g = gf.GF(jnp.take(l.lo, s, axis=1), jnp.take(l.hi, s, axis=1))
+            sibs.append(gf.GF(g.lo.T, g.hi.T))  # (Q, 4)
             idx = idx >> 1
         outs.append((lo, hi, gf.stack(sibs, axis=1)))
     return tuple(outs)

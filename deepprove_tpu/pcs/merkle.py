@@ -10,6 +10,15 @@ Mirrors mpcs/src/util/merkle_tree.rs + util/hash.rs `PoseidonHasher`:
 Every level is ONE batched device Poseidon2 call (the per-level halving
 pipeline from SURVEY.md §7); paths are gathered on device and shipped to
 the host once per query set.
+
+DIGEST LAYOUT: levels are stored PLANE-MAJOR — GF (4, M), row e holding
+element e of every digest — not (M, 4). XLA:TPU tiles the minor two dims
+to T(8,128), so an (M, 4) array pads its lane dim 4 → 128 = 32× HBM
+(the 2^26-leaf GPT-2 wte tree cost 32 GB of pure padding; even the
+MLP-4M trees burned ~4 GB). Plane-major levels pad only the sublane dim
+4 → 8 = 2×, and the Pallas compression kernel consumes planes natively
+(no transposes). External contracts (root Digest 4-tuple, host paths
+(Q, depth, 4) u64) are unchanged.
 """
 
 from __future__ import annotations
@@ -27,97 +36,105 @@ from ..hashing import poseidon2
 Digest = tuple[int, int, int, int]
 
 
+def _rows(level: gf.GF) -> list:
+    """(4, M) plane level → list of 4 GF (M,) element planes."""
+    return [gf.GF(level.lo[i], level.hi[i]) for i in range(4)]
+
+
+def _from_rows(rows: list) -> gf.GF:
+    """4 GF (M,) element planes → (4, M) plane level."""
+    return gf.stack(rows, axis=0)
+
+
 @partial(jax.jit)
 def _compress_level_scan(digests: gf.GF) -> gf.GF:
-    """(2M, 4) digests -> (M, 4) parents via batched two_to_one."""
-    m2 = digests.shape[0]
-    pairs = digests.reshape(m2 // 2, 2, 4)
-    left, right = pairs[:, 0, :], pairs[:, 1, :]
-    zeros = gf.zeros(left.shape)
-    st1 = poseidon2.permute_device(gf.concatenate([left, zeros], axis=-1))
-    st2_in = gf.concatenate([right, st1[:, 4:]], axis=-1)
-    st2 = poseidon2.permute_device(st2_in)
+    """(4, 2M) digest planes -> (4, M) parent planes via two_to_one."""
+    d = _rows(digests)
+    left = [gf.GF(p.lo[0::2], p.hi[0::2]) for p in d]
+    right = [gf.GF(p.lo[1::2], p.hi[1::2]) for p in d]
+    z = gf.zeros((digests.shape[1] // 2,))
+    st1 = poseidon2.permute_planes(left + [z, z, z, z])
+    st2 = poseidon2.permute_planes(right + st1[4:])
     # digest = sample_array::<4>() = [s3, s2, s1, s0] (pop from end)
-    out = st2[:, :4]
-    return out[:, ::-1]
+    return _from_rows([st2[3], st2[2], st2[1], st2[0]])
 
 
 def _compress_level(digests: gf.GF) -> gf.GF:
-    """(2M, 4) -> (M, 4): Pallas VMEM-resident kernel for big TPU levels
+    """(4, 2M) -> (4, M): Pallas VMEM-resident kernel for big TPU levels
     (3.5× the scan path — poseidon2_pallas.py), scan path otherwise.
     Callable from inside a jit trace (both branches are traced ops)."""
     from ..hashing import poseidon2_pallas as pp
 
-    if pp.use_pallas(digests.shape[0] // 2):
+    if pp.use_pallas(digests.shape[1] // 2):
         return pp.compress_level_pallas(digests)
     return _compress_level_scan(digests)
 
 
 @partial(jax.jit)
 def _leaf_digests_base(leaves: gf.GF) -> gf.GF:
-    """Base-field leaves (N,) -> (N/2, 4) pair digests [a, b, 0, 0].
+    """Base-field leaves (N,) -> (4, N/2) pair-digest planes [a, b, 0, 0].
 
     A single leaf packs to one digest [a, 0, 0, 0] (hash_or_noop).
-    Big N uses strided 1D slices — the (N/2, 2) reshape intermediate
-    gets T(8,128)-tiled by XLA:TPU (64x padding; 32 GB at the GPT-2
-    2^27 codeword)."""
+    Strided 1D slices everywhere — no (N/2, 2) minor-dim intermediate."""
     n = leaves.shape[0]
     if n == 1:
-        return gf.concatenate([leaves.reshape(1, 1), gf.zeros((1, 3))], axis=-1)
-    if n >= (1 << 22):
-        a = gf.GF(leaves.lo[0::2], leaves.hi[0::2])
-        b = gf.GF(leaves.lo[1::2], leaves.hi[1::2])
-        z = gf.zeros((n // 2,))
-        return gf.stack([a, b, z, z], axis=-1)
-    pairs = leaves.reshape(n // 2, 2)
-    z = gf.zeros((n // 2, 2))
-    return gf.concatenate([pairs, z], axis=-1)
+        return gf.stack(
+            [leaves, gf.zeros((1,)), gf.zeros((1,)), gf.zeros((1,))], axis=0
+        )
+    a = gf.GF(leaves.lo[0::2], leaves.hi[0::2])
+    b = gf.GF(leaves.lo[1::2], leaves.hi[1::2])
+    z = gf.zeros((n // 2,))
+    return gf.stack([a, b, z, z], axis=0)
 
 
 @partial(jax.jit)
 def _leaf_digests_ext(leaves: gf.GF2) -> gf.GF:
-    """Ext leaves (N,) -> (N/2, 4) pair digests [a0, a1, b0, b1]."""
-    n = leaves.shape[0]
-    a0 = leaves.a0.reshape(n // 2, 2)  # GF (N/2, 2): [a_re, b_re]
-    a1 = leaves.a1.reshape(n // 2, 2)
+    """Ext leaves (N,) -> (4, N/2) pair-digest planes [a0, a1, b0, b1]."""
     return gf.stack(
-        [a0[:, 0], a1[:, 0], a0[:, 1], a1[:, 1]], axis=-1
+        [
+            gf.GF(leaves.a0.lo[0::2], leaves.a0.hi[0::2]),
+            gf.GF(leaves.a1.lo[0::2], leaves.a1.hi[0::2]),
+            gf.GF(leaves.a0.lo[1::2], leaves.a0.hi[1::2]),
+            gf.GF(leaves.a1.lo[1::2], leaves.a1.hi[1::2]),
+        ],
+        axis=0,
     )
 
 
 @partial(jax.jit)
 def _leaf_digests_batch_base(leaves: gf.GF) -> gf.GF:
-    """Multi-poly base leaves (K, N): digest column pairs.
+    """Multi-poly base leaves (K, N): digest column pairs → (4, N/2).
 
     hash_two_leaves_batch_base (hash.rs:32): H(col(2i)) , H(col(2i+1))
     compressed. For K ≤ 4 the column hash is a noop packing.
     """
     k, n = leaves.shape
     assert k <= 4, "column hash for >4 polys needs sponge path (todo)"
-    cols = leaves.reshape(k, n // 2, 2)
-    pad = gf.zeros((4 - k, n // 2))
-    left = gf.concatenate([cols[:, :, 0], pad], axis=0).reshape(4, n // 2)
-    right = gf.concatenate([cols[:, :, 1], pad], axis=0).reshape(4, n // 2)
-    left_t = gf.stack([left[i] for i in range(4)], axis=-1)  # (N/2, 4)
-    right_t = gf.stack([right[i] for i in range(4)], axis=-1)
-    zeros = gf.zeros(left_t.shape)
-    st1 = poseidon2.permute_device(gf.concatenate([left_t, zeros], axis=-1))
-    st2 = poseidon2.permute_device(gf.concatenate([right_t, st1[:, 4:]], axis=-1))
-    return st2[:, :4][:, ::-1]
+    z = gf.zeros((n // 2,))
+    left = [
+        gf.GF(leaves.lo[i, 0::2], leaves.hi[i, 0::2]) if i < k else z
+        for i in range(4)
+    ]
+    right = [
+        gf.GF(leaves.lo[i, 1::2], leaves.hi[i, 1::2]) if i < k else z
+        for i in range(4)
+    ]
+    st1 = poseidon2.permute_planes(left + [z, z, z, z])
+    st2 = poseidon2.permute_planes(right + st1[4:])
+    return _from_rows([st2[3], st2[2], st2[1], st2[0]])
 
 
 @partial(jax.jit, static_argnames=("shift",))
 def _paths_from_idx_kernel(levels: tuple, idx0, shift: int) -> gf.GF:
     """Sibling digests for pair indices (idx0 >> shift) across all levels
-    in ONE jitted dispatch. `levels` = tuple of GF (M, 4) digest planes
-    (the root level excluded)."""
+    in ONE jitted dispatch. `levels` = tuple of GF (4, M) digest planes
+    (the root level excluded). Output (Q, depth, 4)."""
     idx = idx0 >> shift
     outs = []
     for lvl in levels:
         sib = idx ^ 1
-        outs.append(
-            gf.GF(jnp.take(lvl.lo, sib, axis=0), jnp.take(lvl.hi, sib, axis=0))
-        )
+        g = gf.GF(jnp.take(lvl.lo, sib, axis=1), jnp.take(lvl.hi, sib, axis=1))
+        outs.append(gf.GF(g.lo.T, g.hi.T))  # (Q, 4)
         idx = idx >> 1
     return gf.stack(outs, axis=1)  # (Q, depth, 4)
 
@@ -140,62 +157,60 @@ _TAIL_MIN = 1 << 62
 
 
 def _compress_pairs_traced(digests: gf.GF) -> gf.GF:
-    """two_to_one over adjacent pairs — raw traced math (no jit)."""
-    m2 = digests.shape[0]
-    pairs = digests.reshape(m2 // 2, 2, 4)
-    left, right = pairs[:, 0, :], pairs[:, 1, :]
-    zeros = gf.zeros(left.shape)
-    st1 = poseidon2.permute_device(gf.concatenate([left, zeros], axis=-1))
-    st2 = poseidon2.permute_device(
-        gf.concatenate([right, st1[:, 4:]], axis=-1)
-    )
-    return st2[:, :4][:, ::-1]
+    """two_to_one over adjacent pairs, (4, 2M) planes — raw traced math."""
+    d = _rows(digests)
+    left = [gf.GF(p.lo[0::2], p.hi[0::2]) for p in d]
+    right = [gf.GF(p.lo[1::2], p.hi[1::2]) for p in d]
+    z = gf.zeros((digests.shape[1] // 2,))
+    st1 = poseidon2.permute_planes(left + [z, z, z, z])
+    st2 = poseidon2.permute_planes(right + st1[4:])
+    return _from_rows([st2[3], st2[2], st2[1], st2[0]])
 
 
 @jax.jit
 def _tree_tail_kernel(level: gf.GF) -> gf.GF:
-    """(2^TAIL_LOG, 4) padded level → heap (TAIL_LOG, 2^(TAIL_LOG-1), 4).
+    """(4, 2^TAIL_LOG) padded level → heap (TAIL_LOG, 4, 2^(TAIL_LOG-1)).
 
     heap[k] holds the level k+1 steps below the input in its prefix
     (valid width = input_valid/2^(k+1)); lanes beyond are garbage from
     the padding. For an input whose valid prefix is 2^t, the root is
-    heap[t-1, 0]."""
-    w = level.shape[0]
+    heap[t-1, :, 0]."""
+    w = level.shape[1]
     half = w // 2
 
     def body(k, carry):
         cur, heap = carry
-        nxt = _compress_pairs_traced(cur)  # (w/2, 4)
+        nxt = _compress_pairs_traced(cur)  # (4, w/2)
         heap = gf.GF(
             jax.lax.dynamic_update_index_in_dim(heap.lo, nxt.lo, k, 0),
             jax.lax.dynamic_update_index_in_dim(heap.hi, nxt.hi, k, 0),
         )
-        cur = gf.concatenate([nxt, nxt], axis=0)  # restore width; prefix valid
+        cur = gf.concatenate([nxt, nxt], axis=1)  # restore width; prefix valid
         return cur, heap
 
-    heap0 = gf.zeros((TAIL_LOG, half, 4))
+    heap0 = gf.zeros((TAIL_LOG, 4, half))
     _, heap = jax.lax.fori_loop(0, TAIL_LOG, body, (level, heap0))
     return heap
 
 
 @jax.jit
 def _pad_tail_input(level: gf.GF) -> gf.GF:
-    pad = (1 << TAIL_LOG) - level.shape[0]
+    pad = (1 << TAIL_LOG) - level.shape[1]
     if pad == 0:
         return level
-    return gf.concatenate([level, gf.zeros((pad, 4))], axis=0)
+    return gf.concatenate([level, gf.zeros((4, pad))], axis=1)
 
 
 @partial(jax.jit, static_argnames=("t",))
 def _tail_root(tail: gf.GF, t: int) -> gf.GF:
-    return gf.GF(tail.lo[t - 1, 0], tail.hi[t - 1, 0])
+    return gf.GF(tail.lo[t - 1, :, 0], tail.hi[t - 1, :, 0])
 
 
 @jax.jit
 def _root_of(last_level: gf.GF) -> gf.GF:
-    """(1, 4) root level → (4,) digest (jitted: an eager GF index costs
+    """(4, 1) root level → (4,) digest (jitted: an eager GF index costs
     ~3-5 ms per plane over the tunnel, paid once per commit round)."""
-    return gf.GF(last_level.lo[0], last_level.hi[0])
+    return gf.GF(last_level.lo[:, 0], last_level.hi[:, 0])
 
 
 @partial(jax.jit, static_argnames=("shift", "tail_t"))
@@ -203,23 +218,21 @@ def _paths_from_idx_tail_kernel(
     levels: tuple, tail: gf.GF, idx0, shift: int, tail_t: int
 ) -> gf.GF:
     """Path siblings when the tree has a fused tail: big levels are
-    separate arrays, tail levels live in the heap slabs."""
+    separate (4, M) planes, tail levels live in the heap slabs."""
     idx = idx0 >> shift
     outs = []
     for lvl in levels:
         sib = idx ^ 1
-        outs.append(
-            gf.GF(jnp.take(lvl.lo, sib, axis=0), jnp.take(lvl.hi, sib, axis=0))
-        )
+        g = gf.GF(jnp.take(lvl.lo, sib, axis=1), jnp.take(lvl.hi, sib, axis=1))
+        outs.append(gf.GF(g.lo.T, g.hi.T))
         idx = idx >> 1
     for k in range(tail_t - 1):
         sib = idx ^ 1
-        outs.append(
-            gf.GF(
-                jnp.take(tail.lo[k], sib, axis=0),
-                jnp.take(tail.hi[k], sib, axis=0),
-            )
+        g = gf.GF(
+            jnp.take(tail.lo[k], sib, axis=1),
+            jnp.take(tail.hi[k], sib, axis=1),
         )
+        outs.append(gf.GF(g.lo.T, g.hi.T))
         idx = idx >> 1
     return gf.stack(outs, axis=1)  # (Q, depth, 4)
 
@@ -245,7 +258,7 @@ def tree_levels(leaves) -> tuple:
     else:
         lvl = _leaf_digests_base(leaves)
     levels = [lvl]
-    while levels[-1].shape[0] > 1:
+    while levels[-1].shape[1] > 1:
         levels.append(_compress_level(levels[-1]))
     return tuple(levels)
 
@@ -272,8 +285,8 @@ class MerkleTree:
     level's size = number of tail levels."""
 
     leaves: object  # GF (N,) | GF2 (N,) | GF (K, N) — bit-reversed codeword(s)
-    levels: list  # list of GF (M, 4)
-    tail: object = None  # GF (TAIL_LOG, 2^(TAIL_LOG-1), 4) | None
+    levels: list  # list of GF (4, M) digest planes
+    tail: object = None  # GF (TAIL_LOG, 4, 2^(TAIL_LOG-1)) | None
     tail_t: int = 0
 
     @staticmethod
@@ -287,8 +300,8 @@ class MerkleTree:
         else:
             lvl = _leaf_digests_base(leaves)
         levels = [lvl]
-        while levels[-1].shape[0] > 1:
-            m = levels[-1].shape[0]
+        while levels[-1].shape[1] > 1:
+            m = levels[-1].shape[1]
             if _use_tail(m):
                 tail = _tree_tail_kernel(_pad_tail_input(levels[-1]))
                 return MerkleTree(

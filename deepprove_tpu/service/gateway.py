@@ -119,6 +119,37 @@ def decode_result(blob: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+class _RawConn:
+    """Length-framed raw-TCP connection with the same send/recv surface
+    as the h2 stream objects (so worker/gateway loops are transport-
+    agnostic)."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+
+    def send_msg(self, msg) -> None:
+        send_frame(self.sock, msg)
+
+    def recv_msg(self, msg_type):
+        return recv_frame(self.sock, msg_type)
+
+    def close(self):
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def _dial(gateway_addr, token: str, transport: str):
+    if transport == "h2":
+        from .h2 import GrpcH2Client
+
+        return GrpcH2Client(gateway_addr, token=token)
+    sock = socket.create_connection(gateway_addr)
+    sock.sendall(f"authorization: Bearer {token}\n".encode())
+    return _RawConn(sock)
+
+
 def run_worker(
     gateway_addr: tuple[str, int],
     token: str = "",
@@ -127,6 +158,7 @@ def run_worker(
     max_tasks: int | None = None,
     store=None,
     task_handler=None,
+    transport: str = "raw",
 ) -> int:
     """Dial the gateway and serve tasks until EOF (or max_tasks, for tests).
 
@@ -134,23 +166,24 @@ def run_worker(
     WorkerDone.worker_error, never crash the loop (grpc.rs:55-66).
     `task_handler(store, request, pcs_kw) -> response` defaults to the
     real prover (run_model_v1); tests inject stubs to exercise the
-    dispatch protocol without proving.
+    dispatch protocol without proving. transport="h2" speaks real gRPC
+    over HTTP/2 cleartext framing (service/h2.py) like the reference's
+    tonic stream; "raw" is the length-framed TCP fallback.
     """
     store = store if store is not None else MemStore()
     handler = task_handler or run_model_v1
     processed = 0
-    with socket.create_connection(gateway_addr) as sock:
-        sock.sendall(f"authorization: Bearer {token}\n".encode())
-        send_frame(
-            sock,
+    conn = _dial(gateway_addr, token, transport)
+    try:
+        conn.send_msg(
             pb.WorkerToGwRequest(
                 worker_ready=pb.WorkerReady(
                     version=PROTO_VERSION, worker_class=worker_class
                 )
-            ),
+            )
         )
         while max_tasks is None or processed < max_tasks:
-            task = recv_frame(sock, pb.WorkerToGwResponse)
+            task = conn.recv_msg(pb.WorkerToGwResponse)
             if task is None:
                 break
             try:
@@ -161,8 +194,10 @@ def run_worker(
                 )
             except Exception as e:
                 done = pb.WorkerDone(task_id=task.task_id, worker_error=str(e))
-            send_frame(sock, pb.WorkerToGwRequest(worker_done=done))
+            conn.send_msg(pb.WorkerToGwRequest(worker_done=done))
             processed += 1
+    finally:
+        conn.close()
     return processed
 
 
@@ -198,6 +233,7 @@ def run_worker_forever(
     max_sessions: int | None = None,
     max_tasks_per_session: int | None = None,
     sleep=None,
+    transport: str = "raw",
 ) -> int:
     """Long-lived worker: dial, serve, and on disconnect/refusal reconnect
     with exponential backoff; a session that served ≥1 task resets the
@@ -223,8 +259,9 @@ def run_worker_forever(
                 pcs_kw=pcs_kw,
                 max_tasks=max_tasks_per_session,
                 store=store,
+                transport=transport,
             )
-        except OSError:
+        except (OSError, ValueError):
             n = 0
         total += n
         if n > 0:  # successful session → reset backoff
@@ -247,8 +284,9 @@ class Gateway:
     """Accepts N workers; dispatches tasks to idle workers; requeues the
     in-flight task of a worker that drops mid-proof (failure detection)."""
 
-    def __init__(self, token: str = ""):
+    def __init__(self, token: str = "", transport: str = "raw"):
         self.token = token
+        self.transport = transport
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind(("127.0.0.1", 0))
@@ -257,7 +295,7 @@ class Gateway:
         self.replies: queue.Queue = queue.Queue()
         self.pending: queue.Queue = queue.Queue()  # (task_id, encoded blob)
         self._idle: queue.Queue = queue.Queue()  # worker ids ready for a task
-        self._workers: dict[int, socket.socket] = {}
+        self._workers: dict[int, object] = {}  # wid -> conn wrapper
         self._inflight: dict[int, tuple[str, bytes]] = {}
         self._lock = threading.Lock()
         self._closed = False
@@ -277,31 +315,48 @@ class Gateway:
             ).start()
 
     def _register_worker(self, conn: socket.socket):
-        preamble = b""
-        while not preamble.endswith(b"\n"):
-            c = conn.recv(1)
-            if not c:
+        if self.transport == "h2":
+            from .h2 import GrpcH2ServerConn
+
+            try:
+                wrapped = GrpcH2ServerConn(conn)
+            except (OSError, ValueError):
+                conn.close()
                 return
-            preamble += c
-        if preamble.decode().strip() != f"authorization: Bearer {self.token}".strip():
-            conn.close()
-            return
-        msg = recv_frame(conn, pb.WorkerToGwRequest)
+            want = f"Bearer {self.token}" if self.token else ""
+            if wrapped.authorization != want:
+                wrapped.close()
+                return
+        else:
+            preamble = b""
+            while not preamble.endswith(b"\n"):
+                c = conn.recv(1)
+                if not c:
+                    return
+                preamble += c
+            if (
+                preamble.decode().strip()
+                != f"authorization: Bearer {self.token}".strip()
+            ):
+                conn.close()
+                return
+            wrapped = _RawConn(conn)
+        msg = wrapped.recv_msg(pb.WorkerToGwRequest)
         if msg is None or msg.WhichOneof("request") != "worker_ready":
-            conn.close()
+            wrapped.close()
             return
         with self._lock:
             wid = self._next_wid
             self._next_wid += 1
-            self._workers[wid] = conn
+            self._workers[wid] = wrapped
         self._idle.put(wid)
-        self._reader(wid, conn)
+        self._reader(wid, wrapped)
 
-    def _reader(self, wid: int, conn: socket.socket):
+    def _reader(self, wid: int, conn):
         while True:
             try:
-                reply = recv_frame(conn, pb.WorkerToGwRequest)
-            except OSError:
+                reply = conn.recv_msg(pb.WorkerToGwRequest)
+            except (OSError, ValueError):
                 reply = None
             if reply is None:
                 self._drop_worker(wid)
@@ -334,10 +389,10 @@ class Gateway:
                 with self._lock:
                     self._inflight[wid] = (task_id, blob)
                 try:
-                    send_frame(
-                        conn, pb.WorkerToGwResponse(task_id=task_id, task=blob)
+                    conn.send_msg(
+                        pb.WorkerToGwResponse(task_id=task_id, task=blob)
                     )
-                except OSError:
+                except (OSError, ValueError):
                     self._drop_worker(wid)
                     continue
                 break
@@ -370,7 +425,7 @@ class Gateway:
         for c in conns:
             try:
                 c.close()
-            except OSError:
+            except (OSError, ValueError):
                 pass
         self._srv.close()
 

@@ -1,0 +1,337 @@
+"""Minimal HTTP/2 cleartext (h2c) transport for the one gRPC bidi method.
+
+Reference: deep-prove/src/bin/worker/lpn/grpc.rs — the worker holds a
+tonic (gRPC over HTTP/2) bidi stream `WorkersService/WorkerToGw` to the
+LPN gateway. The image has no grpcio/h2 packages, so this implements the
+needed HTTP/2 subset from scratch (stdlib only):
+
+  * connection preface + SETTINGS/PING/WINDOW_UPDATE/GOAWAY handling,
+  * one client-initiated stream (id 1) carrying HEADERS + DATA frames,
+  * HPACK: full static table, dynamic-table inserts, and plain (non-
+    huffman) literals — the encoder emits only literal-without-indexing
+    so any compliant peer can decode it; the decoder rejects huffman
+    (documented subset),
+  * gRPC message framing (1 compressed-flag byte + u32 BE length) on the
+    DATA byte stream, identical to the raw-TCP framing in gateway.py,
+  * authorization metadata travels as a real `authorization` header on
+    the HEADERS frame (grpc.rs:129-140 interceptor).
+
+Flow control is made a non-issue by advertising 2^31-1 windows on both
+sides; DATA is still chunked to the peer's SETTINGS_MAX_FRAME_SIZE.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+# frame types (RFC 7540 §6)
+DATA = 0x0
+HEADERS = 0x1
+RST_STREAM = 0x3
+SETTINGS = 0x4
+PING = 0x6
+GOAWAY = 0x7
+WINDOW_UPDATE = 0x8
+CONTINUATION = 0x9
+
+FLAG_END_STREAM = 0x1
+FLAG_END_HEADERS = 0x4
+FLAG_ACK = 0x1
+
+MAX_FRAME = 16384
+BIG_WINDOW = (1 << 31) - 1
+
+# RFC 7541 Appendix A static table (index 1..61)
+_STATIC = [
+    (":authority", ""), (":method", "GET"), (":method", "POST"),
+    (":path", "/"), (":path", "/index.html"), (":scheme", "http"),
+    (":scheme", "https"), (":status", "200"), (":status", "204"),
+    (":status", "206"), (":status", "304"), (":status", "400"),
+    (":status", "404"), (":status", "500"), ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"), ("accept-language", ""),
+    ("accept-ranges", ""), ("accept", ""), ("access-control-allow-origin", ""),
+    ("age", ""), ("allow", ""), ("authorization", ""), ("cache-control", ""),
+    ("content-disposition", ""), ("content-encoding", ""),
+    ("content-language", ""), ("content-length", ""), ("content-location", ""),
+    ("content-range", ""), ("content-type", ""), ("cookie", ""), ("date", ""),
+    ("etag", ""), ("expect", ""), ("expires", ""), ("from", ""), ("host", ""),
+    ("if-match", ""), ("if-modified-since", ""), ("if-none-match", ""),
+    ("if-range", ""), ("if-unmodified-since", ""), ("last-modified", ""),
+    ("link", ""), ("location", ""), ("max-forwards", ""),
+    ("proxy-authenticate", ""), ("proxy-authorization", ""), ("range", ""),
+    ("referer", ""), ("refresh", ""), ("retry-after", ""), ("server", ""),
+    ("set-cookie", ""), ("strict-transport-security", ""),
+    ("transfer-encoding", ""), ("user-agent", ""), ("vary", ""), ("via", ""),
+    ("www-authenticate", ""),
+]
+
+
+# ---------------------------------------------------------------------------
+# HPACK (plain-literal subset)
+# ---------------------------------------------------------------------------
+
+
+def _int_enc(value: int, prefix_bits: int, top: int) -> bytes:
+    limit = (1 << prefix_bits) - 1
+    if value < limit:
+        return bytes([top | value])
+    out = [top | limit]
+    value -= limit
+    while value >= 128:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+    out.append(value)
+    return bytes(out)
+
+
+def _int_dec(data: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
+    limit = (1 << prefix_bits) - 1
+    v = data[pos] & limit
+    pos += 1
+    if v < limit:
+        return v, pos
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        v += (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, pos
+
+
+def hpack_encode(headers: list[tuple[str, str]]) -> bytes:
+    """Every field as literal-without-indexing, new name, no huffman."""
+    out = bytearray()
+    for name, value in headers:
+        out.append(0x00)
+        nb, vb = name.encode(), value.encode()
+        out += _int_enc(len(nb), 7, 0x00)
+        out += nb
+        out += _int_enc(len(vb), 7, 0x00)
+        out += vb
+    return bytes(out)
+
+
+def hpack_decode(block: bytes, dyn: list) -> list[tuple[str, str]]:
+    """Static+dynamic indexed fields and PLAIN literals (no huffman)."""
+
+    def table(idx: int) -> tuple[str, str]:
+        if 1 <= idx <= len(_STATIC):
+            return _STATIC[idx - 1]
+        d = idx - len(_STATIC) - 1
+        if d < len(dyn):
+            return dyn[d]
+        raise ValueError(f"HPACK index {idx} out of range")
+
+    def string(pos: int) -> tuple[str, int]:
+        huff = bool(block[pos] & 0x80)
+        n, pos = _int_dec(block, pos, 7)
+        if huff:
+            raise ValueError("huffman-coded HPACK strings unsupported (subset)")
+        return block[pos : pos + n].decode(), pos + n
+
+    out = []
+    pos = 0
+    while pos < len(block):
+        b = block[pos]
+        if b & 0x80:  # indexed
+            idx, pos = _int_dec(block, pos, 7)
+            out.append(table(idx))
+        elif b & 0x40:  # literal with incremental indexing
+            idx, pos = _int_dec(block, pos, 6)
+            name = table(idx)[0] if idx else None
+            if name is None:
+                name, pos = string(pos)
+            value, pos = string(pos)
+            dyn.insert(0, (name, value))
+            out.append((name, value))
+        elif b & 0x20:  # dynamic table size update
+            _, pos = _int_dec(block, pos, 5)
+        else:  # literal without indexing / never indexed (4-bit prefix)
+            idx, pos = _int_dec(block, pos, 4)
+            name = table(idx)[0] if idx else None
+            if name is None:
+                name, pos = string(pos)
+            value, pos = string(pos)
+            out.append((name, value))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# frame IO
+# ---------------------------------------------------------------------------
+
+
+def _send_frame(sock, ftype: int, flags: int, stream_id: int, payload: bytes):
+    sock.sendall(
+        struct.pack(">I", len(payload))[1:]
+        + bytes([ftype, flags])
+        + struct.pack(">I", stream_id & 0x7FFFFFFF)
+        + payload
+    )
+
+
+def _recv_exact(sock, n: int):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def _recv_frame(sock):
+    head = _recv_exact(sock, 9)
+    if head is None:
+        return None
+    length = int.from_bytes(head[:3], "big")
+    ftype, flags = head[3], head[4]
+    stream_id = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+    payload = _recv_exact(sock, length) if length else b""
+    if length and payload is None:
+        return None
+    return ftype, flags, stream_id, payload
+
+
+class _H2Conn:
+    """Shared half: settings exchange done by subclasses; DATA bytes of
+    stream 1 are buffered and re-framed as gRPC messages."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self._buf = b""
+        self._dyn: list = []
+        self.peer_headers: dict[str, str] = {}
+        self._closed = False
+        self._lock = threading.Lock()
+
+    # -- gRPC message layer (same 5-byte framing as gateway.py raw TCP) --
+    def send_msg(self, msg) -> None:
+        body = msg.SerializeToString()
+        data = struct.pack(">BI", 0, len(body)) + body
+        with self._lock:
+            for off in range(0, len(data), MAX_FRAME):
+                _send_frame(
+                    self.sock, DATA, 0, 1, data[off : off + MAX_FRAME]
+                )
+
+    def recv_msg(self, msg_type):
+        while len(self._buf) < 5:
+            if not self._pump():
+                return None
+        _flag, length = struct.unpack(">BI", self._buf[:5])
+        while len(self._buf) < 5 + length:
+            if not self._pump():
+                return None
+        body = self._buf[5 : 5 + length]
+        self._buf = self._buf[5 + length :]
+        return msg_type.FromString(body)
+
+    def _pump(self) -> bool:
+        """Read one frame; buffer stream-1 DATA; answer pings."""
+        try:
+            fr = _recv_frame(self.sock)
+        except OSError:
+            return False
+        if fr is None:
+            return False
+        ftype, flags, stream_id, payload = fr
+        if ftype == DATA and stream_id == 1:
+            self._buf += payload
+        elif ftype == HEADERS and stream_id == 1:
+            for k, v in hpack_decode(payload, self._dyn):
+                self.peer_headers[k] = v
+        elif ftype == SETTINGS and not flags & FLAG_ACK:
+            _send_frame(self.sock, SETTINGS, FLAG_ACK, 0, b"")
+        elif ftype == PING and not flags & FLAG_ACK:
+            _send_frame(self.sock, PING, FLAG_ACK, 0, payload)
+        elif ftype == GOAWAY:
+            return False
+        return True
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            _send_frame(self.sock, GOAWAY, 0, 0, struct.pack(">II", 1, 0))
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    # -- shared handshake pieces --
+    def _send_settings(self):
+        # INITIAL_WINDOW_SIZE (0x4) = BIG_WINDOW, MAX_FRAME_SIZE (0x5)
+        payload = struct.pack(">HI", 0x4, BIG_WINDOW) + struct.pack(
+            ">HI", 0x5, MAX_FRAME
+        )
+        _send_frame(self.sock, SETTINGS, 0, 0, payload)
+        _send_frame(
+            self.sock, WINDOW_UPDATE, 0, 0, struct.pack(">I", BIG_WINDOW - 65535)
+        )
+
+
+class GrpcH2Client(_H2Conn):
+    """Worker side: h2c handshake + open the one bidi stream."""
+
+    def __init__(
+        self,
+        addr: tuple[str, int],
+        path: str = "/lagrange.WorkersService/WorkerToGw",
+        token: str = "",
+    ):
+        super().__init__(socket.create_connection(addr))
+        self.sock.sendall(PREFACE)
+        self._send_settings()
+        headers = [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", path),
+            (":authority", f"{addr[0]}:{addr[1]}"),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ]
+        if token:
+            headers.append(("authorization", f"Bearer {token}"))
+        _send_frame(
+            self.sock, HEADERS, FLAG_END_HEADERS, 1, hpack_encode(headers)
+        )
+
+
+class GrpcH2ServerConn(_H2Conn):
+    """Gateway side: accept preface + stream-1 HEADERS on one connection."""
+
+    def __init__(self, conn: socket.socket):
+        super().__init__(conn)
+        got = _recv_exact(conn, len(PREFACE))
+        if got != PREFACE:
+            raise ValueError("not an HTTP/2 connection preface")
+        self._send_settings()
+        # response headers for the bidi stream
+        _send_frame(
+            self.sock, HEADERS, FLAG_END_HEADERS, 1,
+            hpack_encode(
+                [(":status", "200"), ("content-type", "application/grpc")]
+            ),
+        )
+        # pump until the client's HEADERS for stream 1 arrived
+        while not self.peer_headers:
+            if not self._pump():
+                raise ValueError("peer closed before HEADERS")
+
+    @property
+    def authorization(self) -> str:
+        return self.peer_headers.get("authorization", "")
+
+    @property
+    def path(self) -> str:
+        return self.peer_headers.get(":path", "")

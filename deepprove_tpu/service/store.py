@@ -55,32 +55,139 @@ class FileStore:
             pickle.dump(value, f)
 
 
+def _sigv4_headers(
+    method: str,
+    url: str,
+    payload: bytes,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    service: str = "s3",
+    now=None,
+    extra_headers: dict | None = None,
+) -> dict:
+    """AWS Signature Version 4 headers for one request (stdlib-only).
+
+    Canonical request → string-to-sign → HMAC chain, per the SigV4 spec
+    the reference's object_store crate implements (store.rs:84 S3Store).
+    Payload is signed via x-amz-content-sha256 (no chunked signing)."""
+    import datetime
+    import hmac
+    from urllib.parse import quote, urlsplit
+
+    parts = urlsplit(url)
+    host = parts.netloc
+    t = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = t.strftime("%Y%m%dT%H%M%SZ")
+    datestamp = t.strftime("%Y%m%d")
+    payload_hash = hashlib.sha256(payload).hexdigest()
+
+    canonical_uri = quote(parts.path or "/", safe="/-_.~")
+    # query params sorted + individually encoded
+    q = []
+    if parts.query:
+        for kv in parts.query.split("&"):
+            k, _, v = kv.partition("=")
+            q.append((quote(k, safe="-_.~"), quote(v, safe="-_.~")))
+    canonical_query = "&".join(f"{k}={v}" for k, v in sorted(q))
+    headers = {
+        "host": host,
+        "x-amz-content-sha256": payload_hash,
+        "x-amz-date": amz_date,
+    }
+    for k, v in (extra_headers or {}).items():
+        headers[k.lower()] = v
+    signed_headers = ";".join(sorted(headers))
+    canonical_headers = "".join(
+        f"{k}:{headers[k].strip()}\n" for k in sorted(headers)
+    )
+    canonical_request = "\n".join(
+        [
+            method,
+            canonical_uri,
+            canonical_query,
+            canonical_headers,
+            signed_headers,
+            payload_hash,
+        ]
+    )
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amz_date,
+            scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ]
+    )
+
+    def _hmac(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k_date = _hmac(("AWS4" + secret_key).encode(), datestamp)
+    k_region = _hmac(k_date, region)
+    k_service = _hmac(k_region, service)
+    k_signing = _hmac(k_service, "aws4_request")
+    signature = hmac.new(
+        k_signing, string_to_sign.encode(), hashlib.sha256
+    ).hexdigest()
+    return {
+        "x-amz-date": amz_date,
+        "x-amz-content-sha256": payload_hash,
+        "Authorization": (
+            f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={signature}"
+        ),
+    }
+
+
 class S3Store:
     """Object-store backend speaking the S3 REST dialect
     (GET/PUT `http://endpoint/bucket/key`) — the reference's `S3Store`
     via object_store (store.rs:84). Works against any S3-compatible
     endpoint (minio, localstack, or the in-process test server in
-    tests/test_service.py); auth is a bearer token header when given
-    (real AWS SigV4 is out of scope offline)."""
+    tests/test_service.py). Auth: AWS SigV4 request signing when
+    access/secret keys are given (stdlib implementation above), else an
+    optional bearer token."""
 
-    def __init__(self, endpoint: str, bucket: str, prefix: str = "", token: str = ""):
+    def __init__(
+        self,
+        endpoint: str,
+        bucket: str,
+        prefix: str = "",
+        token: str = "",
+        access_key: str = "",
+        secret_key: str = "",
+        region: str = "us-east-1",
+    ):
         self.endpoint = endpoint.rstrip("/")
         self.bucket = bucket
         self.prefix = prefix
         self.token = token
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
 
     def _url(self, key: str) -> str:
         name = f"{self.prefix}{key}"
         return f"{self.endpoint}/{self.bucket}/{name}"
 
-    def _headers(self) -> dict:
+    def _headers(self, method: str, url: str, payload: bytes) -> dict:
+        if self.access_key:
+            return _sigv4_headers(
+                method, url, payload, self.access_key, self.secret_key,
+                self.region,
+            )
         return {"Authorization": f"Bearer {self.token}"} if self.token else {}
 
     def get(self, key: str):
         import urllib.error
         import urllib.request
 
-        req = urllib.request.Request(self._url(key), headers=self._headers())
+        url = self._url(key)
+        req = urllib.request.Request(
+            url, headers=self._headers("GET", url, b"")
+        )
         try:
             with urllib.request.urlopen(req) as r:
                 return pickle.loads(r.read())
@@ -92,11 +199,16 @@ class S3Store:
     def put(self, key: str, value):
         import urllib.request
 
+        url = self._url(key)
+        payload = pickle.dumps(value)
         req = urllib.request.Request(
-            self._url(key),
-            data=pickle.dumps(value),
+            url,
+            data=payload,
             method="PUT",
-            headers={"Content-Type": "application/octet-stream", **self._headers()},
+            headers={
+                "Content-Type": "application/octet-stream",
+                **self._headers("PUT", url, payload),
+            },
         )
         with urllib.request.urlopen(req) as r:
             assert r.status in (200, 201), f"S3 PUT failed: {r.status}"

@@ -26,8 +26,17 @@ ExtPair = tuple[int, int]
 
 @dataclasses.dataclass
 class TableProof:
-    table_type: object
-    multiplicity_commit: object  # BasefoldCommitment
+    """One lookup-table GKR proof covering one OR SEVERAL equal-size
+    tables. The reference proves one LogUp batch per table
+    (iop/mod.rs:35, iop/prover.rs:110); grouping all tables of one
+    column size into a single batched GKR is a TPU dispatch-latency
+    optimization (each 2^8-row table proof is ~8 levels of pure
+    dispatch over the tunnel). `table_types`/`multiplicity_commits`
+    are in instance (α-batching) order = sorted table order; the
+    proof's claims lay out per instance as [multiplicity, col_0..]."""
+
+    table_types: list
+    multiplicity_commits: list  # BasefoldCommitment per table
     lookup: object  # LogUpProof
 
 
@@ -184,27 +193,58 @@ class Prover:
 
         stream_metrics("claims", m.to_span())
         m = Metrics("tables_and_opening")
-        # table proofs (iop/prover.rs:110)
+        # table proofs (iop/prover.rs:110), grouped by column size:
+        # every equal-size table proves in ONE batched GKR (groups in
+        # ascending size, instances in sorted table order — the verifier
+        # re-derives this layout from the context)
+        groups: dict[int, list] = {}
         for tw in self.table_witness:
+            size = int(tw.column_evals[0].shape[0])
+            groups.setdefault(size, []).append(tw)
+        for size in sorted(groups):
+            tws = groups[size]
             mt = Metrics("table")
-            logup_input = tw.get_logup_input(self.challenge_storage)
-            table_proof = logup.batch_prove_device(logup_input, self.dt)
-            comm, poly = tw.commits[0]
-            self.commit_prover.add_witness_claim(
-                (comm, poly), table_proof.output_claims[0]
-            )
-            table_claims = tw.table_type.table_claims(table_proof.output_claims)
-            if table_claims:
-                self.commit_prover.add_table_claim(tw.table_type, table_claims[0])
+            if len(tws) == 1:
+                logup_input = tws[0].get_logup_input(self.challenge_storage)
+                table_proof = logup.batch_prove_device(logup_input, self.dt)
+            else:
+                instances = []
+                for tw in tws:
+                    const_c, sep_c = self.challenge_storage.get(
+                        tw.table_type.name()
+                    )
+                    instances.append(
+                        (tw.column_evals, tw.multiplicities, const_c, sep_c)
+                    )
+                table_proof = logup.batch_prove_grouped_tables(
+                    instances, self.dt
+                )
+            off, commits = 0, []
+            for tw in tws:
+                k = len(tw.column_evals)
+                claims_slice = table_proof.output_claims[off : off + 1 + k]
+                comm, poly = tw.commits[0]
+                self.commit_prover.add_witness_claim(
+                    (comm, poly), claims_slice[0]
+                )
+                table_claims = tw.table_type.table_claims(claims_slice)
+                if table_claims:
+                    self.commit_prover.add_table_claim(
+                        tw.table_type, table_claims[0]
+                    )
+                commits.append(comm.commitment)
+                off += 1 + k
             self.table_proofs.append(
                 TableProof(
-                    table_type=tw.table_type,
-                    multiplicity_commit=comm.commitment,
+                    table_types=[tw.table_type for tw in tws],
+                    multiplicity_commits=commits,
                     lookup=table_proof,
                 )
             )
             stream_metrics(
-                f"table_{type(tw.table_type).__name__}_{getattr(tw.table_type, 'kind', '')}",
+                "table_group_" + "_".join(
+                    getattr(tw.table_type, "kind", "") for tw in tws
+                ),
                 mt.to_span(),
             )
 

@@ -131,27 +131,49 @@ def verify(ctx, proof: Proof, io: IO, transcript: BasicTranscript):
             claims = list(claims_for_verify)
         claims_by_layer[nid] = claims
 
-    # table proofs (in sorted table order, same as prover)
-    assert len(proof.table_proofs) == len(ctx.lookup), "table proof count"
-    for tp, tt in zip(proof.table_proofs, ctx.lookup):
-        assert tp.table_type == tt, "table order mismatch"
-        const_c, sep_c = v.challenge_storage.get(tt.name())
-        claims = logup.verify_logup_proof(
-            tp.lookup, 1, const_c, sep_c, transcript
-        )
-        v.commit_verifier.add_witness_claim(
-            tp.multiplicity_commit, claims.claims[0]
-        )
-        table_claims = tt.table_claims(claims.claims)
-        if table_claims:
-            v.commit_verifier.add_table_claim(tt, table_claims[0])
-        # check the table column evaluations the verifier can compute itself
-        expected = tt.evaluate_table_columns(claims.claims[0].point)
-        n_table_claims = len(table_claims)
-        col_claims = claims.claims[1:]
-        assert len(expected) == len(col_claims) - n_table_claims
-        for cl, exp in zip(col_claims, expected):
-            assert cl.eval == exp, f"table column eval mismatch for {tt.name()}"
+    # table proofs, grouped by column size: the expected grouping
+    # (ascending size, sorted table order within a group) is re-derived
+    # from the CONTEXT — the proof only carries the transcript data
+    exp_groups: dict[int, list] = {}
+    for tt in ctx.lookup:
+        exp_groups.setdefault(1 << tt.multiplicity_poly_vars(), []).append(tt)
+    exp_list = [exp_groups[s] for s in sorted(exp_groups)]
+    assert len(proof.table_proofs) == len(exp_list), "table proof count"
+    for tp, tts in zip(proof.table_proofs, exp_list):
+        assert list(tp.table_types) == tts, "table group mismatch"
+        if len(tts) == 1:
+            const_c, sep_c = v.challenge_storage.get(tts[0].name())
+            claims = logup.verify_logup_proof(
+                tp.lookup, 1, const_c, sep_c, transcript
+            )
+        else:
+            specs = []
+            for tt in tts:
+                const_c, sep_c = v.challenge_storage.get(tt.name())
+                specs.append((tt.num_columns(), const_c, sep_c))
+            claims = logup.verify_logup_proof(
+                tp.lookup, 0, (0, 0), (0, 0), transcript,
+                table_instance_specs=specs,
+            )
+        off = 0
+        for i, tt in enumerate(tts):
+            k = tt.num_columns()
+            sl = claims.claims[off : off + 1 + k]
+            v.commit_verifier.add_witness_claim(
+                tp.multiplicity_commits[i], sl[0]
+            )
+            table_claims = tt.table_claims(sl)
+            if table_claims:
+                v.commit_verifier.add_table_claim(tt, table_claims[0])
+            # check the column evaluations the verifier computes itself
+            expected_cols = tt.evaluate_table_columns(sl[0].point)
+            col_claims = sl[1:]
+            assert len(expected_cols) == len(col_claims) - len(table_claims)
+            for cl, exp in zip(col_claims, expected_cols):
+                assert cl.eval == exp, (
+                    f"table column eval mismatch for {tt.name()}"
+                )
+            off += 1 + k
 
     # input claims: check against the model input MLEs
     for nid in ctx.forward_order():

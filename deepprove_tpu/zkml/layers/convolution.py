@@ -150,6 +150,31 @@ def _phi_partials_kernel(pt: gf.GF2, omega: int, n: int, scale: int):
     return tuple(fs)
 
 
+@_partial(_jax.jit, static_argnames=("omega", "n", "b", "l", "m_pad"))
+def _deleg_level_stack_kernel(
+    q_cur: gf.GF2, row_pt: gf.GF2, f_prev: gf.GF2,
+    omega: int, n: int, b: int, l: int, m_pad: int,
+) -> gf.GF2:
+    """One delegation level's prestacked sumcheck rows [eq, f_rep, h]
+    (+ ones pad) in ONE dispatch — the per-row eq/h/concat kernels cost
+    ~4 dispatches × 2 chains × log N levels per conv prove."""
+    eq = mle_mod._eq_table_kernel(q_cur, gf.ext_ones(()), l + 1)
+    f_rep = gf.ext_concatenate([f_prev, f_prev])  # (2^{l+1},)
+    size = 1 << (l + 1)
+    w_b = host.pow_const(np.uint64(omega % host.P), 1 << b)
+    pows = gf.from_u64(ntt.geom_powers(w_b, size))
+    r = gf.GF2(
+        gf.GF(row_pt.a0.lo[b], row_pt.a0.hi[b]),
+        gf.GF(row_pt.a1.lo[b], row_pt.a1.hi[b]),
+    )
+    rb = gf.ext_broadcast_to(r.reshape((1,)), (size,))
+    h = gf.ext_add(
+        gf.ext_sub(gf.ext_ones((size,)), rb), mle_mod.ext_mul_by_base(rb, pows)
+    )
+    rows = [eq, f_rep, h] + [gf.ext_ones((size,))] * (m_pad - 3)
+    return gf.ext_stack(rows, axis=0)
+
+
 def _delegate_prove(fs, q, row_pt, omega: int, n: int, dt, prover):
     """Chain of n−1 sumchecks reducing φ~(q) to the O(1) base table.
 
@@ -159,20 +184,19 @@ def _delegate_prove(fs, q, row_pt, omega: int, n: int, dt, prover):
     were built from, and the point the verifier's `_h_closed_form` uses)."""
     from ... import glue
     from ...sumcheck.fused import prove_device
+    from ...sumcheck.prover import _bucket as _bkt
 
     proofs, evals = [], []
     q_cur = q  # GF2 (n,)
-    one = glue.one()
+    m_pad = _bkt(4)
     for l in range(n - 1, 0, -1):
-        f_rep = gf.ext_concatenate([fs[l - 1], fs[l - 1]])  # (2^{l+1},)
         b = n - 1 - l
-        h = _h_table_kernel(row_pt, omega, n, b, l)  # needs row_pt for r_b
-        eq = mle_mod._eq_table_kernel(q_cur, one, l + 1)
         vp = VirtualPolynomial.new(l + 1)
-        i_eq = vp.add_mle(eq)
-        i_f = vp.add_mle(f_rep)
-        i_h = vp.add_mle(h)
-        vp.add_product((1, 0), [i_eq, i_f, i_h])
+        vp.prestacked = _deleg_level_stack_kernel(
+            q_cur, row_pt, fs[l - 1], omega, n, b, l, m_pad
+        )
+        vp.num_rows = 3
+        vp.add_product((1, 0), [0, 1, 2])  # eq · f · h
         out = prove_device(vp, dt)
         proofs.append(out.proof)
         evals.append(out.final_evals)
@@ -336,20 +360,23 @@ class Convolution:
         return m.reshape(-1)
 
     def _conv_field(self, x: np.ndarray):
-        """Device FFT conv; returns (c GF (kw, N), B int64 (kw, n²)).
+        """Device FFT conv; returns (c GF (kw, N), B int64 (kw, n²),
+        xt int64 (kx, N), x_fft GF (kx, N), prod GF (kw, N)).
 
         Memoized on the input bytes: `evaluate` (inference) computes it
         first and `prove` reuses the SAME device arrays — recomputing in
-        prove added two FFT chains and, worse, a blocking device→host
-        pull mid-prove that drained the whole async proof queue (~4.7 s
-        of the CNN-264k warm prove)."""
+        prove added two FFT chains, fresh host→device puts and, worse, a
+        blocking device→host pull mid-prove that drained the whole async
+        proof queue (~4.7 s of the CNN-264k warm prove). x_fft/prod are
+        kept too: the iFFT/hadamard sumchecks (prove steps 3-4) need
+        exactly these arrays."""
         key = hash(x.tobytes())
         cached = getattr(self, "_conv_cache", None)
         if cached is not None and cached[0] == key:
-            return cached[1], cached[2]
-        c, b_vals = self._conv_field_uncached(x)
-        self._conv_cache = (key, c, b_vals)
-        return c, b_vals
+            return cached[1:]
+        out = self._conv_field_uncached(x)
+        self._conv_cache = (key,) + out
+        return out
 
     def _conv_field_uncached(self, x: np.ndarray):
         xt = self._x_tilde(x)
@@ -363,11 +390,11 @@ class Convolution:
         bound = 1 << self.output_bitsize()
         c_elem = Q.from_field_centered(c_u64, bound)
         b_vals = c_elem[:, :n2][:, ::-1] + self.bias[: self.kw, None]
-        return c, b_vals
+        return c, b_vals, x_gf, x_fft, prod
 
     def evaluate(self, inputs: list[Tensor]) -> list[Tensor]:
         x = inputs[0].data
-        _, b_vals = self._conv_field(x)
+        b_vals = self._conv_field(x)[1]
         out = (b_vals * self.mask()[None, :]).reshape(self.kw, self.n, self.n)
         if self.stride > 1:
             out = out[:, :: self.stride, :: self.stride]
@@ -424,7 +451,7 @@ class Convolution:
             )
             last_claim = glue.DevClaim(point=full_pt, eval=last_claim.eval)
 
-        c, b_vals = self._conv_field(x)
+        c, b_vals, x_gf, x_fft, prod = self._conv_field(x)
         mask = self.mask()
 
         # 1. clearing sumcheck: Σ eq·mask·B over (p, i)
@@ -453,12 +480,9 @@ class Convolution:
         omega_inv = int(host.pow_const(np.uint64(omega), host.P - 2))
         fs_inv = _phi_partials_kernel(sigma_t, omega_inv, log_t, n_inv)
         phi_inv = fs_inv[-1]
-        # prod(k, i) with i fixed: prod rows = Σ_j X_j ∘ Ŵ_ij  (recompute)
-        xt = self._x_tilde(x)
-        x_gf = gf.from_u64(Q.to_field(xt.reshape(-1))).reshape(self.kx, self.N)
-        x_fft = ntt.fft_rows(x_gf)  # (kx, N)
-        w_freq = self.freq_weights().reshape(self.kw, self.kx, self.N)
-        prod_flat = _freq_prod_kernel(x_fft, w_freq).reshape(-1)  # (i hi, k lo)
+        # prod(k, i) with i fixed: prod rows = Σ_j X_j ∘ Ŵ_ij (cached
+        # from inference — _conv_field; no puts or FFT recompute)
+        prod_flat = prod.reshape(-1)  # (i hi, k lo)
         prod_fixed = mle_mod._fix_high_kernel(prod_flat, s0_i, log_i)
 
         vp2 = VirtualPolynomial.new(log_t)
@@ -510,7 +534,7 @@ class Convolution:
         s2_k = glue.prefix(s2, log_t)
         fs_fft = _phi_partials_kernel(s2_k, omega, log_t, 1)
         phi_fft = fs_fft[-1]
-        xt_flat = gf.from_u64(Q.to_field(xt.reshape(-1)))  # (j high, t low)
+        xt_flat = x_gf.reshape(-1)  # (j high, t low); cached device array
         xt_fixed = mle_mod._fix_high_kernel(xt_flat, s2_j, log_j)
         vp4 = VirtualPolynomial.new(log_t)
         i_pf = vp4.add_mle(phi_fft)

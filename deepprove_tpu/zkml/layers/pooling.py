@@ -53,6 +53,15 @@ class Maxpool2D:
         v = x.reshape(c, h // 2, 2, w // 2, 2)
         return [Tensor(v.max(axis=(2, 4)))]
 
+    # the 4 diff-column range checks ride the consolidated per-size
+    # grouped logup proof (iop/prover._prove_shared_logup) instead of a
+    # per-node GKR — each per-node proof cost ~10 levels of pure
+    # dispatch latency on a tunneled TPU
+    shared_logup = True
+
+    def shared_lookup_layout(self):
+        return [(4, 1, TableType("range"))]
+
     def step_info(self, node_id: int, aux):
         aux.tables.add(TableType("range"))
         return PoolingCtx(node_id=node_id)
@@ -92,15 +101,14 @@ class Maxpool2D:
         dt = prover.dt
         last_claim = glue.as_dev(last_claims[0])
         (wit,) = prover.lookup_witnesses_for(node_id)
-        logup_input = wit.get_logup_input(prover.challenge_storage)
-        lookup_proof = logup.batch_prove_device(logup_input, dt)
+        lk_claims = prover.shared_claims_for(node_id, 0)  # 4, shared point
 
         diffs = wit.column_evals  # 4 GF arrays in O layout
         out_gf = wit.commits[4][1]
         num_vars = diffs[0].shape[0].bit_length() - 1
 
         bc = dt.get_and_append_challenge(b"batch_pooling")
-        lookup_point = lookup_proof.output_claims[0].point
+        lookup_point = lk_claims[0].point
         one = glue.one()
         beta = mle_mod._eq_table_kernel(lookup_point, one, num_vars)
         last_beta = mle_mod._eq_table_kernel(last_claim.point, one, num_vars)
@@ -148,7 +156,6 @@ class Maxpool2D:
             node_id,
             PoolingProof(
                 sumcheck=out.proof,
-                lookup=lookup_proof,
                 zerocheck_evals=zerocheck_evals,
                 variable_gap=gap,
                 commitments=commitments,
@@ -192,13 +199,13 @@ def _parity_multiplicands(r1: ExtPair, r2: ExtPair) -> list[ExtPair]:
 @dataclasses.dataclass
 class PoolingProof:
     sumcheck: object
-    lookup: object
     zerocheck_evals: list[ExtPair]  # [diff_0..diff_3, output]
     variable_gap: int
     commitments: list
 
     def get_lookup_data(self):
-        return logup.fractional_outputs(self.lookup)
+        # fractions live in the consolidated proof (Proof.shared_logup)
+        return None
 
 
 @dataclasses.dataclass
@@ -211,25 +218,22 @@ class PoolingCtx:
 
     def verify(self, proof: PoolingProof, last_claims, verifier) -> list[Claim]:
         last_claim = last_claims[0]
-        const_c, sep_c = verifier.challenge_storage.get(TableType("range").name())
-        claims = logup.verify_logup_proof(
-            proof.lookup, 4, const_c, sep_c, verifier.transcript
-        )
+        lk_claims = verifier.shared_logup_claims[(self.node_id, 0)]
 
         bc = verifier.transcript.get_and_append_challenge(b"batch_pooling")
         initial = (0, 0)
         comb = bc
-        for cl in claims.claims:
+        for cl in lk_claims:
             initial = host.ext_add(initial, host.ext_mul(cl.eval, comb))
             comb = host.ext_mul(comb, bc)
         initial = host.ext_add(initial, host.ext_mul(comb, last_claim.eval))
 
-        num_vars = len(claims.claims[0].point)
+        num_vars = len(lk_claims[0].point)
         sub = sumcheck_verify(
             initial, proof.sumcheck.round_messages, num_vars, 5, verifier.transcript
         )
         zc_point = sub.point
-        beta_eval = _eq(claims.claims[0].point, zc_point)
+        beta_eval = _eq(lk_claims[0].point, zc_point)
         last_beta_eval = _eq(last_claim.point, zc_point)
 
         prod = beta_eval

@@ -112,6 +112,12 @@ class TableType:
             return merged, [Q.to_field(i), Q.to_field(out)]
         raise NotImplementedError(self.kind)
 
+    def num_columns(self) -> int:
+        """Column count without materializing the table (matches
+        table_columns(): single-column for range/error, in+out pairs
+        otherwise)."""
+        return 1 if self.kind in ("range", "error") else 2
+
     def multiplicity_poly_vars(self) -> int:
         if self.kind in ("relu", "range", "gelu"):
             return Q.BIT_LEN

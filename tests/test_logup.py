@@ -131,6 +131,92 @@ def test_logup_rejects_wrong_multiplicities(rng):
     assert total != (0, 0)
 
 
+def test_logup_grouped_tables_roundtrip(rng):
+    """Two equal-size tables (different column counts + challenges) in
+    ONE grouped GKR: verifies, claims match direct MLE evals, and the
+    global fraction balance against the matching lookups is zero."""
+    from deepprove_tpu import glue
+    from deepprove_tpu.transcript.session import DeviceTranscript
+
+    bits = 4
+    # table A: 2 columns (in/out pair), table B: 1 column (range)
+    a_in = np.arange(1 << bits, dtype=np.uint64)
+    a_out = (a_in * 3 + 1) % host.P
+    b_col = np.arange(1 << bits, dtype=np.uint64)
+    lk_a = rng.integers(0, 1 << bits, size=1 << 5, dtype=np.uint64)
+    lk_b = rng.integers(0, 1 << bits, size=1 << 5, dtype=np.uint64)
+    mult_a = np.zeros(1 << bits, dtype=np.uint64)
+    for v in lk_a:
+        mult_a[v] += 1
+    mult_b = np.zeros(1 << bits, dtype=np.uint64)
+    for v in lk_b:
+        mult_b[v] += 1
+
+    const_c = rand_ext(rng)
+    sep_a, sep_b = rand_ext(rng), rand_ext(rng)
+
+    t = BasicTranscript(b"g")
+    dt = DeviceTranscript.from_host(t)
+    proof = logup.batch_prove_grouped_tables(
+        [
+            ([gf.from_u64(a_in), gf.from_u64(a_out)], gf.from_u64(mult_a),
+             const_c, sep_a),
+            ([gf.from_u64(b_col)], gf.from_u64(mult_b), const_c, sep_b),
+        ],
+        dt,
+    )
+    dt.sync_to_host(t)
+    proof = glue.materialize(proof)
+
+    specs = [(2, const_c, sep_a), (1, const_c, sep_b)]
+    out = logup.verify_logup_proof(
+        proof, 0, (0, 0), (0, 0), BasicTranscript(b"g"),
+        table_instance_specs=specs,
+    )
+    # claims: [mult_a, a_in, a_out, mult_b, b_col] at the shared point
+    pt = out.claims[0].point
+    for cl, col in zip(
+        out.claims, [mult_a, a_in % host.P, a_out, mult_b, b_col]
+    ):
+        assert cl.point == pt
+        assert cl.eval == host.mle_eval_v(col.astype(np.uint64), pt)
+
+    # global balance vs the two matching lookup proofs (lookups into
+    # table A merge BOTH its columns)
+    lk_inp_a = logup.LogUpInput.new_lookup(
+        [gf.from_u64(lk_a), gf.from_u64((lk_a * 3 + 1) % host.P)],
+        const_c, sep_a, 2,
+    )
+    lk_inp_b = logup.LogUpInput.new_lookup(
+        [gf.from_u64(lk_b)], const_c, sep_b, 1
+    )
+    pa = logup.batch_prove(lk_inp_a, BasicTranscript(b"x"))
+    pb = logup.batch_prove(lk_inp_b, BasicTranscript(b"y"))
+    nums, dens = [], []
+    for p in (proof, pa, pb):
+        n, d = logup.fractional_outputs(p)
+        nums += n
+        dens += d
+    total = (0, 0)
+    for i, n_i in enumerate(nums):
+        term = n_i
+        for j, d_j in enumerate(dens):
+            if j != i:
+                term = host.ext_mul(term, d_j)
+        total = host.ext_add(total, term)
+    assert total == (0, 0)
+    for d in dens:
+        assert d != (0, 0)
+
+    # tamper: swapping the two instances' specs must fail verification
+    bad = [(1, const_c, sep_b), (2, const_c, sep_a)]
+    with pytest.raises(AssertionError):
+        logup.verify_logup_proof(
+            proof, 0, (0, 0), (0, 0), BasicTranscript(b"g"),
+            table_instance_specs=bad,
+        )
+
+
 def test_logup_tampered_proof_rejected(rng):
     inp, proof, _ = _prove_verify_lookup(rng, 1, 1, 3)
     proof.circuit_outputs[0][0] = host.ext_add(proof.circuit_outputs[0][0], (1, 0))

@@ -39,7 +39,7 @@ def test_packed_round_constants_match_module():
 def test_compress_level_pallas_matches_scan():
     rng = np.random.default_rng(0)
     m2 = 2 * pp.CHUNK_PAIRS
-    dig = gf.from_u64(rng.integers(0, 2**63, size=(m2, 4), dtype=np.uint64))
+    dig = gf.from_u64(rng.integers(0, 2**63, size=(4, m2), dtype=np.uint64))
     want = np.asarray(gf.to_u64(_compress_level_scan(dig)))
     got = np.asarray(gf.to_u64(pp.compress_level_pallas(dig)))
     assert np.array_equal(want, got)
@@ -53,11 +53,23 @@ def test_tree_root_stable_small():
         rng.integers(0, 2**63, size=8, dtype=np.uint64),
     )
     tree = MerkleTree.from_leaves(leaves)
-    # recompute root on host
-    lv = np.asarray(gf.to_u64(tree.levels[0]))
+    # recompute root on host (levels are (4, M) digest planes)
+    lv = np.asarray(gf.to_u64(tree.levels[0])).T  # (M, 4)
     while lv.shape[0] > 1:
         nxt = np.zeros((lv.shape[0] // 2, 4), dtype=np.uint64)
         for i in range(nxt.shape[0]):
             nxt[i] = poseidon2.compress_host(lv[2 * i], lv[2 * i + 1])
         lv = nxt
     assert tuple(int(x) for x in lv[0]) == tree.root
+
+
+def test_permute_planes_matches_host():
+    rng = np.random.default_rng(2)
+    states = rng.integers(0, 2**63, size=(5, 8), dtype=np.uint64)
+    want = poseidon2._permute_host_numpy(states)
+    planes = [gf.from_u64(states[:, i].copy()) for i in range(8)]
+    out = poseidon2.permute_planes(planes)
+    got = np.stack(
+        [np.asarray(gf.to_u64(p)) for p in out], axis=-1
+    )
+    assert np.array_equal(want, got)
