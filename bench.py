@@ -374,6 +374,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+    # ZKML_FLAMEGRAPH=<prefix> → folded-stack flamegraph + memory timeline
+    from deepprove_tpu.utils.flame import maybe_start_from_env
+
+    maybe_start_from_env()
     threading.Thread(target=_watchdog, daemon=True).start()
     mode = os.environ.get("BENCH_MODEL", "all")
     if mode == "all":

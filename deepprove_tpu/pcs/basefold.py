@@ -92,6 +92,14 @@ class BasefoldParams:
     # "basecode" (encoding/basecode.rs random foldable code).
     encoding: str = "rs"
     basecode_seed: int = 0
+    # Merkle/transcript hasher: "poseidon2" (TPU-native default) or
+    # "blake" (mpcs util/hash.rs BlakeHasher via the `blake` feature;
+    # host-side byte hashing — see merkle.BlakeMerkleTree). Blake is
+    # supported on the single-poly commit/open/verify path; the batched
+    # zkml pipeline keeps the field-native Poseidon2 (same reason the
+    # reference defaults to it: a byte hasher can't run in the on-device
+    # Fiat-Shamir session).
+    hasher: str = "poseidon2"
     # per-level fold weights, level = lg of folded codeword size:
     # x0[level][j], w[level][j] for bit-reversed pair index j (base field)
     _fold_x0: dict = dataclasses.field(default_factory=dict)
@@ -369,13 +377,31 @@ def commit(params: BasefoldParams, evals, lazy_root: bool = False) -> Commitment
 
     lg_n = evals.shape[0].bit_length() - 1
     assert lg_n <= params.max_message_size_log
+    blake = getattr(params, "hasher", "poseidon2") == "blake"
     if lg_n <= params.basecode_msg_size_log:
         # trivial commitment: Merkle over the raw evals (basefold.rs:100)
-        tree = MerkleTree.from_leaves(evals)
-        root = glue.TupleGF(tree.root_gf()) if lazy_root else tree.root
+        from .merkle import BlakeMerkleTree
+
+        tree = (
+            BlakeMerkleTree.from_leaves(evals)
+            if blake
+            else MerkleTree.from_leaves(evals)
+        )
+        root = (
+            glue.TupleGF(tree.root_gf()) if lazy_root and not blake else tree.root
+        )
         cm = BasefoldCommitment(root=root, num_vars=lg_n, is_trivial=True)
         return CommitmentWithWitness(cm, codeword=evals, bh_evals=[evals], tree=tree)
     lazy_bh = lg_n >= ntt._INTERP_STAGED_MIN_LOG
+    if blake:
+        from .merkle import BlakeMerkleTree
+
+        bh, codeword = _encode(params, evals)
+        tree = BlakeMerkleTree.from_leaves(codeword)
+        cm = BasefoldCommitment(root=tree.root, num_vars=lg_n)
+        return CommitmentWithWitness(
+            cm, codeword=codeword, bh_evals=[bh], tree=tree
+        )
     if _fuse_small_commit(lg_n):
         if params.encoding == "basecode":
             c, r = params.basecode_msg_size_log, params.rate_log
@@ -606,7 +632,8 @@ def _commit_phase_session(
 
     from ..config import fuse_kernels
 
-    fuse = fuse_kernels()
+    blake = getattr(params, "hasher", "poseidon2") == "blake"
+    fuse = fuse_kernels() and not blake
     # fused: ONE kernel per fold round (absorb+sample+fold+whole tree+root
     # absorb) — the per-op path is ~25 dispatches/round (~5-10 ms each
     # over a tunneled TPU, ~1.9 s of the dim-2048 prove). On CPU (tests)
@@ -664,10 +691,20 @@ def _commit_phase_session(
             eq = _fold_pair_linear(eq, r_dev)
             running_evals = _fold_pair_linear(running_evals, r_dev)
             msg_dev = _sumcheck_first_round(eq, running_evals)
-            tree = MerkleTree.from_leaves(new_oracle)
-            root_dev = tree.root_gf()  # GF (4,) on device
-            roots_dev.append(root_dev)
-            t_state = _absorb_digest(t_state, root_dev)
+            if blake:
+                from .merkle import BlakeMerkleTree
+
+                tree = BlakeMerkleTree.from_leaves(new_oracle)
+                root = tree.root  # 8 u32 transcript words, host
+                roots_dev.append(root)
+                dt.state = t_state
+                dt.append_constants(list(root))
+                t_state = dt.state
+            else:
+                tree = MerkleTree.from_leaves(new_oracle)
+                root_dev = tree.root_gf()  # GF (4,) on device
+                roots_dev.append(root_dev)
+                t_state = _absorb_digest(t_state, root_dev)
             pending_tree = tree
             oracle = new_oracle
         else:
@@ -906,19 +943,30 @@ def _multi_query_kernel(codewords: tuple, levels: tuple, idx0, shifts: tuple):
 _QUERY_GROUP = 8
 
 
-def _multi_query_entries(items, idx0, q: int):
+def _multi_query_entries(items, idx0, q: int, idx_host=None):
     """items: list of (codeword, tree, shift). Returns aligned
     [lo, hi, paths-NpGF] entries, batching no-tail deep trees into
     `_multi_query_kernel` dispatches of ≤_QUERY_GROUP trees (sorted by
     (depth, shift, ext-ness) so same-shape chunks share ONE XLA compile —
     a single all-trees kernel at MLP-4M scale was ~900 gathers and took
-    XLA tens of minutes), falling back per-tree otherwise."""
+    XLA tens of minutes), falling back per-tree otherwise. Blake trees
+    (host digests) gather pairs on device but read paths host-side
+    (needs idx_host)."""
     from .. import glue
+    from .merkle import BlakeMerkleTree
 
     entries = [None] * len(items)
     grouped = []
     for i, (cw, tree, shift) in enumerate(items):
-        if tree.tail is None and tree.depth > 0:
+        if isinstance(tree, BlakeMerkleTree):
+            lo, hi = _gather_pairs_shift_kernel(cw, idx0, shift)
+            entries[i] = [
+                lo, hi,
+                tree.paths(np.asarray(idx_host, dtype=np.int64) >> shift)
+                if tree.depth > 0
+                else np.empty((q, 0, 4), dtype=np.uint64),
+            ]
+        elif tree.tail is None and tree.depth > 0:
             grouped.append(i)
         else:
             lo, hi = _gather_pairs_shift_kernel(cw, idx0, shift)
@@ -971,7 +1019,7 @@ def _prover_queries_dev(
     items = [(comm.codeword, comm.tree, 1)] + [
         (t.leaves, t, t_i + 2) for t_i, t in enumerate(trees)
     ]
-    entries = _multi_query_entries(items, idx0, q)
+    entries = _multi_query_entries(items, idx0, q, idx_host=indices)
     (lo0, hi0, paths0), per_tree_h = glue.materialize(
         [entries[0], entries[1:]]
     )
@@ -1012,7 +1060,9 @@ def open_session(
     indices = _sample_queries_session(params, dt, comm.codeword_size(), transcript)
     queries = _prover_queries_dev(comm, trees, indices)
     return BasefoldProof(
-        msgs, [glue.TupleGF(r) for r in roots_dev], fm_dev, indices, queries
+        msgs,
+        [r if isinstance(r, tuple) else glue.TupleGF(r) for r in roots_dev],
+        fm_dev, indices, queries,
     )
 
 
@@ -1304,10 +1354,35 @@ class PathJobs:
         self.jobs = []
 
 
-def _verify_paths_batch(leaf_digests, idxs, paths, root, label: str, jobs=None):
+def _verify_paths_blake(leaf_digests, idxs, paths, root, label: str):
+    """Blake-hasher path walk (merkle.BlakeMerkleTree counterpart)."""
+    from .merkle import blake_root_words, blake_two_to_one
+
+    d = np.asarray(leaf_digests, dtype=np.uint64).copy()
+    ii = np.asarray(idxs, dtype=np.int64).copy()
+    for lvl in range(paths.shape[1]):
+        for r_i in range(d.shape[0]):
+            sib = paths[r_i, lvl]
+            d[r_i] = (
+                blake_two_to_one(sib, d[r_i])
+                if ii[r_i] & 1
+                else blake_two_to_one(d[r_i], sib)
+            )
+        ii >>= 1
+    want = tuple(root)
+    for r_i in range(d.shape[0]):
+        assert blake_root_words(d[r_i]) == want, label
+
+
+def _verify_paths_batch(
+    leaf_digests, idxs, paths, root, label: str, jobs=None, hasher="poseidon2"
+):
     """Recompute roots for a batch of Merkle paths (or defer into `jobs`).
 
     leaf_digests (Q, 4) u64, idxs (Q,) pair indices, paths (Q, D, 4)."""
+    if hasher == "blake":
+        _verify_paths_blake(leaf_digests, idxs, paths, root, label)
+        return
     if jobs is not None:
         jobs.add(leaf_digests, idxs, paths, root, label)
         return
@@ -1376,11 +1451,24 @@ def _verify_fold_chain_batch(
         o_lo, o_hi = op[:, 0, :], op[:, 1, :]
         got = np.where((idxs & 1).astype(bool)[:, None], o_hi, o_lo)
         assert np.array_equal(folded, got), f"fold chain mismatch round {rnd}"
-        ld = np.stack([o_lo[:, 0], o_lo[:, 1], o_hi[:, 0], o_hi[:, 1]], axis=-1)
+        hasher = getattr(params, "hasher", "poseidon2")
+        if hasher == "blake":
+            from .merkle import _blake_leaf_level
+
+            ld = _blake_leaf_level(
+                [o_lo[:, 0], o_lo[:, 1], o_hi[:, 0], o_hi[:, 1]]
+            )
+        else:
+            ld = np.stack(
+                [o_lo[:, 0], o_lo[:, 1], o_hi[:, 0], o_hi[:, 1]], axis=-1
+            )
         paths = np.stack(
             [np.asarray(q.oracle_paths[rnd], dtype=np.uint64) for q in queries]
         )
-        _verify_paths_batch(ld, nxt, paths, roots[rnd], f"oracle path {rnd}", jobs=jobs)
+        _verify_paths_batch(
+            ld, nxt, paths, roots[rnd], f"oracle path {rnd}", jobs=jobs,
+            hasher=hasher,
+        )
         cur_lo, cur_hi = o_lo, o_hi
         if merge_fn is not None:
             cur_lo, cur_hi = merge_fn(rnd, cur_lo, cur_hi)
@@ -1397,11 +1485,19 @@ def verify(
     transcript: BasicTranscript,
 ):
     """Single-poly verification (basefold.rs:863)."""
+    blake = getattr(params, "hasher", "poseidon2") == "blake"
     if proof.is_trivial:
         evals = np.asarray(proof.trivial_evals[0], dtype=np.uint64)
-        assert _trivial_root_host([evals]) == tuple(commitment.root), (
-            "trivial root mismatch"
-        )
+        if blake:
+            from .merkle import BlakeMerkleTree
+
+            assert BlakeMerkleTree.from_leaves(
+                gf.from_u64(evals)
+            ).root == tuple(commitment.root), "trivial root mismatch"
+        else:
+            assert _trivial_root_host([evals]) == tuple(commitment.root), (
+                "trivial root mismatch"
+            )
         got = host.mle_eval_v(evals, point)
         assert got == eval_, "trivial eval mismatch"
         return
@@ -1428,12 +1524,20 @@ def verify(
         [q.commitment_pair for q in proof.queries], dtype=np.uint64
     )  # (Q, 2) base elements
     zeros = np.zeros(q_n, dtype=np.uint64)
-    ld = np.stack([cp[:, 0], cp[:, 1], zeros, zeros], axis=-1)
+    if blake:
+        from .merkle import _blake_leaf_level
+
+        ld = _blake_leaf_level([cp[:, 0], cp[:, 1]])
+    else:
+        ld = np.stack([cp[:, 0], cp[:, 1], zeros, zeros], axis=-1)
     cpaths = np.stack(
         [np.asarray(q.commitment_path, dtype=np.uint64) for q in proof.queries]
     )
-    jobs = PathJobs()
-    _verify_paths_batch(ld, pairs, cpaths, commitment.root, "commitment path", jobs=jobs)
+    jobs = None if blake else PathJobs()
+    _verify_paths_batch(
+        ld, pairs, cpaths, commitment.root, "commitment path", jobs=jobs,
+        hasher=getattr(params, "hasher", "poseidon2"),
+    )
     cur_lo = np.stack([cp[:, 0], zeros], axis=-1)
     cur_hi = np.stack([cp[:, 1], zeros], axis=-1)
     _verify_fold_chain_batch(
@@ -1441,7 +1545,8 @@ def verify(
         num_vars + params.rate_log - 1, final_codeword, proof.roots,
         cur_lo, cur_hi, jobs=jobs,
     )
-    jobs.run()
+    if jobs is not None:
+        jobs.run()
 
     # sumcheck chain (query_phase.rs:188-206)
     assert eval_ == _deg2_zero_plus_one(proof.sumcheck_messages[0]), "claimed eval"

@@ -362,6 +362,155 @@ class MerkleTree:
 
 
 # ---------------------------------------------------------------------------
+# Blake Merkle hasher variant (mpcs/src/util/hash.rs:67 BlakeHasher;
+# selected by the reference's `blake` feature, mpcs/src/lib.rs:339-342).
+# Digests are 32 bytes, stored as 4 LE u64 words; roots are exposed as
+# 8 u32 words so they absorb into the field transcript canonically
+# (digest_to_transcript appends raw bytes in the reference — the u32
+# split is the field-native equivalent; each word < P).
+# DEVIATION: blake2b-256 stands in for blake3 (no blake3 in this image);
+# the structural role — byte hasher swapped for the field-native
+# Poseidon2 across leaf hash / two-to-one / transcript absorb — is
+# identical. Host-side only: a byte-oriented hash has no TPU-native
+# lowering, exactly why Poseidon2 is this framework's default hasher.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+
+def _blake(data: bytes) -> bytes:
+    return _hashlib.blake2b(data, digest_size=32).digest()
+
+
+def blake_hash_bases(vals) -> np.ndarray:
+    """hash_bases: blake over canonical LE u64 bytes → (4,) u64 digest."""
+    return np.frombuffer(
+        _blake(np.asarray(vals, dtype="<u8").tobytes()), dtype="<u8"
+    ).copy()
+
+
+def blake_two_to_one(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.frombuffer(
+        _blake(
+            np.asarray(a, dtype="<u8").tobytes()
+            + np.asarray(b, dtype="<u8").tobytes()
+        ),
+        dtype="<u8",
+    ).copy()
+
+
+def blake_root_words(digest4: np.ndarray) -> tuple:
+    """(4,) u64 digest → 8 u32 transcript words (LE)."""
+    return tuple(
+        int(x)
+        for x in np.frombuffer(
+            np.asarray(digest4, dtype="<u8").tobytes(), dtype="<u4"
+        )
+    )
+
+
+def _blake_leaf_level(cols: list[np.ndarray]) -> np.ndarray:
+    """Pair-leaf digests (M, 4): cols are the per-leaf u64 value columns
+    in hash order (base pair: [a, b]; ext pair: [a0, a1, b0, b1]).
+    Multi-poly leaves use hash_two_leaves_batch_base via the caller."""
+    m = cols[0].shape[0]
+    packed = np.stack([np.asarray(c, dtype="<u8") for c in cols], axis=-1)
+    out = np.empty((m, 4), dtype=np.uint64)
+    for i in range(m):
+        out[i] = np.frombuffer(_blake(packed[i].tobytes()), dtype="<u8")
+    return out
+
+
+def _blake_compress_level(level: np.ndarray) -> np.ndarray:
+    m = level.shape[0] // 2
+    out = np.empty((m, 4), dtype=np.uint64)
+    raw = np.asarray(level, dtype="<u8")
+    for i in range(m):
+        out[i] = np.frombuffer(
+            _blake(raw[2 * i].tobytes() + raw[2 * i + 1].tobytes()),
+            dtype="<u8",
+        )
+    return out
+
+
+@dataclasses.dataclass
+class BlakeMerkleTree:
+    """Host Blake Merkle tree with the MerkleTree duck-type surface the
+    query machinery needs (leaves / depth / root / paths; tail=None)."""
+
+    leaves: object  # the DEVICE codeword (kept for pair gathers)
+    levels: list  # host (M, 4) u64 digest levels, leaf-pairs first
+    tail: object = None
+    tail_t: int = 0
+
+    @staticmethod
+    def from_leaves(leaves) -> "BlakeMerkleTree":
+        if isinstance(leaves, gf.GF2):
+            a0, a1 = gf.ext_to_u64(leaves)
+            a0, a1 = np.asarray(a0), np.asarray(a1)
+            lvl = _blake_leaf_level(
+                [a0[0::2], a1[0::2], a0[1::2], a1[1::2]]
+            )
+        else:
+            vals = np.asarray(gf.to_u64(leaves))
+            if vals.ndim == 2:  # multi-poly: column hash then two-to-one
+                k, n = vals.shape
+                lvl = np.empty((n // 2, 4), dtype=np.uint64)
+                for i in range(n // 2):
+                    lvl[i] = blake_two_to_one(
+                        blake_hash_bases(vals[:, 2 * i]),
+                        blake_hash_bases(vals[:, 2 * i + 1]),
+                    )
+            elif vals.shape[0] == 1:
+                lvl = blake_hash_bases(vals).reshape(1, 4)
+            else:
+                lvl = _blake_leaf_level([vals[0::2], vals[1::2]])
+        levels = [lvl]
+        while levels[-1].shape[0] > 1:
+            levels.append(_blake_compress_level(levels[-1]))
+        return BlakeMerkleTree(leaves=leaves, levels=levels)
+
+    @property
+    def root(self) -> tuple:
+        return blake_root_words(self.levels[-1][0])
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels) - 1
+
+    def paths(self, pair_indices) -> np.ndarray:
+        """(Q, depth, 4) u64 sibling digests."""
+        idx = np.asarray(pair_indices, dtype=np.int64).copy()
+        out = np.empty((idx.shape[0], self.depth, 4), dtype=np.uint64)
+        for lvl in range(self.depth):
+            out[:, lvl] = self.levels[lvl][idx ^ 1]
+            idx >>= 1
+        return out
+
+
+def blake_leaf_digest(left, right, ext: bool) -> np.ndarray:
+    if ext:
+        return blake_hash_bases([left[0], left[1], right[0], right[1]])
+    return blake_hash_bases([left, right])
+
+
+def verify_path_blake(
+    leaf_digest: np.ndarray, pair_index: int, path: np.ndarray, root: tuple
+) -> bool:
+    d = np.asarray(leaf_digest, dtype=np.uint64)
+    idx = int(pair_index)
+    for lvl in range(path.shape[0]):
+        sib = path[lvl]
+        d = (
+            blake_two_to_one(sib, d)
+            if idx & 1
+            else blake_two_to_one(d, sib)
+        )
+        idx >>= 1
+    return blake_root_words(d) == tuple(root)
+
+
+# ---------------------------------------------------------------------------
 # host-side path verification (verifier)
 # ---------------------------------------------------------------------------
 

@@ -50,6 +50,21 @@ def main(argv=None):
     f.add_argument("--job", required=True)
     f.add_argument("-o", "--output", default="-")
 
+    # LPN gateway executor over real gRPC/h2c framing with ETH-address
+    # client identity (cli/lpn/grpc.rs LpnGrpc Submit)
+    lg = sub.add_parser("lpn-submit")
+    lg.add_argument("--gw", required=True, help="gateway host:port")
+    lg.add_argument("--private-key", required=True, help="client ETH key (hex)")
+    lg.add_argument("--model", required=True)
+    lg.add_argument("--input", required=True)
+    lg.add_argument("--strategy", default="absolute_max")
+    lg.add_argument("--pretty", default="", help="user-facing task name")
+    lg.add_argument(
+        "--wait", action="store_true", help="block until ProofReady and print it"
+    )
+    lg.add_argument("-o", "--output", default="-")
+    lg.add_argument("--timeout", type=float, default=3600.0)
+
     args = p.parse_args(argv)
     if args.cmd == "submit":
         with open(args.model, "rb") as fh:
@@ -71,7 +86,74 @@ def main(argv=None):
         else:
             with open(args.output, "w") as fh:
                 fh.write(text)
+    elif args.cmd == "lpn-submit":
+        return _lpn_submit(args)
     return 0
+
+
+def _lpn_submit(args) -> int:
+    """Submit a prove task to an LPN-style gateway over gRPC/h2c.
+
+    Mirrors cli/lpn/grpc.rs: derive the client_id from the ETH private
+    key, open the ClientsService channel, send SubmitTaskRequest, and
+    (with --wait) stream the ProofReady back."""
+    from . import lagrange_pb2 as pb
+    from .eth import address_from_private_key
+    from .gateway import encode_task
+    from .h2 import GrpcH2Client
+    from .worker import ProofRequest
+
+    host_s, _, port_s = args.gw.rpartition(":")
+    addr = (host_s or "127.0.0.1", int(port_s))
+    client_id = address_from_private_key(args.private_key)
+    with open(args.model, "rb") as fh:
+        model_bytes = fh.read()
+    with open(args.input) as fh:
+        inputs = json.load(fh)["input_data"]
+    blob = encode_task(
+        ProofRequest(
+            model_bytes=model_bytes, inputs=inputs,
+            scaling_strategy=args.strategy,
+        )
+    )
+    conn = GrpcH2Client(
+        addr,
+        path="/lagrange.ClientsService/ProofChannel",
+        extra_headers=[("client_id", client_id)],
+    )
+    try:
+        conn.send_msg(
+            pb.ClientToGwRequest(
+                submit=pb.SubmitTaskRequest(
+                    task_bytes=blob,
+                    user_task_id=args.pretty or "cli-submit",
+                    timeout_secs=int(args.timeout),
+                )
+            )
+        )
+        ack = conn.recv_msg(pb.ClientToGwResponse)
+        assert ack is not None and ack.WhichOneof("response") == "submitted"
+        print(json.dumps({"task_id": ack.submitted.task_id, "client_id": client_id}))
+        if not args.wait:
+            return 0
+        ready = conn.recv_msg(pb.ClientToGwResponse)
+        assert ready is not None and ready.WhichOneof("response") == "proof_ready"
+        pr = ready.proof_ready
+        if pr.WhichOneof("result") == "error":
+            print(json.dumps({"task_id": pr.task_id, "error": pr.error}))
+            return 1
+        out = base64.b64encode(pr.proof_bytes).decode()
+        doc = json.dumps(
+            {"task_id": pr.task_id, "user_task_id": pr.user_task_id, "proof": out}
+        )
+        if args.output == "-":
+            print(doc)
+        else:
+            with open(args.output, "w") as fh:
+                fh.write(doc)
+        return 0
+    finally:
+        conn.close()
 
 
 if __name__ == "__main__":

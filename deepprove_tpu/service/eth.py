@@ -1,0 +1,150 @@
+"""ETH client identity for the LPN gateway protocol (reference:
+deep-prove/src/bin/cli/lpn/grpc.rs:42-55 — `LocalSigner::from_str(
+private_key).address()` sent as the `client_id` gRPC metadata).
+
+Stdlib-only: Keccak-256 (FIPS-202 permutation, original Keccak padding
+0x01 as used by Ethereum) and secp256k1 scalar multiplication to derive
+address = keccak256(uncompressed_pubkey[1:])[12:].
+"""
+
+from __future__ import annotations
+
+# --- Keccak-256 -----------------------------------------------------------
+
+_ROUND_CONSTANTS = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_ROTATIONS = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+_MASK = (1 << 64) - 1
+
+
+def _rol(x: int, n: int) -> int:
+    n %= 64
+    return ((x << n) | (x >> (64 - n))) & _MASK
+
+
+def _keccak_f(state: list) -> None:
+    """In-place Keccak-f[1600] over a 5×5 lane matrix state[x][y]."""
+    for rc in _ROUND_CONSTANTS:
+        # θ
+        c = [
+            state[x][0] ^ state[x][1] ^ state[x][2] ^ state[x][3] ^ state[x][4]
+            for x in range(5)
+        ]
+        d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
+        for x in range(5):
+            for y in range(5):
+                state[x][y] ^= d[x]
+        # ρ + π
+        b = [[0] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                b[y][(2 * x + 3 * y) % 5] = _rol(state[x][y], _ROTATIONS[x][y])
+        # χ
+        for x in range(5):
+            for y in range(5):
+                state[x][y] = b[x][y] ^ (
+                    (~b[(x + 1) % 5][y]) & b[(x + 2) % 5][y] & _MASK
+                )
+        # ι
+        state[0][0] ^= rc
+
+
+def keccak256(data: bytes) -> bytes:
+    rate = 136  # 1088-bit rate for 256-bit output
+    state = [[0] * 5 for _ in range(5)]
+    # pad10*1 with the ORIGINAL Keccak domain bit 0x01 (Ethereum), not
+    # SHA3's 0x06
+    padded = bytearray(data)
+    pad_len = rate - (len(padded) % rate)
+    padded += b"\x01" + b"\x00" * (pad_len - 2) + b"\x80" if pad_len >= 2 else b"\x81"
+    for off in range(0, len(padded), rate):
+        block = padded[off : off + rate]
+        for i in range(rate // 8):
+            lane = int.from_bytes(block[8 * i : 8 * i + 8], "little")
+            x, y = i % 5, i // 5
+            state[x][y] ^= lane
+        _keccak_f(state)
+    out = bytearray()
+    for i in range(4):  # 32 bytes = 4 lanes
+        x, y = i % 5, i // 5
+        out += state[x][y].to_bytes(8, "little")
+    return bytes(out)
+
+
+# --- secp256k1 ------------------------------------------------------------
+
+_P = 2**256 - 2**32 - 977
+_N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+_G = (
+    0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+)
+
+
+def _inv(a: int, m: int) -> int:
+    return pow(a, m - 2, m)
+
+
+def _point_add(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2 and (y1 + y2) % _P == 0:
+        return None
+    if p1 == p2:
+        lam = 3 * x1 * x1 * _inv(2 * y1, _P) % _P
+    else:
+        lam = (y2 - y1) * _inv(x2 - x1, _P) % _P
+    x3 = (lam * lam - x1 - x2) % _P
+    return x3, (lam * (x1 - x3) - y1) % _P
+
+
+def _point_mul(k: int, point):
+    acc = None
+    addend = point
+    while k:
+        if k & 1:
+            acc = _point_add(acc, addend)
+        addend = _point_add(addend, addend)
+        k >>= 1
+    return acc
+
+
+def pubkey_from_private(private_key_hex: str) -> tuple[int, int]:
+    k = int(private_key_hex.removeprefix("0x"), 16)
+    assert 1 <= k < _N, "private key out of range"
+    return _point_mul(k, _G)
+
+
+def address_from_private_key(private_key_hex: str) -> str:
+    """0x-prefixed EIP-55-checksummed Ethereum address."""
+    x, y = pubkey_from_private(private_key_hex)
+    raw = keccak256(x.to_bytes(32, "big") + y.to_bytes(32, "big"))[12:]
+    return to_checksum_address(raw)
+
+
+def to_checksum_address(raw20: bytes) -> str:
+    """EIP-55 mixed-case checksum (LocalSigner::address() prints this)."""
+    hexaddr = raw20.hex()
+    h = keccak256(hexaddr.encode()).hex()
+    return "0x" + "".join(
+        c.upper() if c.isalpha() and int(h[i], 16) >= 8 else c
+        for i, c in enumerate(hexaddr)
+    )

@@ -300,6 +300,11 @@ class Gateway:
         self._lock = threading.Lock()
         self._closed = False
         self._next_wid = 0
+        # LPN client channel (cli/lpn/grpc.rs ClientsService): ETH-address
+        # identified clients submit tasks and receive ProofReady pushes
+        self._clients: dict[str, object] = {}  # client_id -> conn wrapper
+        self._client_tasks: dict[str, tuple[str, str]] = {}  # tid -> (cid, user)
+        self._next_tid = 0
         threading.Thread(target=self._accept_loop, daemon=True).start()
         threading.Thread(target=self._dispatch_loop, daemon=True).start()
 
@@ -322,6 +327,9 @@ class Gateway:
                 wrapped = GrpcH2ServerConn(conn)
             except (OSError, ValueError):
                 conn.close()
+                return
+            if "ClientsService" in wrapped.path:
+                self._serve_client(wrapped)
                 return
             want = f"Bearer {self.token}" if self.token else ""
             if wrapped.authorization != want:
@@ -352,6 +360,58 @@ class Gateway:
         self._idle.put(wid)
         self._reader(wid, wrapped)
 
+    def _serve_client(self, conn) -> None:
+        """One LPN client channel: `client_id` metadata (ETH address —
+        cli/lpn/grpc.rs:42-55) identifies the client; Submit requests are
+        acknowledged with a task id and results are pushed as ProofReady."""
+        cid = conn.peer_headers.get("client_id", "")
+        if not (cid.startswith("0x") and len(cid) == 42):
+            conn.close()
+            return
+        with self._lock:
+            self._clients[cid] = conn
+        while True:
+            try:
+                req = conn.recv_msg(pb.ClientToGwRequest)
+            except (OSError, ValueError):
+                req = None
+            if req is None:
+                with self._lock:
+                    if self._clients.get(cid) is conn:
+                        del self._clients[cid]
+                return
+            if req.WhichOneof("request") != "submit":
+                continue
+            with self._lock:
+                tid = f"client-task-{self._next_tid}"
+                self._next_tid += 1
+                self._client_tasks[tid] = (cid, req.submit.user_task_id)
+            try:
+                conn.send_msg(
+                    pb.ClientToGwResponse(
+                        submitted=pb.SubmitTaskResponse(task_id=tid)
+                    )
+                )
+            except (OSError, ValueError):
+                return
+            self.pending.put((tid, req.submit.task_bytes))
+
+    def _push_client_result(self, done) -> None:
+        with self._lock:
+            owner = self._client_tasks.pop(done.task_id, None)
+            conn = self._clients.get(owner[0]) if owner else None
+        if conn is None:
+            return
+        ready = pb.ProofReady(task_id=done.task_id, user_task_id=owner[1])
+        if done.WhichOneof("reply") == "task_output":
+            ready.proof_bytes = done.task_output
+        else:
+            ready.error = done.worker_error
+        try:
+            conn.send_msg(pb.ClientToGwResponse(proof_ready=ready))
+        except (OSError, ValueError):
+            pass
+
     def _reader(self, wid: int, conn):
         while True:
             try:
@@ -363,6 +423,7 @@ class Gateway:
                 return
             with self._lock:
                 self._inflight.pop(wid, None)
+            self._push_client_result(reply.worker_done)
             self.replies.put(reply.worker_done)
             self._idle.put(wid)
 

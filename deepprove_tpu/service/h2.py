@@ -288,6 +288,7 @@ class GrpcH2Client(_H2Conn):
         addr: tuple[str, int],
         path: str = "/lagrange.WorkersService/WorkerToGw",
         token: str = "",
+        extra_headers: list | None = None,
     ):
         super().__init__(socket.create_connection(addr))
         self.sock.sendall(PREFACE)
@@ -302,6 +303,7 @@ class GrpcH2Client(_H2Conn):
         ]
         if token:
             headers.append(("authorization", f"Bearer {token}"))
+        headers.extend(extra_headers or [])
         _send_frame(
             self.sock, HEADERS, FLAG_END_HEADERS, 1, hpack_encode(headers)
         )

@@ -1,0 +1,123 @@
+"""Sampling flamegraph profiler + memory timeline (reference:
+utils/src/lib.rs:82-130 — `tracing-flame` folded-stack layer and
+`MemoryFlameGraph`/allocation counters behind the `mem-track` feature).
+
+No py-spy in this image, so this is a self-contained in-process sampler:
+a daemon thread walks `sys._current_frames()` for the MAIN thread every
+`interval_s` and aggregates folded call stacks in the standard
+flamegraph-collapsed format (`a;b;c <count>`), consumable by
+flamegraph.pl / speedscope / inferno — the exact artifact tracing-flame
+emits. Alongside it records a memory timeline (wall_s, rss_mb, hbm_mb)
+as the mem-track analogue; hbm comes from the JAX device memory_stats
+when the backend exposes them (TPU does, CPU doesn't).
+
+Enable via ZKML_FLAMEGRAPH=/path/prefix (writes <prefix>.folded and
+<prefix>.mem.csv at process exit) or programmatically:
+
+    fg = Flamegraph(); fg.start(); ...; fg.stop("/tmp/prove")
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import sys
+import threading
+import time
+
+
+def _hbm_mb() -> float:
+    """Device bytes_in_use — ONLY when a JAX backend is already live
+    (querying devices otherwise triggers multi-second backend init from
+    the sampler thread; CPU backends report no stats and return 0)."""
+    try:
+        jax = sys.modules.get("jax")
+        if jax is None:
+            return 0.0
+        bridge = sys.modules.get("jax._src.xla_bridge")
+        if bridge is None or not getattr(bridge, "_backends", None):
+            return 0.0
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            return stats.get("bytes_in_use", 0) / 1e6
+    except Exception:
+        pass
+    return 0.0
+
+
+def _rss_mb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+class Flamegraph:
+    def __init__(self, interval_s: float = 0.005, mem_interval_s: float = 0.05):
+        self.interval_s = interval_s
+        self.mem_interval_s = mem_interval_s
+        self.stacks: dict[str, int] = {}
+        self.mem_rows: list[tuple[float, float, float]] = []
+        self._stop = threading.Event()
+        self._thread = None
+        self._main_ident = threading.main_thread().ident
+        self._t0 = None
+
+    def _sample_loop(self):
+        last_mem = 0.0
+        while not self._stop.is_set():
+            frame = sys._current_frames().get(self._main_ident)
+            if frame is not None:
+                parts = []
+                f = frame
+                while f is not None:
+                    code = f.f_code
+                    mod = os.path.basename(code.co_filename).rsplit(".", 1)[0]
+                    parts.append(f"{mod}:{code.co_name}")
+                    f = f.f_back
+                key = ";".join(reversed(parts))
+                self.stacks[key] = self.stacks.get(key, 0) + 1
+            now = time.time()
+            if now - last_mem >= self.mem_interval_s:
+                last_mem = now
+                self.mem_rows.append((now - self._t0, _rss_mb(), _hbm_mb()))
+            self._stop.wait(self.interval_s)
+
+    def start(self):
+        self._t0 = time.time()
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._sample_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, prefix: str | None = None):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+        if prefix:
+            self.write(prefix)
+        return self
+
+    def write(self, prefix: str):
+        """<prefix>.folded (flamegraph-collapsed) + <prefix>.mem.csv."""
+        with open(prefix + ".folded", "w") as f:
+            for stack, count in sorted(self.stacks.items()):
+                f.write(f"{stack} {count}\n")
+        with open(prefix + ".mem.csv", "w") as f:
+            f.write("wall_s,rss_mb,hbm_mb\n")
+            for t, rss, hbm in self.mem_rows:
+                f.write(f"{t:.3f},{rss:.1f},{hbm:.1f}\n")
+
+
+_GLOBAL: Flamegraph | None = None
+
+
+def maybe_start_from_env() -> Flamegraph | None:
+    """Start the sampler if ZKML_FLAMEGRAPH=<path-prefix> is set; the
+    folded stacks + memory timeline are written at process exit."""
+    global _GLOBAL
+    prefix = os.environ.get("ZKML_FLAMEGRAPH")
+    if not prefix or _GLOBAL is not None:
+        return _GLOBAL
+    _GLOBAL = Flamegraph().start()
+    atexit.register(lambda: _GLOBAL.stop(prefix))
+    return _GLOBAL

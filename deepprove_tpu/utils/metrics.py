@@ -20,13 +20,17 @@ class MetricsSpan:
     name: str
     wall_s: float
     rss_mb: float
+    hbm_mb: float = 0.0  # device bytes_in_use at span end (mem-track)
 
     def __str__(self):
-        return f"{self.name}: {self.wall_s * 1000:.1f} ms, rss {self.rss_mb:.0f} MB"
+        return (
+            f"{self.name}: {self.wall_s * 1000:.1f} ms, "
+            f"rss {self.rss_mb:.0f} MB, hbm {self.hbm_mb:.0f} MB"
+        )
 
 
 class Metrics:
-    """Capture wall time + peak RSS around a phase."""
+    """Capture wall time + peak RSS + device HBM around a phase."""
 
     def __init__(self, name: str = ""):
         self.name = name
@@ -46,8 +50,11 @@ class Metrics:
             import jax.numpy as jnp
 
             _np.asarray(jnp.zeros(()))
+        from .flame import _hbm_mb
+
         return MetricsSpan(
-            name=self.name, wall_s=time.time() - self.t0, rss_mb=_rss_mb()
+            name=self.name, wall_s=time.time() - self.t0, rss_mb=_rss_mb(),
+            hbm_mb=_hbm_mb(),
         )
 
 
@@ -64,9 +71,12 @@ def stream_metrics(phase: str, span: MetricsSpan, path: str | None = None):
     new = path not in _CSV_HEADER_WRITTEN and not os.path.exists(path)
     with open(path, "a") as f:
         if new:
-            f.write("phase,wall_ms,rss_mb\n")
+            f.write("phase,wall_ms,rss_mb,hbm_mb\n")
             _CSV_HEADER_WRITTEN.add(path)
-        f.write(f"{phase},{span.wall_s * 1000:.2f},{span.rss_mb:.1f}\n")
+        f.write(
+            f"{phase},{span.wall_s * 1000:.2f},{span.rss_mb:.1f},"
+            f"{span.hbm_mb:.1f}\n"
+        )
 
 
 def proof_size_bytes(proof) -> int:

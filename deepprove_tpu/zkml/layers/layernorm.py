@@ -173,6 +173,16 @@ class LayerNorm:
             top_chunk_scalar_log=self.top_chunk_scalar_log,
         )
 
+    # inv-sqrt + range-chunk lookups ride the consolidated per-size
+    # grouped logup proofs (iop/prover._prove_shared_logup)
+    shared_logup = True
+
+    def shared_lookup_layout(self):
+        return [
+            (1, 2, self.table_type),
+            (self.n_chunks, 1, TableType("range")),
+        ]
+
     def gen_lookup_witness(self, node_id, ctx, step_data):
         x = self._pad_input(np.asarray(step_data.inputs[0].data, dtype=np.int64))
         _, _, rng, inv_in, inv_out = self._rows(x)
@@ -219,16 +229,12 @@ class LayerNorm:
         assert len(last_claim.point) == k + log_r
 
         inv_wit, range_wit = prover.lookup_witnesses_for(node_id)
-        inv_proof = logup.batch_prove_device(
-            inv_wit.get_logup_input(prover.challenge_storage), dt
-        )
-        range_proof = logup.batch_prove_device(
-            range_wit.get_logup_input(prover.challenge_storage), dt
-        )
-        # bind the lookup columns to their commitments at the logup points
-        for comm_poly, cl in zip(inv_wit.commits, inv_proof.output_claims):
+        inv_claims_l = prover.shared_claims_for(node_id, 0)  # [inv_in, inv_out]
+        chunk_claims_l = prover.shared_claims_for(node_id, 1)  # n_chunks
+        # bind the lookup columns to their commitments at the shared points
+        for comm_poly, cl in zip(inv_wit.commits, inv_claims_l):
             prover.commit_prover.add_witness_claim(comm_poly, cl)
-        for comm_poly, cl in zip(range_wit.commits, range_proof.output_claims):
+        for comm_poly, cl in zip(range_wit.commits, chunk_claims_l):
             prover.commit_prover.add_witness_claim(comm_poly, cl)
 
         s, _, _, _, inv_out = self._rows(x)
@@ -325,8 +331,6 @@ class LayerNorm:
         prover.push_proof(
             node_id,
             LayerNormProof(
-                inv_lookup=inv_proof,
-                range_lookup=range_proof,
                 io_sumcheck=io_out.proof,
                 io_evals=io_out.final_evals,
                 link_sumcheck=link_out.proof,
@@ -363,8 +367,6 @@ def _repeat_ext_rows(arr: gf.GF2, reps: int) -> gf.GF2:
 
 @dataclasses.dataclass
 class LayerNormProof:
-    inv_lookup: object
-    range_lookup: object
     io_sumcheck: object
     io_evals: list
     link_sumcheck: object
@@ -374,9 +376,8 @@ class LayerNormProof:
     commitments: list
 
     def get_lookup_data(self):
-        n1, d1 = logup.fractional_outputs(self.inv_lookup)
-        n2, d2 = logup.fractional_outputs(self.range_lookup)
-        return n1 + n2, d1 + d2
+        # fractions live in the consolidated proof (Proof.shared_logup)
+        return None
 
 
 def _eq(x, y) -> ExtPair:
@@ -415,18 +416,11 @@ class LayerNormCtx:
         k = self.log_c
         log_r = len(last_claim.point) - k
 
-        const_c, sep_c = verifier.challenge_storage.get(self.table_type.name())
-        inv_claims = logup.verify_logup_proof(
-            proof.inv_lookup, 1, const_c, sep_c, verifier.transcript
-        )
-        range_const, _ = verifier.challenge_storage.get(TableType("range").name())
-        range_claims = logup.verify_logup_proof(
-            proof.range_lookup, self.n_chunks, range_const, (1, 0),
-            verifier.transcript,
-        )
-        for cm, cl in zip(proof.commitments[:2], inv_claims.claims):
+        inv_claims = verifier.shared_logup_claims[(self.node_id, 0)]
+        range_claims = verifier.shared_logup_claims[(self.node_id, 1)]
+        for cm, cl in zip(proof.commitments[:2], inv_claims):
             verifier.commit_verifier.add_witness_claim(cm, cl)
-        for cm, cl in zip(proof.commitments[2:], range_claims.claims):
+        for cm, cl in zip(proof.commitments[2:], range_claims):
             verifier.commit_verifier.add_witness_claim(cm, cl)
 
         # --- io sumcheck ------------------------------------------------------

@@ -46,6 +46,13 @@ class Logits:
         x = np.asarray(inputs[0].data, dtype=np.int64)
         return [Tensor(np.argmax(x, axis=-1).astype(np.int64))]
 
+    # the diff range check rides the consolidated per-size grouped
+    # logup proof (iop/prover._prove_shared_logup)
+    shared_logup = True
+
+    def shared_lookup_layout(self):
+        return [(1, 1, TableType("range"))]
+
     def step_info(self, node_id: int, aux):
         aux.tables.add(TableType("range"))
         return LogitsCtx(node_id=node_id)
@@ -86,10 +93,7 @@ class Logits:
         out_idx = np.asarray(step_data.outputs[0].data, dtype=np.int64).reshape(-1)
 
         (wit,) = prover.lookup_witnesses_for(node_id)
-        lookup_proof = logup.batch_prove_device(
-            wit.get_logup_input(prover.challenge_storage), dt
-        )
-        diff_claim = lookup_proof.output_claims[0]  # diff~ at point pt (n vars)
+        (diff_claim,) = prover.shared_claims_for(node_id, 0)  # diff~ (n vars)
         prover.commit_prover.add_witness_claim(wit.commits[0], diff_claim)
         pt = diff_claim.point
         pt_r = glue.suffix(pt, k)
@@ -137,7 +141,6 @@ class Logits:
         prover.push_proof(
             node_id,
             LogitsProof(
-                lookup=lookup_proof,
                 max_eval=max_eval_p,
                 zerocheck=z_out.proof,
                 z_evals=z_out.final_evals,
@@ -151,7 +154,6 @@ class Logits:
 
 @dataclasses.dataclass
 class LogitsProof:
-    lookup: object
     max_eval: object
     zerocheck: object
     z_evals: list
@@ -160,7 +162,8 @@ class LogitsProof:
     dims: tuple
 
     def get_lookup_data(self):
-        return logup.fractional_outputs(self.lookup)
+        # fractions live in the consolidated proof (Proof.shared_logup)
+        return None
 
 
 def _eq(x, y) -> ExtPair:
@@ -186,11 +189,7 @@ class LogitsCtx:
         p = host.P
         log_r, k = proof.dims
         n = log_r + k
-        range_const, _ = verifier.challenge_storage.get(TableType("range").name())
-        claims = logup.verify_logup_proof(
-            proof.lookup, 1, range_const, (1, 0), verifier.transcript
-        )
-        diff_claim = claims.claims[0]
+        (diff_claim,) = verifier.shared_logup_claims[(self.node_id, 0)]
         pt = list(diff_claim.point)
         pt_r = pt[k:]
         verifier.commit_verifier.add_witness_claim(proof.commitments[0], diff_claim)

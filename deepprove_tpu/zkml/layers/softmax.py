@@ -231,6 +231,21 @@ class Softmax:
             error_table_params=self.error_table.params,
         )
 
+    # all four lookup families ride the consolidated per-size grouped
+    # logup proofs (iop/prover._prove_shared_logup): a GPT-2 block's
+    # softmax alone carried 4 per-node GKRs of pure dispatch latency
+    shared_logup = True
+
+    def shared_lookup_layout(self):
+        out = [
+            (1, 2, self.exp_table),
+            (2, 1, TableType("range")),
+            (1, 1, self.error_table),
+        ]
+        if self.n_zero_chunks:
+            out.append((self.n_zero_chunks, 2, self.zero_table))
+        return out
+
     def gen_lookup_witness(self, node_id, ctx, step_data):
         w = self._witness(np.asarray(step_data.inputs[0].data, dtype=np.int64))
         counts = {}
@@ -306,34 +321,26 @@ class Softmax:
             exp_wit, range_wit, err_wit = wits
             zero_wit = None
 
-        exp_proof = logup.batch_prove_device(
-            exp_wit.get_logup_input(prover.challenge_storage), dt
+        exp_claims_l = prover.shared_claims_for(node_id, 0)  # [in, out]
+        range_claims_l = prover.shared_claims_for(node_id, 1)  # [low, high]
+        err_claims_l = prover.shared_claims_for(node_id, 2)  # [rowsums]
+        zero_claims_l = (
+            prover.shared_claims_for(node_id, 3) if zero_wit is not None else []
         )
-        range_proof = logup.batch_prove_device(
-            range_wit.get_logup_input(prover.challenge_storage), dt
-        )
-        err_proof = logup.batch_prove_device(
-            err_wit.get_logup_input(prover.challenge_storage), dt
-        )
-        zero_proof = None
-        if zero_wit is not None:
-            zero_proof = logup.batch_prove_device(
-                zero_wit.get_logup_input(prover.challenge_storage), dt
-            )
 
-        # bind looked-up columns to commitments at the logup points
-        for comm_poly, cl in zip(exp_wit.commits, exp_proof.output_claims):
+        # bind looked-up columns to commitments at the shared logup points
+        for comm_poly, cl in zip(exp_wit.commits, exp_claims_l):
             prover.commit_prover.add_witness_claim(comm_poly, cl)
-        for comm_poly, cl in zip(range_wit.commits, range_proof.output_claims):
+        for comm_poly, cl in zip(range_wit.commits, range_claims_l):
             prover.commit_prover.add_witness_claim(comm_poly, cl)
         if zero_wit is not None:
-            for comm_poly, cl in zip(zero_wit.commits, zero_proof.output_claims):
+            for comm_poly, cl in zip(zero_wit.commits, zero_claims_l):
                 prover.commit_prover.add_witness_claim(comm_poly, cl)
 
         # --- sumcheck A: output + error at batching challenge α ----------------
         alpha = dt.get_and_append_challenge(b"softmax_batching")
         one = glue.one()
-        err_claim = err_proof.output_claims[0]  # rowsum~ at p_err (log_r vars)
+        err_claim = err_claims_l[0]  # rowsum~ at the shared point (log_r vars)
         half = ((p + 1) // 2) % p
         full_err_point = glue.concat_points(
             [glue.vec([(half, 0)] * k), err_claim.point]
@@ -420,10 +427,6 @@ class Softmax:
         prover.push_proof(
             node_id,
             SoftmaxProof(
-                exp_lookup=exp_proof,
-                range_lookup=range_proof,
-                error_lookup=err_proof,
-                zero_lookup=zero_proof,
                 a_sumcheck=a_out.proof,
                 a_evals=a_out.final_evals,
                 provided_evals=ev_at_u,
@@ -464,10 +467,6 @@ def _batch_eval(cols, point, n):
 
 @dataclasses.dataclass
 class SoftmaxProof:
-    exp_lookup: object
-    range_lookup: object
-    error_lookup: object
-    zero_lookup: object
     a_sumcheck: object
     a_evals: list
     provided_evals: list
@@ -476,15 +475,8 @@ class SoftmaxProof:
     commitments: dict
 
     def get_lookup_data(self):
-        nums, dens = [], []
-        for pr in [self.exp_lookup, self.range_lookup, self.error_lookup,
-                   self.zero_lookup]:
-            if pr is None:
-                continue
-            n1, d1 = logup.fractional_outputs(pr)
-            nums += n1
-            dens += d1
-        return nums, dens
+        # fractions live in the consolidated proof (Proof.shared_logup)
+        return None
 
 
 def _eq(x, y) -> ExtPair:
@@ -519,41 +511,26 @@ class SoftmaxCtx:
         last_claim = last_claims[0]
         n = len(last_claim.point)
 
-        exp_tt = TableType("softmax", self.exp_table_params)
-        err_tt = TableType("error", self.error_table_params)
-        const_c, sep_c = verifier.challenge_storage.get(exp_tt.name())
-        exp_claims = logup.verify_logup_proof(
-            proof.exp_lookup, 1, const_c, sep_c, verifier.transcript
+        exp_claims = verifier.shared_logup_claims[(self.node_id, 0)]
+        range_claims = verifier.shared_logup_claims[(self.node_id, 1)]
+        err_claims = verifier.shared_logup_claims[(self.node_id, 2)]
+        zero_claims = (
+            verifier.shared_logup_claims[(self.node_id, 3)]
+            if self.n_zero_chunks
+            else None
         )
-        range_const, _ = verifier.challenge_storage.get(TableType("range").name())
-        range_claims = logup.verify_logup_proof(
-            proof.range_lookup, 2, range_const, (1, 0), verifier.transcript
-        )
-        err_const, _ = verifier.challenge_storage.get(err_tt.name())
-        err_claims = logup.verify_logup_proof(
-            proof.error_lookup, 1, err_const, (1, 0), verifier.transcript
-        )
-        zero_claims = None
-        if self.n_zero_chunks:
-            zero_const, zero_sep = verifier.challenge_storage.get(
-                TableType("zero", (self.ztv,)).name()
-            )
-            zero_claims = logup.verify_logup_proof(
-                proof.zero_lookup, self.n_zero_chunks, zero_const, zero_sep,
-                verifier.transcript,
-            )
 
-        for cm, cl in zip(proof.commitments["exp"], exp_claims.claims):
+        for cm, cl in zip(proof.commitments["exp"], exp_claims):
             verifier.commit_verifier.add_witness_claim(cm, cl)
-        for cm, cl in zip(proof.commitments["range"], range_claims.claims):
+        for cm, cl in zip(proof.commitments["range"], range_claims):
             verifier.commit_verifier.add_witness_claim(cm, cl)
         if zero_claims is not None:
-            for cm, cl in zip(proof.commitments["zero"], zero_claims.claims):
+            for cm, cl in zip(proof.commitments["zero"], zero_claims):
                 verifier.commit_verifier.add_witness_claim(cm, cl)
 
         # --- sumcheck A ---------------------------------------------------------
         alpha = verifier.transcript.get_and_append_challenge(b"softmax_batching")
-        err_claim = err_claims.claims[0]
+        err_claim = err_claims[0]
         k = n - len(err_claim.point)
         half = ((p + 1) // 2) % p
         full_err_point = [(half, 0)] * k + list(err_claim.point)

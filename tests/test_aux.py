@@ -75,3 +75,32 @@ def test_schoolbook_matches_fft_conv():
     out_s = sb.evaluate([Tensor(x)])[0].data
     v = 8 - 3 + 1
     np.testing.assert_array_equal(out_f[:, :v, :v], out_s[:, :v, :v])
+
+
+def test_flamegraph_sampler_and_mem_csv(tmp_path):
+    """utils.flame: folded stacks + memory timeline artifacts
+    (utils/src/lib.rs:82-130 tracing-flame / mem-track analogue)."""
+    import time
+
+    from deepprove_tpu.utils.flame import Flamegraph
+
+    fg = Flamegraph(interval_s=0.001, mem_interval_s=0.005).start()
+
+    def busy():
+        t0 = time.time()
+        acc = 0
+        while time.time() - t0 < 0.2:
+            acc += sum(range(500))
+        return acc
+
+    busy()
+    fg.stop(str(tmp_path / "prof"))
+    folded = (tmp_path / "prof.folded").read_text().strip().splitlines()
+    assert folded, "no stacks sampled"
+    # every line is `stack count`; the busy fn must appear
+    assert any("busy" in line for line in folded)
+    for line in folded:
+        stack, count = line.rsplit(" ", 1)
+        assert int(count) > 0 and stack
+    mem = (tmp_path / "prof.mem.csv").read_text().splitlines()
+    assert mem[0] == "wall_s,rss_mb,hbm_mb" and len(mem) > 2

@@ -85,6 +85,53 @@ def test_basefold_commit_open_verify(rng):
     basefold.verify(params, comm.commitment, point, eval_pair, proof, t_v)
 
 
+def test_basefold_blake_hasher_roundtrip(rng):
+    """The whole-PCS hasher swap (mpcs `blake` feature, lib.rs:339-342):
+    commit/open/verify under the Blake Merkle hasher, trivial + full,
+    with a tampered-path rejection."""
+    n = 6
+    params = basefold.setup(
+        n, num_queries=9, basecode_msg_size_log=2, hasher="blake"
+    )
+    evals_np = rng.integers(0, P, size=1 << n, dtype=np.uint64)
+    evals = gf.from_u64(evals_np)
+    comm = basefold.commit(params, evals)
+    assert len(comm.commitment.root) == 8  # 8 u32 transcript words
+
+    point = rand_point(rng, n)
+    ev = mle.evaluate(evals, dev_point(point))
+    eval_pair = basefold._pairs_host(ev.reshape((1,)))[0]
+
+    t_p = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_p)
+    proof = basefold.open(params, comm, point, t_p)
+
+    t_v = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_v)
+    basefold.verify(params, comm.commitment, point, eval_pair, proof, t_v)
+
+    # tampered query pair → path check fails
+    bad = proof.queries[0]
+    bad.commitment_pair = (int(bad.commitment_pair[0]) ^ 1, bad.commitment_pair[1])
+    t_v2 = BasicTranscript(b"bf")
+    basefold.write_commitment(comm.commitment, t_v2)
+    with pytest.raises(AssertionError):
+        basefold.verify(params, comm.commitment, point, eval_pair, proof, t_v2)
+
+    # trivial blake commit
+    tn = 2
+    t_evals = gf.from_u64(rng.integers(0, P, size=1 << tn, dtype=np.uint64))
+    t_comm = basefold.commit(params, t_evals)
+    assert t_comm.commitment.is_trivial
+    t_point = rand_point(rng, tn)
+    t_ev = mle.evaluate(t_evals, dev_point(t_point))
+    t_pair = basefold._pairs_host(t_ev.reshape((1,)))[0]
+    t_proof = basefold.open(params, t_comm, t_point, BasicTranscript(b"t"))
+    basefold.verify(
+        params, t_comm.commitment, t_point, t_pair, t_proof, BasicTranscript(b"t")
+    )
+
+
 def test_basefold_trivial_commit(rng):
     n = 2
     params = small_params(6)

@@ -204,6 +204,77 @@ def test_gateway_worker_roundtrip_h2(rng):
     g.close()
 
 
+def test_eth_identity_known_vectors():
+    """Keccak-256 + secp256k1 address derivation against published
+    vectors (cli/lpn/grpc.rs LocalSigner::address client identity)."""
+    from deepprove_tpu.service.eth import address_from_private_key, keccak256
+
+    assert (
+        keccak256(b"").hex()
+        == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert (
+        keccak256(b"abc").hex()
+        == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    )
+    key1 = "0x" + "0" * 63 + "1"
+    assert address_from_private_key(key1) == (
+        "0x7E5F4552091A69125d5DfCb7b8C2659029395Bdf"
+    )
+    key2 = "0x" + "0" * 63 + "2"
+    assert address_from_private_key(key2) == (
+        "0x2B5AD5c4795c026514f8317c7a215E218DcCD6cF"
+    )
+
+
+def test_lpn_client_submit_roundtrip(rng, tmp_path, capsys):
+    """CLI lpn-submit → gateway ClientsService channel → worker →
+    ProofReady push, all over gRPC/h2c with ETH client identity."""
+    import json as _json
+    import threading
+
+    from deepprove_tpu.service import cli, gateway as gw
+
+    def stub_handler(store, request, pcs_kw):
+        from deepprove_tpu.service.worker import ProofResponse
+
+        return ProofResponse(proofs=["pf"], outputs=[[0.5]], errors=[])
+
+    g = gw.Gateway(token="", transport="h2")
+    t = threading.Thread(
+        target=gw.run_worker,
+        args=(g.addr,),
+        kwargs=dict(max_tasks=1, task_handler=stub_handler, transport="h2"),
+        daemon=True,
+    )
+    t.start()
+    g.wait_workers(1)
+
+    model_p = tmp_path / "m.onnx"
+    model_p.write_bytes(b"model-bytes")
+    input_p = tmp_path / "in.json"
+    input_p.write_text(_json.dumps({"input_data": [[0.1, 0.2]]}))
+    out_p = tmp_path / "proof.json"
+    rc = cli.main([
+        "lpn-submit", "--gw", f"{g.addr[0]}:{g.addr[1]}",
+        "--private-key", "0x" + "0" * 63 + "1",
+        "--model", str(model_p), "--input", str(input_p),
+        "--pretty", "ci-task", "--wait", "-o", str(out_p),
+    ])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    ack = _json.loads(captured.strip().splitlines()[0])
+    assert ack["client_id"] == "0x7E5F4552091A69125d5DfCb7b8C2659029395Bdf"
+    doc = _json.loads(out_p.read_text())
+    assert doc["user_task_id"] == "ci-task"
+    result = gw.decode_result(
+        __import__("base64").b64decode(doc["proof"])
+    )
+    assert result["proofs"] == ["pf"]
+    t.join(timeout=10)
+    g.close()
+
+
 class _LocalS3Server:
     """Minimal in-process S3-compatible object server (GET/PUT/404)."""
 
