@@ -1,0 +1,9 @@
+"""Legacy layered GKR stack (reference: gkr + simple-frontend crates).
+
+Dead on the zkml proving path (SURVEY §2 marks it legacy) but part of
+the reference surface: circuit frontend, layered GKR prover/verifier on
+the fused sumcheck kernels, and the keccak256 demo gadget.
+"""
+
+from .circuit import Circuit, CircuitBuilder  # noqa: F401
+from .prover import GKRClaim, GKRProof, prove, verify  # noqa: F401

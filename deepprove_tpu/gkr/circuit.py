@@ -1,0 +1,241 @@
+"""Layered arithmetic circuits + builder frontend (reference:
+simple-frontend/src/structs.rs:126 CircuitBuilder / gkr/src/structs.rs
+layered Circuit).
+
+REDESIGNED for the TPU GKR prover (gkr/prover.py) rather than translated:
+the reference splits gates into add/mul variants with per-gate scalar
+types; here every layer is three COEFFICIENT-carrying wiring predicates
+
+    V_i(z) = Σ_{x,y} mul~(z,x,y)·V_{i+1}(x)·V_{i+1}(y)
+           + Σ_x   lin~(z,x)·V_{i+1}(x)
+           + const~(z)
+
+which keeps the per-layer proof at exactly two degree-2 sumchecks (the
+Libra/zkCNN two-phase schedule) and lets frontend ops like XOR lower to
+ONE layer (x + y − 2xy). Gate lists are stored as flat numpy index/
+coefficient arrays — the prover's bookkeeping tables are vectorized
+scatters, the TPU-native shape for sparse wiring.
+
+Cells are (layer, index) pairs; `layer` counts from the INPUT (layer 0)
+upward, the opposite of the proof walk (prover walks output → input).
+Cross-layer wires insert relay gates (lin with coeff 1) so every gate
+reads only the adjacent layer, as the layered protocol requires.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fields import host
+
+P = host.P
+
+
+@dataclasses.dataclass
+class LayerGates:
+    """Wiring of one layer from the layer below (all values mod P)."""
+
+    size_log: int  # output cells = 2^size_log
+    # mul gates: out[z] += c · V[x] · V[y]
+    mul_z: np.ndarray
+    mul_x: np.ndarray
+    mul_y: np.ndarray
+    mul_c: np.ndarray
+    # lin gates: out[z] += c · V[x]
+    lin_z: np.ndarray
+    lin_x: np.ndarray
+    lin_c: np.ndarray
+    # const gates: out[z] += c
+    const_z: np.ndarray
+    const_c: np.ndarray
+
+
+@dataclasses.dataclass
+class Circuit:
+    """layers[0] wires input→first hidden; layers[-1] wires →output."""
+
+    input_size_log: int
+    layers: list  # list[LayerGates], input side first
+    n_inputs: int  # real (unpadded) input count
+
+    @property
+    def output_size_log(self) -> int:
+        return self.layers[-1].size_log
+
+    def evaluate(self, inputs: np.ndarray) -> list[np.ndarray]:
+        """Witness: per-layer value tables, INPUT FIRST (u64 mod P)."""
+        assert inputs.size == self.n_inputs, "input count mismatch"
+        v = np.zeros(1 << self.input_size_log, dtype=np.uint64)
+        v[: inputs.size] = np.asarray(inputs, dtype=np.uint64) % P
+        values = [v]
+        for lg in self.layers:
+            out = scatter_add_mod_init(1 << lg.size_log)
+            if lg.mul_z.size:
+                prod = host.mul(v[lg.mul_x], v[lg.mul_y])
+                scatter_add_mod(out, lg.mul_z, host.mul(lg.mul_c, prod))
+            if lg.lin_z.size:
+                scatter_add_mod(out, lg.lin_z, host.mul(lg.lin_c, v[lg.lin_x]))
+            if lg.const_z.size:
+                scatter_add_mod(out, lg.const_z, lg.const_c % P)
+            out = scatter_add_mod_fold(out)
+            values.append(out)
+            v = out
+        return values
+
+
+def scatter_add_mod_init(n: int):
+    """(lo32, hi32) accumulator planes for overflow-safe scatter adds
+    (np.add.at on u64 wraps mod 2^64, NOT mod P — two field elements
+    already overflow)."""
+    return [np.zeros(n, dtype=np.uint64), np.zeros(n, dtype=np.uint64)]
+
+
+def scatter_add_mod(acc, idx, vals) -> None:
+    vals = np.asarray(vals, dtype=np.uint64)
+    np.add.at(acc[0], idx, vals & np.uint64(0xFFFFFFFF))
+    np.add.at(acc[1], idx, vals >> np.uint64(32))
+
+
+def scatter_add_mod_fold(acc) -> np.ndarray:
+    """(lo, hi) planes → values mod P (hi·2^32 + lo)."""
+    two32 = np.uint64((1 << 32) % P)
+    return host.add(host.mul(acc[1] % P, two32), acc[0] % P)
+
+
+class CircuitBuilder:
+    """simple-frontend analogue: build cells, then `finalize()`.
+
+    Cells carry (layer, idx). Ops on cells from non-adjacent layers
+    auto-relay the deeper operand upward.
+    """
+
+    def __init__(self):
+        self._n_inputs = 0
+        # per layer: list of gate dicts building that layer's cells
+        self._gates: list[list] = []  # _gates[L] builds layer L+1 cells
+        self._width: list[int] = [0]  # cells per layer (layer 0 = inputs)
+        self._const_cache: dict[tuple[int, int], int] = {}
+
+    # -- cells ---------------------------------------------------------------
+
+    def inputs(self, n: int) -> list[tuple[int, int]]:
+        assert not self._gates, "inputs must be created first"
+        base = self._n_inputs
+        self._n_inputs += n
+        self._width[0] = self._n_inputs
+        return [(0, base + i) for i in range(n)]
+
+    def _new_cell(self, layer: int) -> tuple[int, int]:
+        while len(self._width) <= layer:
+            self._width.append(0)
+            self._gates.append([])
+        idx = self._width[layer]
+        self._width[layer] = idx + 1
+        return (layer, idx)
+
+    def _relay(self, cell: tuple[int, int], to_layer: int) -> tuple[int, int]:
+        while cell[0] < to_layer:
+            nxt = self._new_cell(cell[0] + 1)
+            self._gates[cell[0]].append(("lin", nxt[1], cell[1], 1))
+            cell = nxt
+        return cell
+
+    def _align(self, a, b):
+        layer = max(a[0], b[0])
+        return self._relay(a, layer), self._relay(b, layer), layer
+
+    # -- ops -----------------------------------------------------------------
+
+    def linear(self, terms, const: int = 0) -> tuple[int, int]:
+        """Σ c_i·cell_i + const as ONE output cell."""
+        layer = max(c[0] for c, _ in terms)
+        terms = [(self._relay(c, layer), k) for c, k in terms]
+        out = self._new_cell(layer + 1)
+        for c, k in terms:
+            self._gates[layer].append(("lin", out[1], c[1], k % P))
+        if const % P:
+            self._gates[layer].append(("const", out[1], const % P))
+        return out
+
+    def add(self, a, b):
+        return self.linear([(a, 1), (b, 1)])
+
+    def sub(self, a, b):
+        return self.linear([(a, 1), (b, P - 1)])
+
+    def mul(self, a, b, coeff: int = 1) -> tuple[int, int]:
+        a, b, layer = self._align(a, b)
+        out = self._new_cell(layer + 1)
+        self._gates[layer].append(("mul", out[1], a[1], b[1], coeff % P))
+        return out
+
+    def xor(self, a, b) -> tuple[int, int]:
+        """Boolean XOR in ONE layer: a + b − 2ab."""
+        a, b, layer = self._align(a, b)
+        out = self._new_cell(layer + 1)
+        self._gates[layer].append(("lin", out[1], a[1], 1))
+        self._gates[layer].append(("lin", out[1], b[1], 1))
+        self._gates[layer].append(("mul", out[1], a[1], b[1], P - 2))
+        return out
+
+    def and_(self, a, b):
+        return self.mul(a, b)
+
+    def not_(self, a):
+        return self.linear([(a, P - 1)], const=1)
+
+    def constant(self, v: int, layer: int = 0) -> tuple[int, int]:
+        """A constant cell at `layer+1` (const gates live in wiring)."""
+        key = (layer, v % P)
+        if key in self._const_cache:
+            return self._const_cache[key]
+        out = self._new_cell(layer + 1)
+        self._gates[layer].append(("const", out[1], v % P))
+        self._const_cache[key] = out
+        return out
+
+    # -- finalize ------------------------------------------------------------
+
+    def finalize(self, outputs: list) -> Circuit:
+        """Relay `outputs` to the last layer and emit the layered Circuit
+        (one output layer containing exactly these cells, in order)."""
+        depth = len(self._width) - 1
+        outputs = [self._relay(c, depth) for c in outputs]
+        # fresh OUTPUT layer selecting the outputs in order
+        out_gates = [
+            ("lin", i, c[1], 1) for i, c in enumerate(outputs)
+        ]
+        self._gates.append(out_gates)
+        self._width.append(len(outputs))
+
+        def lg(width_in: int, width_out: int, gates) -> LayerGates:
+            s = max(1, (max(1, width_out) - 1).bit_length())
+            mz, mx, my, mc = [], [], [], []
+            lz, lx, lc = [], [], []
+            cz, cc = [], []
+            for g in gates:
+                if g[0] == "mul":
+                    mz.append(g[1]); mx.append(g[2]); my.append(g[3]); mc.append(g[4])
+                elif g[0] == "lin":
+                    lz.append(g[1]); lx.append(g[2]); lc.append(g[3])
+                else:
+                    cz.append(g[1]); cc.append(g[2])
+            u64 = lambda a: np.asarray(a, dtype=np.uint64)
+            i64 = lambda a: np.asarray(a, dtype=np.int64)
+            return LayerGates(
+                size_log=s,
+                mul_z=i64(mz), mul_x=i64(mx), mul_y=i64(my), mul_c=u64(mc),
+                lin_z=i64(lz), lin_x=i64(lx), lin_c=u64(lc),
+                const_z=i64(cz), const_c=u64(cc),
+            )
+
+        layers = [
+            lg(self._width[i], self._width[i + 1], self._gates[i])
+            for i in range(len(self._gates))
+        ]
+        in_log = max(1, (max(1, self._width[0]) - 1).bit_length())
+        return Circuit(
+            input_size_log=in_log, layers=layers, n_inputs=self._n_inputs
+        )

@@ -1,0 +1,178 @@
+"""Keccak-256 gadget on the GKR circuit frontend (reference:
+gkr/src/gadgets/keccak256.rs — the demo circuit for the legacy layered
+GKR stack).
+
+Bit-level arithmetization over the Goldilocks field: XOR lowers to the
+one-layer x + y − 2xy gate, AND to a mul gate, NOT to 1 − x; ρ/π are
+pure wire re-indexings (zero layers). A full keccak-f[1600] is ~24
+rounds × ~8 layers; relays for idle state bits are auto-inserted by the
+builder. Output bits are cross-checked in tests against the INDEPENDENT
+byte-level implementation in service/eth.py (itself checked against
+published Keccak vectors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .circuit import CircuitBuilder
+
+_ROUND_CONSTANTS = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_ROT = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+
+
+def _keccak_f_cells(cb: CircuitBuilder, lanes, rounds: int = 24):
+    """lanes[x][y] = list of 64 bit-cells; returns the permuted lanes."""
+    for rnd in range(rounds):
+        # θ
+        c = [[None] * 64 for _ in range(5)]
+        for x in range(5):
+            for i in range(64):
+                t1 = cb.xor(lanes[x][0][i], lanes[x][1][i])
+                t2 = cb.xor(lanes[x][2][i], lanes[x][3][i])
+                t3 = cb.xor(t1, t2)
+                c[x][i] = cb.xor(t3, lanes[x][4][i])
+        d = [[None] * 64 for _ in range(5)]
+        for x in range(5):
+            for i in range(64):
+                d[x][i] = cb.xor(c[(x - 1) % 5][i], c[(x + 1) % 5][(i - 1) % 64])
+        a = [
+            [
+                [cb.xor(lanes[x][y][i], d[x][i]) for i in range(64)]
+                for y in range(5)
+            ]
+            for x in range(5)
+        ]
+        # ρ + π: b[y][(2x+3y)%5] = rot(a[x][y], r[x][y]) — re-indexing only
+        b = [[None] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                b[y][(2 * x + 3 * y) % 5] = [
+                    a[x][y][(i - _ROT[x][y]) % 64] for i in range(64)
+                ]
+        # χ: a'[x][y] = b[x][y] ^ ((¬b[x+1][y]) & b[x+2][y])
+        new = [[None] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                row = []
+                for i in range(64):
+                    nb = cb.not_(b[(x + 1) % 5][y][i])
+                    anded = cb.mul(nb, b[(x + 2) % 5][y][i])
+                    row.append(cb.xor(b[x][y][i], anded))
+                new[x][y] = row
+        # ι: xor the round constant into lane (0,0)
+        rc = _ROUND_CONSTANTS[rnd]
+        new[0][0] = [
+            cb.not_(new[0][0][i]) if (rc >> i) & 1 else new[0][0][i]
+            for i in range(64)
+        ]
+        lanes = new
+    return lanes
+
+
+def keccak_f_circuit(rounds: int = 24):
+    """Circuit: 1600 input bits (lane-major x, y, bit LE) → 1600 output
+    bits of keccak-f[1600]."""
+    cb = CircuitBuilder()
+    bits = cb.inputs(1600)
+    lanes = [
+        [[bits[64 * (5 * y + x) + i] for i in range(64)] for y in range(5)]
+        for x in range(5)
+    ]
+    out = _keccak_f_cells(cb, lanes, rounds)
+    # flatten in the same lane-major order as the input layout
+    flat = [
+        out[lane_i % 5][lane_i // 5][i]
+        for lane_i in range(25)
+        for i in range(64)
+    ]
+    return cb.finalize(flat)
+
+
+def state_bits(state_bytes: bytes) -> np.ndarray:
+    """200-byte state → 1600 bits in the circuit's input order."""
+    lanes = np.frombuffer(state_bytes, dtype="<u8")
+    bits = np.zeros(1600, dtype=np.uint64)
+    for lane_i in range(25):
+        v = int(lanes[lane_i])
+        for i in range(64):
+            bits[64 * lane_i + i] = (v >> i) & 1
+    return bits
+
+
+def bits_to_state(bits: np.ndarray) -> bytes:
+    out = bytearray()
+    for lane_i in range(25):
+        v = 0
+        for i in range(64):
+            v |= int(bits[64 * lane_i + i]) << i
+        out += v.to_bytes(8, "little")
+    return bytes(out)
+
+
+def keccak256_circuit(msg_len: int, rounds: int = 24):
+    """Circuit hashing a fixed-length message ≤ 135 bytes (single-block
+    sponge): inputs = 8·msg_len message bits, padding is baked in as
+    constants, output = 256 digest bits."""
+    assert msg_len <= 135, "single-block gadget (rate 136)"
+    cb = CircuitBuilder()
+    msg_bits = cb.inputs(8 * msg_len)
+    zero = cb.constant(0)
+    one = cb.constant(1)
+
+    # padded 200-byte state: msg ‖ 0x01 ‖ 0… ‖ 0x80 (last rate byte), cap 0
+    def bit_cell(byte_idx: int, bit: int):
+        if byte_idx < msg_len:
+            return msg_bits[8 * byte_idx + bit]
+        val = 0
+        if byte_idx == msg_len:
+            val |= 0x01
+        if byte_idx == 135:
+            val |= 0x80
+        return one if (val >> bit) & 1 else zero
+
+    lanes = [[None] * 5 for _ in range(5)]
+    for lane_i in range(25):
+        x, y = lane_i % 5, lane_i // 5
+        lanes[x][y] = [
+            bit_cell(8 * lane_i + (i // 8), i % 8) for i in range(64)
+        ]
+    out = _keccak_f_cells(cb, lanes, rounds)
+    digest = []
+    for lane_i in range(4):  # 32 bytes = 4 lanes
+        x, y = lane_i % 5, lane_i // 5
+        digest.extend(out[x][y])
+    return cb.finalize(digest)
+
+
+def msg_bits(msg: bytes) -> np.ndarray:
+    bits = np.zeros(8 * len(msg), dtype=np.uint64)
+    for i, byte in enumerate(msg):
+        for b in range(8):
+            bits[8 * i + b] = (byte >> b) & 1
+    return bits
+
+
+def digest_from_bits(bits: np.ndarray) -> bytes:
+    out = bytearray()
+    for i in range(32):
+        v = 0
+        for b in range(8):
+            v |= int(bits[8 * i + b]) << b
+        out.append(v)
+    return bytes(out)

@@ -1,0 +1,119 @@
+"""Legacy layered GKR + simple-frontend + keccak gadget
+(gkr/src/prover.rs:33, simple-frontend/src/structs.rs:126,
+gkr/src/gadgets/keccak256.rs)."""
+
+import numpy as np
+import pytest
+
+from deepprove_tpu.fields import host
+from deepprove_tpu.gkr import CircuitBuilder, GKRClaim, prove, verify
+from deepprove_tpu.gkr import keccak as kk
+from deepprove_tpu.service import eth
+from deepprove_tpu.transcript import BasicTranscript
+
+P = host.P
+
+
+def _out_claim(outputs, rng, n_out):
+    point = [
+        (int(rng.integers(0, P, dtype=np.uint64)),
+         int(rng.integers(0, P, dtype=np.uint64)))
+        for _ in range(n_out)
+    ]
+    ev = host.mle_eval_v(np.asarray(outputs, dtype=np.uint64), point)
+    return GKRClaim(point=point, eval=ev)
+
+
+def _check_input_claims(circuit, values, claims):
+    for cl in claims:
+        got = host.mle_eval_v(values[0], cl.point)
+        assert got == cl.eval, "gkr input claim mismatch"
+
+
+def test_gkr_small_circuit_roundtrip(rng):
+    cb = CircuitBuilder()
+    xs = cb.inputs(4)
+    m = cb.mul(xs[0], xs[1])
+    s = cb.add(xs[2], xs[3])
+    x1 = cb.xor_like = cb.linear([(m, 3), (s, P - 2)], const=7)
+    top = cb.mul(x1, cb.add(m, s))
+    circuit = cb.finalize([top, x1])
+
+    inp = rng.integers(0, P, size=4, dtype=np.uint64)
+    values = circuit.evaluate(inp)
+    # direct recompute
+    a, b, c, d = (int(x) for x in inp)
+    mv = a * b % P
+    sv = (c + d) % P
+    x1v = (3 * mv + (P - 2) * sv + 7) % P
+    topv = x1v * ((mv + sv) % P) % P
+    assert int(values[-1][0]) == topv and int(values[-1][1]) == x1v
+
+    claim = _out_claim(values[-1], rng, circuit.output_size_log)
+    proof = prove(circuit, values, claim, BasicTranscript(b"gkr"))
+    in_claims = verify(circuit, claim, proof, BasicTranscript(b"gkr"))
+    _check_input_claims(circuit, values, in_claims)
+
+    # tamper: corrupt a phase-1 final
+    e0, e1 = proof.layers[0].finals1[1]
+    proof.layers[0].finals1[1] = ((e0 + 1) % P, e1)
+    with pytest.raises(AssertionError):
+        verify(circuit, claim, proof, BasicTranscript(b"gkr"))
+
+
+def test_gkr_boolean_ops(rng):
+    cb = CircuitBuilder()
+    bits = cb.inputs(4)
+    x = cb.xor(bits[0], bits[1])
+    y = cb.and_(bits[2], bits[3])
+    z = cb.xor(x, cb.not_(y))
+    circuit = cb.finalize([z])
+    for trial in range(4):
+        bv = rng.integers(0, 2, size=4, dtype=np.uint64)
+        values = circuit.evaluate(bv)
+        want = (int(bv[0]) ^ int(bv[1])) ^ (1 - (int(bv[2]) & int(bv[3])))
+        assert int(values[-1][0]) == want
+
+
+def test_keccak_f_circuit_matches_reference():
+    """Full 24-round keccak-f[1600] circuit evaluation vs the independent
+    byte-level implementation (service/eth.py, itself vector-checked)."""
+    rng = np.random.default_rng(7)
+    state = rng.integers(0, 256, size=200, dtype=np.uint64).astype(np.uint8)
+    state_b = state.tobytes()
+
+    circuit = kk.keccak_f_circuit()
+    bits = kk.state_bits(state_b)
+    values = circuit.evaluate(bits)
+    got = kk.bits_to_state(values[-1][:1600])
+
+    lanes = [
+        [int.from_bytes(state_b[8 * (5 * y + x): 8 * (5 * y + x) + 8],
+                        "little") for y in range(5)]
+        for x in range(5)
+    ]
+    eth._keccak_f(lanes)
+    want = b"".join(
+        lanes[i % 5][i // 5].to_bytes(8, "little") for i in range(25)
+    )
+    assert got == want
+
+
+def test_keccak256_circuit_digest():
+    msg = b"deep-prove tpu"
+    circuit = kk.keccak256_circuit(len(msg))
+    values = circuit.evaluate(kk.msg_bits(msg))
+    assert kk.digest_from_bits(values[-1][:256]) == eth.keccak256(msg)
+
+
+def test_gkr_keccak_reduced_prove_verify(rng):
+    """GKR prove/verify over a 2-round keccak256 circuit (the full
+    24-round gadget is the same layer structure repeated; 2 rounds keeps
+    the CPU-test sumcheck count bounded)."""
+    msg = b"ok"
+    circuit = kk.keccak256_circuit(len(msg), rounds=2)
+    values = circuit.evaluate(kk.msg_bits(msg))
+    claim = _out_claim(values[-1], rng, circuit.output_size_log)
+    proof = prove(circuit, values, claim, BasicTranscript(b"kek"))
+    in_claims = verify(circuit, claim, proof, BasicTranscript(b"kek"))
+    _check_input_claims(circuit, values, in_claims)

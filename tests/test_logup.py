@@ -3,8 +3,9 @@
 
 import pytest
 
-pytestmark = pytest.mark.smoke
-
+# Only the two fast lookup roundtrips are in the smoke tier (the table /
+# grouped-table roundtrips take 2-3 min each of XLA CPU compile; the
+# smoke tier targets <=15 min wall — VERDICT r4 item 10).
 import numpy as np
 
 from deepprove_tpu.fields import gf, host
@@ -18,6 +19,7 @@ def rand_ext(rng):
     return (int(rng.integers(0, P, dtype=np.uint64)), int(rng.integers(0, P, dtype=np.uint64)))
 
 
+@pytest.mark.smoke
 def test_lookup_tree_outputs_match_naive(rng):
     n = 5
     col = rng.integers(1, P, size=1 << n, dtype=np.uint64)
@@ -53,6 +55,7 @@ def _prove_verify_lookup(rng, num_cols, cols_per_instance, n):
     return inp, proof, claim
 
 
+@pytest.mark.smoke
 def test_logup_lookup_single_instance(rng):
     _prove_verify_lookup(rng, 1, 1, 4)
 
