@@ -38,7 +38,7 @@ import numpy as np
 # recorded): a watchdog prints the best result recorded so far as the ONE
 # JSON line and exits 0 before the external kill would discard everything.
 # Every phase below additionally checks _left() and trims/skips work to fit.
-_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "430"))
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "545"))
 _T0 = time.time()
 _BEST: dict | None = None
 _PRINTED = threading.Event()
@@ -351,7 +351,7 @@ def bench_all():
     _merge(line)
     # CNN only with enough budget left (the watchdog line must carry the
     # MLP result even if the CNN attempt would have overflowed the window)
-    cnn_min_left = float(os.environ.get("BENCH_CNN_MIN_LEFT_S", "150"))
+    cnn_min_left = float(os.environ.get("BENCH_CNN_MIN_LEFT_S", "90"))
     if _left() < cnn_min_left:
         line["cnn_skipped"] = f"budget: {_left():.0f}s left < {cnn_min_left:.0f}s"
         return line
